@@ -1,0 +1,260 @@
+"""Golden-output tests ported from the reference test suite
+(/root/reference/tests/test_bufr2geojson.py) to the engine's decoded-feature
+DataFrame, plus the span-sequence-equality invariant from BASELINE.json.
+"""
+
+import json
+import re
+
+import pytest
+
+from bufr2geojson_spark.operators.decode import decode_documents
+from bufr2geojson_spark.sources.synth import (
+    GOLDEN_REPORT_ID,
+    golden_documents,
+    multi_message_documents,
+    sherkin_island_document,
+)
+
+
+@pytest.fixture(scope="module")
+def decoded(spark):
+    docs = golden_documents(spark)
+    feats = decode_documents(docs, include_spans=True).cache()
+    feats.count()
+    return feats
+
+
+@pytest.fixture(scope="module")
+def golden_row(decoded):
+    rows = decoded.filter("doc_id = 'golden-sherkin-island'").collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_golden_feature_fields(golden_row):
+    """Deep-equality on the reference golden fixture fields
+    (tests/test_bufr2geojson.py:83-226)."""
+    r = golden_row
+    assert r.feature_id == f"{GOLDEN_REPORT_ID}-0"
+    assert r.report_id == GOLDEN_REPORT_ID
+    assert r.geometry.type == "Point"
+    assert r.geometry.coordinates == [-9.42, 51.47, 21.0]
+    assert (r.lon, r.lat, r.z) == (-9.42, 51.47, 21.0)
+    assert r.wsi == "0-20000-0-03951"
+    assert r.host == "0-20000-0-03951"
+    assert r.tsi == "03951"
+    assert r.observed_property == "non_coordinate_pressure"
+    assert r.observation_type == (
+        "http://www.opengis.net/def/observationType/OGC-OM/2.0/OM_Measurement"
+    )
+    assert r.observing_procedure == (
+        "http://codes.wmo.int/wmdr/SourceOfObservation/unknown"
+    )
+    assert r.phenomenon_time == "2022-03-20T21:00:00Z"
+    assert r.result_time == "2024-12-19 00:00:00"
+    assert r.result_value == 1019.3
+    assert r.result_units == "hPa"
+    assert r.result_code is None and r.result_flags is None
+    assert r.quality_flag.inScheme is None
+    assert r.report_type == "000001"
+    assert r.bufr_element == "010004"
+    assert r.zcoord.name == "height_above_local_ground"
+    assert r.zcoord.value == 1.0
+    assert r.zcoord.units == "m"
+    assert r["index"] == 0
+    assert r.error is None
+
+
+def test_golden_metadata_block(golden_row):
+    """additionalProperties deep-compare (fixture :154-215)."""
+    md = json.loads(golden_row.metadata_json)
+    assert md["identification"] == {
+        "station_or_site_name": {"value": "SHERKIN ISLAND"}
+    }
+    assert md["instrumentation"]["station_type"] == {
+        "value": {
+            "codetable": "http://codes.wmo.int/bufr4/codeflag/0-02-001",
+            "entry": "0",
+            "description": "AUTOMATIC STATION",
+        }
+    }
+    assert md["instrumentation"][
+        "height_of_station_ground_above_mean_sea_level"
+    ] == {"value": 20.0, "units": "m", "description": None}
+    assert md["instrumentation"]["height_of_barometer_above_mean_sea_level"] == {
+        "value": 21.0,
+        "units": "m",
+        "description": None,
+    }
+    for empty in ("qualifiers", "processing", "monitoring", "quality",
+                  "associated_field"):
+        assert md[empty] == {}
+    assert md["BUFR_element"] == "010004"
+    assert md["zCoordinate"] == {
+        "name": "height_above_local_ground",
+        "value": 1.0,
+        "units": "m",
+    }
+    hdr = md["BUFRheaders"]
+    assert hdr["edition"] == 4
+    assert hdr["bufrHeaderCentre"] == 233
+    assert hdr["masterTablesVersionNumber"] == 14
+    assert hdr["typicalDate"] == "20220320"
+    assert hdr["typicalTime"] == "210000"
+    assert hdr["sequence"] == "307080"
+    # canonical header key order preserved (OrderedDict contract, :883-907)
+    assert list(hdr.keys())[:3] == ["edition", "masterTableNumber",
+                                    "bufrHeaderCentre"]
+
+
+def test_golden_prov_block(golden_row):
+    """PROV enrichment (fixture :117-147) with injected wall-clock."""
+    prov = json.loads(golden_row.prov_json)
+    assert prov["prefix"] == {
+        "prov": "http://www.w3.org/ns/prov#",
+        "schema": "https://schema.org/",
+    }
+    fid = f"{GOLDEN_REPORT_ID}-0"
+    assert prov["entity"]["0-20000-0-03951"]["prov:type"] == "schema:DigitalDocument"
+    assert prov["entity"][fid]["prov:label"] == (
+        "Observation 0 from subset 0 of message 1"
+    )
+    assert prov["wasDerivedFrom"]["_:wdf"] == {
+        "prov:generatedEntity": fid,
+        "prov:usedEntity": "0-20000-0-03951",
+        "prov:activity": "_:bufr2geojson",
+    }
+    act = prov["activity"]["_:bufr2geojson"]
+    assert act["prov:label"] == (
+        "Data transformation using version 0.7.dev0 of bufr2geojson"
+    )
+    assert act["prov:endTime"] == "2024-12-19 00:00:00"
+
+
+def test_multi_message_count(decoded):
+    """Cardinality fixture: 2 documents -> exactly 48 features
+    (tests/test_bufr2geojson.py:229-238)."""
+    n = decoded.filter("doc_id like 'multi-%' and error is null").count()
+    assert n == 48
+    for d in ("multi-0", "multi-1"):
+        assert decoded.filter(f"doc_id = '{d}' and error is null").count() == 24
+
+
+def test_time_period_phenomenon_times(decoded):
+    """Displacement elements produce 'start/end' periods; single negative
+    displacement means [v, 0] (reference :598-629)."""
+    rows = decoded.filter(
+        "doc_id like 'multi-%' and observed_property in "
+        "('wind_direction', 'wind_speed') and bufr_element in ('011001','011002')"
+    ).collect()
+    periods = [r.phenomenon_time for r in rows if "/" in r.phenomenon_time]
+    assert periods, "expected period phenomenon times for displaced wind obs"
+    for p in periods:
+        start, end = p.split("/")
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", start)
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", end)
+        assert start < end
+    # the time-period qualifier was cleared after the wind group: subsequent
+    # elements must be instants again (null value deletes, :236-238)
+    later = decoded.filter(
+        "doc_id like 'multi-%' and bufr_element = '012111'"
+    ).collect()
+    assert later and all("/" not in r.phenomenon_time for r in later)
+
+
+def test_statistic_qualified_rename(decoded):
+    """class 08 first_order_statistics renames the property (:1117-1121)."""
+    rows = decoded.filter("bufr_element = '012111'").collect()
+    assert rows
+    for r in rows:
+        assert r.observed_property.endswith("(maximum value)")
+
+
+def test_code_and_flag_table_results(decoded):
+    code_rows = decoded.filter("bufr_element = '020003'").collect()
+    assert code_rows
+    for r in code_rows:
+        assert r.result_value is None
+        assert r.result_code.codetable == (
+            "http://codes.wmo.int/bufr4/codeflag/0-20-003"
+        )
+        assert r.result_code.description != "Invalid"
+        assert r.observation_type.endswith("OM_CategoryObservation")
+    flag_rows = decoded.filter("bufr_element = '020021'").collect()
+    assert flag_rows
+    for r in flag_rows:
+        assert r.result_flags.entry == "{0:0{1}b}".format(671088640, 30)
+        assert list(r.result_flags.description) == ["RAIN", "SNOW"]
+
+
+def test_associated_field_quality_flag(decoded):
+    """Associated field 031021 decode (:941-972)."""
+    rows = decoded.filter(
+        "doc_id like 'multi-%' and bufr_element = '011002' "
+        "and quality_flag.inScheme is not null"
+    ).collect()
+    assert len(rows) == 2  # one associated-field-tagged wind speed per doc
+    for r in rows:
+        assert r.quality_flag.inScheme == (
+            "https://codes.wmo.int/bufr4/codeflag/0-31-021"
+        )
+        assert r.quality_flag.flag == "1-bit indicator of quality"
+        assert r.quality_flag.flagValue == "Good"
+
+
+def test_missing_value_suppressed(decoded):
+    """Null-value data elements emit no feature (:1090)."""
+    assert decoded.filter("bufr_element = '013003' and doc_id like 'multi-%'") \
+        .count() == 0 or all(
+        r.result_value is not None
+        for r in decoded.filter("bufr_element = '013003'").collect()
+    )
+
+
+def test_span_sequence_equality(spark, decoded):
+    """BASELINE.json input_hint invariant: output spans == input spans
+    per document in (kind, text, media_ref, order)."""
+    docs = {d["doc_id"]: d["spans"] for d in
+            [sherkin_island_document()] + multi_message_documents()}
+    out = decoded.filter("error is null").collect()
+    assert out
+    for r in out:
+        expected = sorted(docs[r.doc_id], key=lambda s: s["offset"])
+        got = [
+            {"kind": s.kind, "text": s.text, "media_ref": s.media_ref,
+             "offset": s.offset}
+            for s in r.spans_out
+        ]
+        assert got == expected
+
+
+def test_media_spans_counted_and_passed_through(decoded):
+    rows = decoded.filter("doc_id like 'multi-%'").collect()
+    for r in rows:
+        assert r.n_media_spans == 1
+        kinds = [s.kind for s in r.spans_out]
+        assert "media" in kinds
+        media = [s for s in r.spans_out if s.kind == "media"][0]
+        assert media.media_ref.startswith("synthetic://img/")
+
+
+def test_wsi_format(decoded):
+    """WSI format rule from the reference schema checker
+    (tests/test_bufr2geojson.py:32-45)."""
+    for r in decoded.filter("error is null").collect():
+        words = r.wsi.split("-")
+        if r.wsi == "UNKNOWN":
+            continue
+        assert words[0] == "0"
+        assert int(words[1]) <= 65534
+        assert int(words[2]) <= 65534
+        assert len(words[3]) <= 16 and words[3].isalnum()
+
+
+def test_determinism(spark):
+    """Decode twice -> identical rows (hash-derived, no wall clock)."""
+    docs = golden_documents(spark)
+    a = decode_documents(docs).orderBy("feature_id").collect()
+    b = decode_documents(docs).orderBy("feature_id").collect()
+    assert a == b
