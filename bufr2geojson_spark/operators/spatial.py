@@ -1,0 +1,373 @@
+"""Spatial join operators (N3/N4): broadcast point-in-polygon + kNN stations.
+
+Both dimensions (region polygons, station list) are small relative to the
+feature stream — the reference's analogues (code/flag tables) are broadcast
+caches (``bufr2geojson/__init__.py:782-841``), and the north_star mandates
+"ray-casting PIP tests against broadcast polygon R-trees" and "kNN station
+matching via cell-ring expansion". Architecture:
+
+* the dimension is captured once on the driver and shipped in the UDF closure
+  (Spark serializes it per executor — the broadcast-join pattern without a
+  shuffle on the big side; the feature stream stays a NARROW pipeline);
+* per Arrow batch everything is vectorized numpy: bbox interval prefilter
+  (a flat "R-tree-lite": sorted bbox arrays checked in one vector op — the
+  polygon count is small enough that a deeper tree buys nothing), then an
+  exact crossing-number ray cast over points×edges;
+* antimeridian-crossing polygons are stored with unwrapped lon (maxx > 180)
+  and candidate points are re-wrapped into the polygon's frame;
+* kNN: stations are bucketed into a lat/lon grid; per unique feature cell the
+  search expands rings 0,1,2,… until ≥k candidates are found AND the ring
+  boundary is provably farther than the current k-th best haversine distance
+  (strict termination, not the +1-ring heuristic), then exact top-k.
+
+At 100 TB the feature side never shuffles for either join; only the tile
+aggregation downstream does.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EARTH_RADIUS_KM = 6371.0
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (N3)
+# ---------------------------------------------------------------------------
+
+
+def _collect_polygons(polygons: DataFrame) -> list[dict]:
+    rows = polygons.select("region_id", "region_name", "ring", "bbox").collect()
+    out = []
+    for r in rows:
+        xs = np.array([p.lon for p in r.ring], dtype=np.float64)
+        ys = np.array([p.lat for p in r.ring], dtype=np.float64)
+        out.append(
+            {
+                "region_id": r.region_id,
+                "region_name": r.region_name,
+                "x": xs,
+                "y": ys,
+                "minx": r.bbox.minx,
+                "miny": r.bbox.miny,
+                "maxx": r.bbox.maxx,
+                "maxy": r.bbox.maxy,
+                "area": (r.bbox.maxx - r.bbox.minx) * (r.bbox.maxy - r.bbox.miny),
+            }
+        )
+    # smallest bbox first → first match is the most specific region
+    out.sort(key=lambda p: (p["area"], p["region_id"]))
+    return out
+
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, rx: np.ndarray,
+                   ry: np.ndarray) -> np.ndarray:
+    """Vectorized crossing-number test: points (px,py) vs closed ring
+    (rx,ry). Half-open edge rule keeps boundary handling consistent."""
+    x1, y1 = rx[:-1], ry[:-1]
+    x2, y2 = rx[1:], ry[1:]
+    # broadcasting: points on axis 0, edges on axis 1
+    py_ = py[:, None]
+    px_ = px[:, None]
+    cond = (y1 > py_) != (y2 > py_)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (py_ - y1) / (y2 - y1) + x1
+    crossing = cond & (px_ < xint)
+    return (crossing.sum(axis=1) % 2).astype(bool)
+
+
+def _pip_matches(lat: np.ndarray, lon: np.ndarray, polys: list[dict],
+                 first_only: bool) -> tuple[np.ndarray, list, list]:
+    """Returns (point_idx, region_id, region_name) match arrays."""
+    n = len(lat)
+    idx_out: list[np.ndarray] = []
+    rid_out: list[str] = []
+    rname_out: list[str] = []
+    taken = np.zeros(n, dtype=bool) if first_only else None
+    for p in polys:
+        plon = lon
+        if p["maxx"] > 180.0:  # antimeridian frame: unwrap candidate lons
+            plon = np.where(lon < 0, lon + 360.0, lon)
+        cand = (
+            (plon >= p["minx"]) & (plon <= p["maxx"])
+            & (lat >= p["miny"]) & (lat <= p["maxy"])
+        )
+        if first_only:
+            cand &= ~taken
+        ci = np.nonzero(cand)[0]
+        if ci.size == 0:
+            continue
+        inside = points_in_ring(plon[ci], lat[ci], p["x"], p["y"])
+        hit = ci[inside]
+        if hit.size == 0:
+            continue
+        if first_only:
+            taken[hit] = True
+        idx_out.append(hit)
+        rid_out.extend([p["region_id"]] * hit.size)
+        rname_out.extend([p["region_name"]] * hit.size)
+    if idx_out:
+        return np.concatenate(idx_out), rid_out, rname_out
+    return np.array([], dtype=np.int64), [], []
+
+
+def pip_join(
+    features: DataFrame,
+    polygons: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    how: str = "inner",
+    first_only: bool = False,
+) -> DataFrame:
+    """Broadcast PIP join: one output row per (feature, containing polygon).
+
+    ``how='left'`` keeps non-matching features with null region columns;
+    ``first_only=True`` assigns each feature at most one region (the
+    smallest-bbox match — deterministic specific-region precedence).
+    Narrow operator: no shuffle on the feature side.
+    """
+    polys = _collect_polygons(polygons)
+    schema = StructType(
+        list(features.schema.fields)
+        + [StructField("region_id", StringType()),
+           StructField("region_name", StringType())]
+    )
+    keep_unmatched = how == "left"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            valid = ~(np.isnan(lat) | np.isnan(lon))
+            lat_v = np.where(valid, lat, 1000.0)  # sentinel far outside
+            idx, rid, rname = _pip_matches(lat_v, lon, polys, first_only)
+            matched = pdf.iloc[idx].copy()
+            matched["region_id"] = rid
+            matched["region_name"] = rname
+            if keep_unmatched:
+                miss_mask = np.ones(len(pdf), dtype=bool)
+                miss_mask[idx] = False
+                missed = pdf.iloc[np.nonzero(miss_mask)[0]].copy()
+                missed["region_id"] = None
+                missed["region_name"] = None
+                matched = pd.concat([matched, missed], ignore_index=True)
+            yield matched
+
+    return features.mapInPandas(run, schema=schema)
+
+
+def assign_region(features: DataFrame, polygons: DataFrame, **kw) -> DataFrame:
+    """Single most-specific region per feature (left semantics)."""
+    return pip_join(features, polygons, how="left", first_only=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# kNN station matching (N4)
+# ---------------------------------------------------------------------------
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    p1 = np.radians(lat1)
+    p2 = np.radians(lat2)
+    dphi = p2 - p1
+    dlmb = np.radians(lon2 - lon1)
+    a = np.sin(dphi / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+class _StationGrid:
+    """Broadcast-side station index: lat/lon grid buckets for ring expansion."""
+
+    def __init__(self, ids, lats, lons, grid_deg: float):
+        self.ids = np.asarray(ids, dtype=object)
+        self.lats = np.asarray(lats, dtype=np.float64)
+        self.lons = np.asarray(lons, dtype=np.float64)
+        self.g = float(grid_deg)
+        self.nlon = int(round(360.0 / self.g))
+        self.buckets: dict[tuple[int, int], np.ndarray] = {}
+        bi = np.floor((self.lats + 90.0) / self.g).astype(np.int64)
+        bj = np.floor((self.lons + 180.0) / self.g).astype(np.int64) % self.nlon
+        order = np.lexsort((bj, bi))
+        keys = np.stack([bi[order], bj[order]], axis=1)
+        # group contiguous runs
+        change = np.nonzero(np.any(np.diff(keys, axis=0) != 0, axis=1))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(order)]])
+        for s, e in zip(starts, ends):
+            self.buckets[(int(keys[s, 0]), int(keys[s, 1]))] = order[s:e]
+
+    def ring_candidates(self, ci: int, cj: int, ring: int) -> np.ndarray:
+        """Station indices whose bucket is at Chebyshev distance == ring."""
+        out = []
+        if ring == 0:
+            b = self.buckets.get((ci, cj))
+            return b if b is not None else np.array([], dtype=np.int64)
+        for di in range(-ring, ring + 1):
+            for dj in range(-ring, ring + 1):
+                if max(abs(di), abs(dj)) != ring:
+                    continue
+                b = self.buckets.get((ci + di, (cj + dj) % self.nlon))
+                if b is not None:
+                    out.append(b)
+        if out:
+            return np.concatenate(out)
+        return np.array([], dtype=np.int64)
+
+
+KNN_FIELDS = [
+    StructField("nearest_station_id", StringType()),
+    StructField("nearest_station_km", DoubleType()),
+    StructField("knn_ring", IntegerType()),
+    StructField(
+        "knn",
+        ArrayType(
+            StructType(
+                [
+                    StructField("station_id", StringType()),
+                    StructField("dist_km", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            )
+        ),
+    ),
+]
+
+
+def knn_join(
+    features: DataFrame,
+    stations: DataFrame,
+    k: int = 1,
+    grid_deg: float = 2.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_ring: int | None = None,
+) -> DataFrame:
+    """kNN station match via cell-ring expansion (north_star N4).
+
+    Termination is exact: rings expand until ≥k candidates are held AND the
+    nearest possible point of the next unexplored ring (great-circle lower
+    bound) exceeds the current k-th best distance. ``knn_ring`` reports the
+    last ring searched — the skew diagnostic the lineage records pick up.
+    Narrow operator: the station grid rides in the closure; no shuffle.
+    """
+    st = stations.select("station_id", "lat", "lon").collect()
+    grid = _StationGrid(
+        [r.station_id for r in st],
+        [r.lat for r in st],
+        [r.lon for r in st],
+        grid_deg,
+    )
+    if max_ring is None:
+        max_ring = int(180.0 / grid_deg) + 1
+    schema = StructType(list(features.schema.fields) + KNN_FIELDS)
+    kk = int(k)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            nid = np.full(n, None, dtype=object)
+            nkm = np.full(n, np.nan)
+            nring = np.full(n, -1, dtype=np.int64)
+            topk = np.full(n, None, dtype=object)
+            ci = np.floor((lat + 90.0) / grid.g).astype(np.int64)
+            cj = np.floor((lon + 180.0) / grid.g).astype(np.int64) % grid.nlon
+            valid = ~(np.isnan(lat) | np.isnan(lon))
+            # group features by their grid cell: one ring expansion per cell
+            cellkey = ci * 1000000 + cj
+            cellkey[~valid] = -1
+            order = np.argsort(cellkey, kind="stable")
+            sorted_keys = cellkey[order]
+            bounds = np.nonzero(np.diff(sorted_keys))[0] + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [n]])
+            for s, e in zip(starts, ends):
+                gidx = order[s:e]
+                if cellkey[gidx[0]] < 0:
+                    continue
+                fci, fcj = int(ci[gidx[0]]), int(cj[gidx[0]])
+                cand = []
+                ring = 0
+                glat = lat[gidx]
+                glon = lon[gidx]
+                # worst-case |lat| of this cell's band, for the cos-shrink of
+                # longitude separation in the termination bound
+                band_lo = fci * grid.g - 90.0
+                band_hi = band_lo + grid.g
+                phi_max = min(89.9, max(abs(band_lo), abs(band_hi)))
+                cos_phi = np.cos(np.radians(phi_max))
+                while ring <= max_ring:
+                    c = grid.ring_candidates(fci, fcj, ring)
+                    if c.size:
+                        cand.append(c)
+                    total = sum(x.size for x in cand)
+                    if total >= kk:
+                        all_c = np.concatenate(cand)
+                        d = haversine_km(
+                            glat[:, None], glon[:, None],
+                            grid.lats[all_c][None, :], grid.lons[all_c][None, :],
+                        )
+                        kth = np.sort(d, axis=1)[:, kk - 1]
+                        best_kth = float(kth.max())
+                        # lower bound on distance to anything beyond ring:
+                        # lat-only separation ≥ ring·g degrees; lon-only
+                        # separation ≥ ring·g degrees shrunk by cos(lat)
+                        # (exact great-circle bound via haversine of a pure
+                        # lon offset at the band's worst latitude)
+                        sep = np.radians(min(ring * grid.g, 180.0))
+                        lat_bound = sep * EARTH_RADIUS_KM
+                        lon_bound = 2.0 * EARTH_RADIUS_KM * np.arcsin(
+                            np.clip(cos_phi * np.sin(sep / 2.0), 0.0, 1.0)
+                        )
+                        if (2 * ring + 1) >= grid.nlon:
+                            bound_km = lat_bound  # lon fully wrapped
+                        else:
+                            bound_km = min(lat_bound, lon_bound)
+                        if bound_km > best_kth:
+                            break
+                    ring += 1
+                if not cand:
+                    continue
+                all_c = np.concatenate(cand)
+                d = haversine_km(
+                    glat[:, None], glon[:, None],
+                    grid.lats[all_c][None, :], grid.lons[all_c][None, :],
+                )
+                kuse = min(kk, all_c.size)
+                part = np.argsort(d, axis=1)[:, :kuse]
+                for row_i, fi in enumerate(gidx):
+                    sel = part[row_i]
+                    dists = d[row_i, sel]
+                    sids = grid.ids[all_c[sel]]
+                    nid[fi] = sids[0]
+                    nkm[fi] = round(float(dists[0]), 6)
+                    nring[fi] = min(ring, max_ring)
+                    topk[fi] = [
+                        {"station_id": str(sids[j]),
+                         "dist_km": round(float(dists[j]), 6),
+                         "rank": j + 1}
+                        for j in range(kuse)
+                    ]
+            out = pdf.copy()
+            out["nearest_station_id"] = nid
+            out["nearest_station_km"] = nkm
+            out["knn_ring"] = nring.astype(np.int32)
+            out["knn"] = topk
+            yield out
+
+    return features.mapInPandas(run, schema=schema)

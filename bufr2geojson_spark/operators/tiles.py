@@ -1,0 +1,236 @@
+"""Tile aggregation operators (N5-N8): salted two-phase aggs, rollups,
+raster↔vector, range partitioning.
+
+The reference has no aggregation at all — these are the engine-side operators
+the north rule mandates ("raster-to-vector tile aggregation", "salted-key
+shuffle for skewed dense-observation cells", "explicit range partitioning by
+cell prefix"). Everything here is built-in Spark (Column expressions +
+groupBy), deliberately: Catalyst already does partial/final aggregation
+(HashAggregateExec) and AQE skew-split; the *explicit* salting exists for the
+pathological synop/temp station-cluster cells where a single cell key would
+otherwise pin one reducer at 100 TB, and is applied ONLY to detected hot
+cells so the common path pays no extra shuffle width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.functions.cells import MAX_LEVEL, s2_parent_col
+
+
+# ---------------------------------------------------------------------------
+# N7 + N5: hot-cell detection and salted two-phase aggregation
+# ---------------------------------------------------------------------------
+
+
+def hot_cells(
+    features: DataFrame, cell_col: str = "cell_s2", threshold: int = 10_000
+) -> DataFrame:
+    """Cells whose observation count exceeds ``threshold``. The count itself
+    is skew-safe: partial (map-side) aggregation collapses each hot key to
+    one row per input partition before the shuffle."""
+    return (
+        features.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+        .filter(F.col("cell_count") > threshold)
+        .select(cell_col, "cell_count")
+    )
+
+
+_AGGS = [
+    ("n_obs", lambda c: F.count(c)),
+    ("sum_val", lambda c: F.sum(c)),
+    ("min_val", lambda c: F.min(c)),
+    ("max_val", lambda c: F.max(c)),
+]
+
+
+def tile_aggregate(
+    features: DataFrame,
+    cell_col: str = "cell_s2",
+    value_col: str = "result_value",
+    salt_buckets: int = 16,
+    hot_threshold: int | None = None,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cell tile stats with explicit two-phase salting for hot cells.
+
+    phase 0 (optional): detect hot cells (count > hot_threshold);
+    phase 1: groupBy(cell, salt) partial stats — hot keys fan out over
+             ``salt_buckets`` reducers, cold keys keep salt=0;
+    phase 2: groupBy(cell) combines the partials (sums/min/max compose;
+             avg = total sum / total count, never avg-of-avgs).
+
+    With neither ``hot_threshold`` nor ``hot`` given, salting is skipped
+    entirely (plain partial+final agg — the Catalyst default path).
+    """
+    if hot is None and hot_threshold is not None:
+        hot = hot_cells(features, cell_col, hot_threshold)
+
+    v = F.col(value_col)
+    if hot is None:
+        out = features.groupBy(cell_col).agg(
+            *[fn(v).alias(name) for name, fn in _AGGS]
+        )
+    else:
+        flagged = features.join(
+            F.broadcast(hot.select(cell_col).withColumn("_is_hot", F.lit(True))),
+            on=cell_col,
+            how="left",
+        )
+        salted = flagged.withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hot").isNotNull(),
+                F.pmod(F.xxhash64(F.col("feature_id")), F.lit(salt_buckets)),
+            ).otherwise(F.lit(0)),
+        )
+        partial = salted.groupBy(cell_col, "_salt").agg(
+            F.count(v).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.min(v).alias("_mn"),
+            F.max(v).alias("_mx"),
+        )
+        out = partial.groupBy(cell_col).agg(
+            F.sum("_n").alias("n_obs"),
+            F.sum("_s").alias("sum_val"),
+            F.min("_mn").alias("min_val"),
+            F.max("_mx").alias("max_val"),
+        )
+    return out.withColumn(
+        "avg_val", F.when(F.col("n_obs") > 0, F.col("sum_val") / F.col("n_obs"))
+    )
+
+
+def tile_rollup(
+    tiles: DataFrame, from_level: int, to_levels: list[int],
+    cell_col: str = "cell_s2",
+) -> DataFrame:
+    """Multi-resolution rollup (N5): re-aggregate finished tiles up the S2
+    hierarchy with pure JVM bit math (s2_parent_col — no UDF, stays in
+    whole-stage codegen). Aggregating tiles (not raw features) makes each
+    coarser level a shuffle over the *tile* cardinality, which shrinks 4×
+    per level. Output: one row per (level, cell)."""
+    out = tiles.select(
+        F.lit(from_level).alias("level"),
+        F.col(cell_col).alias("cell"),
+        "n_obs", "sum_val", "min_val", "max_val", "avg_val",
+    )
+    prev = out
+    for lvl in sorted(to_levels, reverse=True):
+        if lvl >= from_level:
+            raise ValueError("rollup levels must be coarser than from_level")
+        nxt = (
+            prev.groupBy(s2_parent_col(F.col("cell"), lvl).alias("cell"))
+            .agg(
+                F.sum("n_obs").alias("n_obs"),
+                F.sum("sum_val").alias("sum_val"),
+                F.min("min_val").alias("min_val"),
+                F.max("max_val").alias("max_val"),
+            )
+            .withColumn("avg_val", F.col("sum_val") / F.col("n_obs"))
+            .select(F.lit(lvl).alias("level"), "cell", "n_obs", "sum_val",
+                    "min_val", "max_val", "avg_val")
+        )
+        out = out.unionByName(nxt)
+        prev = nxt
+    return out
+
+
+# ---------------------------------------------------------------------------
+# N6: vector -> raster and raster -> vector
+# ---------------------------------------------------------------------------
+
+
+def rasterize(
+    features: DataFrame,
+    tile_level: int,
+    pixel_level: int,
+    cell_col: str = "cell_s2",
+    value_col: str = "result_value",
+) -> DataFrame:
+    """Vector→raster: dense per-tile value grids over the Hilbert hierarchy.
+
+    A tile at ``tile_level`` contains 4^(pixel_level - tile_level) pixels
+    (its descendant cells at ``pixel_level`` in Hilbert order). Pixel index
+    is pure bit math on the cell id; the dense grid is assembled with
+    built-in aggregation + ``F.transform`` over a sparse map — no Python UDF.
+
+    Output: tile:long, npix:int, grid:array<double> (null = empty pixel,
+    mean of ``value_col`` otherwise), nnz:long.
+    """
+    dl = pixel_level - tile_level
+    if dl <= 0 or dl > 12:
+        raise ValueError("need 0 < pixel_level - tile_level <= 12")
+    npix = 4 ** dl
+    shift = 2 * (MAX_LEVEL - pixel_level) + 1
+    tile = s2_parent_col(F.col(cell_col), tile_level).alias("tile")
+    # Hilbert sub-position of the pixel-level ancestor within the tile
+    px = (
+        F.shiftright(F.col(cell_col), shift).bitwiseAND(F.lit(npix - 1))
+    ).alias("px")
+    per_pixel = (
+        features.select(tile, px, F.col(value_col).alias("v"))
+        .groupBy("tile", "px")
+        .agg(F.avg("v").alias("pv"), F.count("v").alias("pn"))
+    )
+    sparse = per_pixel.groupBy("tile").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("px"), F.col("pv")))
+        ).alias("m"),
+        F.count("px").alias("nnz"),
+    )
+    dense = sparse.select(
+        "tile",
+        F.lit(npix).alias("npix"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(npix - 1)),
+            lambda i: F.try_element_at(F.col("m"), i.cast("long")),
+        ).alias("grid"),
+        "nnz",
+    )
+    return dense
+
+
+def raster_to_vector(raster: DataFrame, tile_level: int, pixel_level: int) -> DataFrame:
+    """Raster→vector: explode dense grids back to per-cell rows (inverse of
+    ``rasterize`` up to empty pixels). Pure built-ins: posexplode + bit math."""
+    dl = pixel_level - tile_level
+    shift = 2 * (MAX_LEVEL - pixel_level) + 1
+    child_lsb = 1 << (2 * (MAX_LEVEL - pixel_level))
+    tile_lsb = 1 << (2 * (MAX_LEVEL - tile_level))
+    exploded = raster.select(
+        "tile", F.posexplode("grid").alias("px", "value")
+    ).filter(F.col("value").isNotNull())
+    # reconstruct the pixel cell id: clear the tile sentinel, insert the
+    # pixel's hilbert sub-position, set the pixel-level sentinel
+    # px comes from posexplode as INT; Java shift counts wrap mod 32 on ints,
+    # so the cast to long is load-bearing for shift >= 32
+    cell = (
+        (F.col("tile") - F.lit(tile_lsb))
+        + F.shiftleft(F.col("px").cast("long"), shift)
+        + F.lit(child_lsb)
+    ).alias("cell")
+    return exploded.select("tile", cell, "px", "value")
+
+
+# ---------------------------------------------------------------------------
+# N8: explicit range partitioning by cell prefix
+# ---------------------------------------------------------------------------
+
+
+def range_partition_by_cell(
+    df: DataFrame,
+    num_partitions: int,
+    cell_col: str = "cell_s2",
+    prefix_col: str = "cell_prefix",
+) -> DataFrame:
+    """north_rule: explicit range partitioning by cell prefix. Keys on
+    (prefix, cell) so output files are spatially clustered — Hilbert order
+    makes byte-adjacent rows geo-adjacent, which is what lets tile queries
+    prune partitions."""
+    return df.repartitionByRange(
+        num_partitions, F.col(prefix_col), F.col(cell_col)
+    ).sortWithinPartitions(prefix_col, cell_col)

@@ -1,0 +1,159 @@
+"""The full spatial-join + tiling pipeline with checkpoint-resume (§3.4).
+
+Stage graph (each stage materializes with per-partition lineage → resumable):
+
+    D  decode          mapInPandas fold (R5-R24), error quarantine split
+    T  tile-encode     H3/S2 cell UDFs + cell_prefix (narrow)
+    J  spatial joins   broadcast PIP (N3) + kNN ring expansion (N4) (narrow)
+    A  tile agg        salted two-phase agg (N5/N7) + multi-level rollup
+    W  final write     repartitionByRange(cell_prefix, cell) (N8)
+
+Launched via ``spark-submit --py-files`` (see jobs/pipeline.py) per the
+north rule. A resumed run (same work_dir + run_id) skips every stage whose
+output + lineage already exist — the checkpoint-resume contract (N10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bufr2geojson_spark.functions.cells import with_cells
+from bufr2geojson_spark.operators.decode import decode_documents
+from bufr2geojson_spark.operators.spatial import assign_region, knn_join
+from bufr2geojson_spark.operators.tiles import (
+    range_partition_by_cell,
+    tile_aggregate,
+    tile_rollup,
+)
+from bufr2geojson_spark.plans import lineage as L
+
+
+@dataclass
+class PipelineConfig:
+    s2_level: int = 14
+    hex_res: int = 7
+    prefix_bits: int = 12
+    knn_k: int = 1
+    knn_grid_deg: float = 2.0
+    salt_buckets: int = 16
+    hot_threshold: int | None = 200
+    rollup_levels: tuple = (10, 6)
+    output_partitions: int = 32
+    result_time: str = "2024-12-19 00:00:00"
+    guess_wsi: bool = True
+    stages: tuple = ("D", "T", "J", "A", "W")
+    knn_enabled: bool = True
+    pip_enabled: bool = True
+
+
+@dataclass
+class PipelineResult:
+    features: DataFrame | None = None
+    tiles: DataFrame | None = None
+    quarantine: DataFrame | None = None
+    lineage: DataFrame | None = None
+    skipped: list = field(default_factory=list)
+    executed: list = field(default_factory=list)
+    snapshot_id: int = 0
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    stations: DataFrame,
+    polygons: DataFrame,
+    work_dir: str,
+    run_id: str,
+    snapshot_id: int = 0,
+    resume: bool = True,
+    conf: PipelineConfig | None = None,
+) -> PipelineResult:
+    conf = conf or PipelineConfig()
+    res = PipelineResult(snapshot_id=snapshot_id)
+
+    def do(stage: str, compute, **wkw) -> DataFrame:
+        if resume and L.stage_complete(spark, work_dir, run_id, stage):
+            res.skipped.append(stage)
+            return L.read_stage(spark, work_dir, run_id, stage)
+        out = L.write_stage(
+            compute(), spark, work_dir, run_id, stage, snapshot_id, **wkw
+        )
+        res.executed.append(stage)
+        return out
+
+    upto = conf.stages
+
+    # D — decode + quarantine split
+    if "D" in upto:
+        def _decode():
+            return decode_documents(
+                docs, guess_wsi=conf.guess_wsi, result_time=conf.result_time
+            )
+        d_all = do("D", _decode)
+        features = d_all.filter("error is null")
+        res.quarantine = d_all.filter("error is not null")
+    else:
+        return res
+
+    # T — cell encoding
+    if "T" in upto:
+        features = do(
+            "T",
+            lambda: with_cells(
+                features,
+                s2_level_=conf.s2_level,
+                hex_res_=conf.hex_res,
+                prefix_bits=conf.prefix_bits,
+            ),
+            cell_col="cell_s2",
+        )
+    else:
+        res.features = features
+        return res
+
+    # J — PIP + kNN
+    if "J" in upto:
+        def _joins():
+            j = features
+            if conf.pip_enabled:
+                j = assign_region(j, polygons)
+            if conf.knn_enabled:
+                j = knn_join(
+                    j, stations, k=conf.knn_k, grid_deg=conf.knn_grid_deg
+                )
+            return j
+        features = do("J", _joins, cell_col="cell_s2")
+
+    # A — salted tile aggregation + rollup
+    if "A" in upto:
+        def _tiles():
+            base = tile_aggregate(
+                features,
+                cell_col="cell_s2",
+                value_col="result_value",
+                salt_buckets=conf.salt_buckets,
+                hot_threshold=conf.hot_threshold,
+            )
+            return tile_rollup(
+                base, conf.s2_level, list(conf.rollup_levels), cell_col="cell_s2"
+            )
+        res.tiles = do("A", _tiles, cell_col="cell")
+
+    # W — range-partitioned final feature table
+    if "W" in upto:
+        features = do(
+            "W",
+            lambda: range_partition_by_cell(
+                features, conf.output_partitions, "cell_s2", "cell_prefix"
+            ),
+            cell_col="cell_s2",
+        )
+
+    res.features = features
+    try:
+        res.lineage = L.read_lineage(spark, work_dir, run_id)
+    except Exception:
+        res.lineage = None
+    return res

@@ -1,0 +1,58 @@
+"""Snapshot-aware table IO — the Iceberg boundary of the engine.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg runtime
+jar (offline), so parquet directories stand in behind the same API: a *read*
+returns (DataFrame, snapshot_id) where the snapshot id is a deterministic
+fingerprint of the file manifest (name + length of every data file — the
+moral equivalent of an Iceberg snapshot's manifest list). A real catalog
+drops in by replacing these two functions; everything downstream only sees
+(df, snapshot_id). Lineage rows record the snapshot id per stage
+(BASELINE.json north_star: "input snapshot id").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def snapshot_id_for(spark: SparkSession, path: str) -> int:
+    """Deterministic manifest fingerprint → positive int63."""
+    h = hashlib.sha256()
+    for name, length in list_data_files(spark, path):
+        h.update(f"{name}:{length}\n".encode())
+    return int.from_bytes(h.digest()[:8], "big") >> 1
+
+
+def read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Read a table and pin the snapshot id the read observed."""
+    snap = snapshot_id_for(spark, path)
+    return spark.read.parquet(path), snap

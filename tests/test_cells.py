@@ -1,0 +1,112 @@
+"""Cell-index unit tests (N1/N2): round-trips, hierarchy containment,
+locality, and the Spark UDF surface."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.functions import cells as C
+
+
+def _grid(n=500, seed=3):
+    rng = np.random.RandomState(seed)  # test-only randomness, seeded
+    lat = rng.uniform(-89.5, 89.5, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    return lat, lon
+
+
+def test_s2_roundtrip_center():
+    lat, lon = _grid()
+    for level in (5, 10, 14, 20, C.MAX_LEVEL):
+        cell = C.s2_encode(lat, lon, level)
+        assert (C.s2_level(cell) == level).all()
+        clat, clon = C.s2_center(cell)
+        again = C.s2_encode(clat, clon, level)
+        assert (again == cell).all()
+
+
+def test_s2_hierarchy_containment():
+    lat, lon = _grid()
+    child = C.s2_encode(lat, lon, 16)
+    for pl in (4, 8, 12, 15):
+        parent = C.s2_parent(child, pl)
+        assert (C.s2_level(parent) == pl).all()
+        # parent of the point directly equals parent-of-child
+        direct = C.s2_encode(lat, lon, pl)
+        assert (direct == parent).all()
+        # child id within parent's [lo, hi] range
+        lsb = np.int64(1) << np.int64(2 * (C.MAX_LEVEL - pl))
+        lo = parent - (lsb - 1)
+        hi = parent + (lsb - 1)
+        assert ((child >= lo) & (child <= hi)).all()
+
+
+def test_s2_ids_positive_and_face_bits():
+    lat, lon = _grid()
+    cell = C.s2_encode(lat, lon, 14)
+    assert (cell > 0).all()
+    faces = cell >> 57
+    assert set(np.unique(faces)) <= {0, 1, 2, 3, 4, 5}
+    # all six faces reachable
+    biglat, biglon = _grid(5000, seed=11)
+    faces = np.unique(C.s2_encode(biglat, biglon, 5) >> 57)
+    assert len(faces) == 6
+
+
+def test_s2_locality():
+    """Nearby points share coarse ancestors (Hilbert locality)."""
+    lat = np.array([51.47, 51.4701])
+    lon = np.array([-9.42, -9.4201])
+    a, b = C.s2_encode(lat, lon, 12)
+    assert a == b
+
+
+def test_hex_roundtrip_and_parent():
+    lat, lon = _grid()
+    for res in (3, 7, 11):
+        cell = C.hex_encode(lat, lon, res)
+        assert (C.hex_res(cell) == res).all()
+        clat, clon = C.hex_center(cell)
+        assert (C.hex_encode(clat, clon, res) == cell).all()
+        parent = C.hex_parent(cell, res - 2)
+        # child center lies inside parent (H3 parent semantics)
+        assert (C.hex_encode(clat, clon, res - 2) == parent).all()
+
+
+def test_hex_and_s2_distinct_id_spaces():
+    lat, lon = _grid(100)
+    hx = C.hex_encode(lat, lon, 7)
+    s2 = C.s2_encode(lat, lon, 14)
+    assert (hx >> 62 == 1).all()
+    assert (s2 >> 62 == 0).all()
+
+
+def test_with_cells_spark(spark):
+    import pandas as pd
+
+    lat, lon = _grid(200)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    out = df.transform(C.with_cells).toPandas()
+    exp_s2 = C.s2_encode(lat, lon, 14)
+    exp_hx = C.hex_encode(lat, lon, 7)
+    got = out.sort_values(["lat", "lon"]).reset_index(drop=True)
+    ref = (
+        pd.DataFrame({"lat": lat, "lon": lon, "s2": exp_s2, "hx": exp_hx})
+        .sort_values(["lat", "lon"])
+        .reset_index(drop=True)
+    )
+    assert (got["cell_s2"].to_numpy() == ref["s2"].to_numpy()).all()
+    assert (got["cell_h3"].to_numpy() == ref["hx"].to_numpy()).all()
+    assert (got["cell_prefix"].to_numpy() == (ref["s2"].to_numpy() >> 48)).all()
+
+
+def test_s2_parent_col_matches_numpy(spark):
+    import pandas as pd
+
+    lat, lon = _grid(200)
+    cell = C.s2_encode(lat, lon, 14)
+    df = spark.createDataFrame(pd.DataFrame({"cell": cell}))
+    out = df.select(
+        C.s2_parent_col(F.col("cell"), 8).alias("p")
+    ).toPandas()["p"].to_numpy()
+    # JVM bit math == numpy bit math (order-insensitive compare)
+    assert sorted(out) == sorted(C.s2_parent(cell, 8))

@@ -1,0 +1,137 @@
+"""End-to-end pipeline, lineage, and checkpoint-resume tests (N9/N10,
+FIXTURES.md §7)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.plans.pipeline import PipelineConfig, run_pipeline
+from bufr2geojson_spark.plans import lineage as L
+from bufr2geojson_spark.sources.io import read_snapshot, snapshot_id_for
+from bufr2geojson_spark.sources.synth import (
+    synth_documents,
+    synth_region_polygons,
+    synth_stations,
+)
+
+N_DOCS = 400
+N_ST = 60
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    return synth_stations(spark, N_ST), synth_region_polygons(spark)
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="b2g_pipe_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _conf():
+    return PipelineConfig(hot_threshold=50, output_partitions=8,
+                          rollup_levels=(10, 6))
+
+
+def test_full_pipeline(spark, dims, workdir):
+    stations, polygons = dims
+    docs = synth_documents(spark, N_DOCS, n_stations=N_ST, partitions=4)
+    res = run_pipeline(
+        spark, docs, stations, polygons, workdir, "full", snapshot_id=123,
+        resume=False, conf=_conf(),
+    )
+    assert res.executed == ["D", "T", "J", "A", "W"]
+    nf = res.features.count()
+    assert nf > N_DOCS
+    # every feature got cells, a region or null, and a nearest station
+    row = res.features.filter("cell_s2 is not null").count()
+    assert row == nf
+    assert res.features.filter("nearest_station_id is null").count() == 0
+    assert res.tiles.count() > 0
+    assert {r.level for r in res.tiles.select("level").distinct().collect()} \
+        == {14, 10, 6}
+    # quarantine empty for clean synth
+    assert res.quarantine.count() == 0
+
+
+def test_lineage_records(spark, dims, workdir):
+    lin = L.read_lineage(spark, workdir, "full")
+    rows = lin.collect()
+    stages = {r.stage for r in rows}
+    assert stages == {"D", "T", "J", "A", "W"}
+    for r in rows:
+        assert r.run_id == "full"
+        assert r.snapshot_id == 123
+        assert r.row_count > 0
+        assert len(r.checksum) == 16
+    # lineage row counts sum to stage row counts
+    d_total = sum(r.row_count for r in rows if r.stage == "W")
+    assert d_total == L.read_stage(spark, workdir, "full", "W").count()
+    # W stage carries cell ranges
+    w = [r for r in rows if r.stage == "W"]
+    assert all(r.cell_lo is not None and r.cell_hi <= 2**60 for r in w)
+
+
+def test_resume_skips_completed_stages(spark, dims, workdir):
+    stations, polygons = dims
+    docs = synth_documents(spark, N_DOCS, n_stations=N_ST, partitions=4)
+    conf = _conf()
+
+    # 1) run only D and T, then "die" (kill after tiling stage)
+    partial_conf = PipelineConfig(**{**conf.__dict__, "stages": ("D", "T")})
+    res1 = run_pipeline(
+        spark, docs, stations, polygons, workdir, "resume1",
+        snapshot_id=7, resume=True, conf=partial_conf,
+    )
+    assert res1.executed == ["D", "T"]
+    t_lineage = {
+        (r.partition_id, r.checksum)
+        for r in L.read_lineage(spark, workdir, "resume1")
+        .filter("stage = 'T'").collect()
+    }
+
+    # 2) resume the full run: D and T must be skipped, not recomputed
+    res2 = run_pipeline(
+        spark, docs, stations, polygons, workdir, "resume1",
+        snapshot_id=7, resume=True, conf=conf,
+    )
+    assert res2.skipped == ["D", "T"]
+    assert res2.executed == ["J", "A", "W"]
+    t_lineage_after = {
+        (r.partition_id, r.checksum)
+        for r in L.read_lineage(spark, workdir, "resume1")
+        .filter("stage = 'T'").collect()
+    }
+    assert t_lineage_after == t_lineage  # byte-identical checkpoint
+
+    # 3) resumed final output == uninterrupted run's output (checksums)
+    res_full = run_pipeline(
+        spark, docs, stations, polygons, workdir, "uninterrupted",
+        snapshot_id=7, resume=False, conf=conf,
+    )
+
+    def content_hash(df):
+        cols = [f.name for f in df.schema.fields if f.dataType.typeName() != "map"]
+        return df.select(
+            F.bit_xor(F.xxhash64(F.struct(*sorted(cols)))).alias("h")
+        ).collect()[0].h
+
+    assert content_hash(res2.features) == content_hash(res_full.features)
+    assert content_hash(res2.tiles) == content_hash(res_full.tiles)
+
+
+def test_snapshot_id_tracks_manifest(spark, workdir, dims):
+    stations, _ = dims
+    p = f"{workdir}/snap_docs"
+    synth_documents(spark, 50).write.mode("overwrite").parquet(p)
+    s1 = snapshot_id_for(spark, p)
+    df, s2 = read_snapshot(spark, p)
+    assert s1 == s2 and s1 > 0
+    assert df.count() == 50
+    # appending files changes the snapshot id
+    synth_documents(spark, 10).write.mode("append").parquet(p)
+    assert snapshot_id_for(spark, p) != s1

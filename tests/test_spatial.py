@@ -1,0 +1,140 @@
+"""PIP + kNN correctness vs brute-force oracles (FIXTURES.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.operators.spatial import (
+    assign_region,
+    haversine_km,
+    knn_join,
+    pip_join,
+)
+from bufr2geojson_spark.sources.synth import synth_region_polygons, synth_stations
+
+
+def _scalar_pip(px, py, ring):
+    """Independent scalar crossing-number oracle."""
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > py) != (y2 > py):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    return synth_region_polygons(spark)
+
+
+def test_pip_matches_bruteforce(spark, polys):
+    rng = np.random.RandomState(5)
+    lat = rng.uniform(-75, 85, 400)
+    lon = rng.uniform(-180, 180, 400)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(400), "lat": lat, "lon": lon})
+    )
+    got = {
+        (r.pid, r.region_id)
+        for r in pip_join(pts, polys, how="inner").collect()
+    }
+    rings = {
+        r.region_id: ([(p.lon, p.lat) for p in r.ring], r.bbox.maxx > 180)
+        for r in polys.collect()
+    }
+    expected = set()
+    for i in range(400):
+        for rid, (ring, anti) in rings.items():
+            px = lon[i] + 360 if (anti and lon[i] < 0) else lon[i]
+            if _scalar_pip(px, lat[i], ring):
+                expected.add((int(i), rid))
+    assert got == expected
+
+
+def test_pip_antimeridian(spark, polys):
+    # points on both sides of the antimeridian inside R5 (lon 110..240, lat -60..0)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"pid": [0, 1, 2, 3],
+             "lat": [-30.0, -30.0, -30.0, -30.0],
+             "lon": [179.5, -179.5, -130.0, -110.0]}
+        )
+    )
+    got = {(r.pid, r.region_id) for r in pip_join(pts, polys).collect()}
+    assert (0, "R5") in got and (1, "R5") in got and (2, "R5") in got
+    assert not any(p == 3 for p, _ in got)  # -110 is outside (wraps to 250)
+
+
+def test_pip_concave(spark, polys):
+    # R2 has a notch over lon 100..120 below lat 25
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "lat": [10.0, 10.0], "lon": [110.0, 90.0]})
+    )
+    got = {(r.pid, r.region_id) for r in pip_join(pts, polys).collect() if r.region_id == "R2"}
+    assert got == {(1, "R2")}
+
+
+def test_assign_region_most_specific(spark, polys):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "lat": [51.47, -50.0], "lon": [-9.42, -20.0]})
+    )
+    rows = {r.pid: r for r in assign_region(pts, polys).collect()}
+    # golden point is in both R6 (europe) and tiny T1; T1 (smaller) wins
+    assert rows[0].region_id == "T1"
+    # open-ocean point matches nothing; left semantics keep it with nulls
+    assert rows[1].region_id is None
+    assert len(rows) == 2
+
+
+def test_knn_matches_bruteforce(spark):
+    stations = synth_stations(spark, 500)
+    st = stations.toPandas()
+    rng = np.random.RandomState(9)
+    n = 300
+    lat = rng.uniform(-80, 80, n)
+    lon = rng.uniform(-180, 180, n)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(n), "lat": lat, "lon": lon})
+    )
+    out = knn_join(pts, stations, k=3, grid_deg=5.0).orderBy("pid").collect()
+    slat = st["lat"].to_numpy()
+    slon = st["lon"].to_numpy()
+    sid = st["station_id"].to_numpy()
+    for r in out:
+        d = haversine_km(r.lat, r.lon, slat, slon)
+        order = np.argsort(d)
+        assert r.nearest_station_id == sid[order[0]]
+        assert abs(r.nearest_station_km - d[order[0]]) < 1e-6
+        got_ids = [e.station_id for e in r.knn]
+        exp_ids = [sid[order[j]] for j in range(3)]
+        # ties broken arbitrarily — compare by distance
+        got_d = [e.dist_km for e in r.knn]
+        exp_d = sorted(d)[:3]
+        assert np.allclose(got_d, exp_d, atol=1e-6)
+        assert got_ids[0] == exp_ids[0]
+        assert r.knn_ring >= 0
+
+
+def test_knn_high_latitude_correct(spark):
+    """cos-shrunk longitude separation must not terminate rings early."""
+    st = pd.DataFrame(
+        {
+            "station_id": ["near-pole-a", "near-pole-b", "equator"],
+            "tsi": ["a", "b", "c"],
+            "lat": [84.0, 84.0, 0.0],
+            "lon": [0.0, 170.0, 0.0],
+            "elevation_m": [0.0, 0.0, 0.0],
+            "wmo_region": [6, 6, 1],
+        }
+    )
+    stations = spark.createDataFrame(st)
+    pts = spark.createDataFrame(pd.DataFrame({"pid": [0], "lat": [84.0], "lon": [60.0]}))
+    r = knn_join(pts, stations, k=1, grid_deg=2.0).collect()[0]
+    d = haversine_km(84.0, 60.0, st["lat"].to_numpy(), st["lon"].to_numpy())
+    assert r.nearest_station_id == st["station_id"][int(np.argmin(d))]
+    assert abs(r.nearest_station_km - d.min()) < 1e-6

@@ -1,0 +1,119 @@
+"""Tile aggregation / rollup / raster round-trip / salting tests (N5-N8)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.functions import cells as C
+from bufr2geojson_spark.operators.tiles import (
+    hot_cells,
+    range_partition_by_cell,
+    raster_to_vector,
+    rasterize,
+    tile_aggregate,
+    tile_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def feat(spark):
+    rng = np.random.RandomState(17)
+    n = 5000
+    # skew: half the points in one tight cluster
+    hotmask = rng.rand(n) < 0.5
+    lat = np.where(hotmask, 48.1 + rng.rand(n) * 0.01, rng.uniform(-60, 60, n))
+    lon = np.where(hotmask, 11.5 + rng.rand(n) * 0.01, rng.uniform(-170, 170, n))
+    val = rng.uniform(900, 1100, n)
+    pdf = pd.DataFrame(
+        {
+            "feature_id": [f"f{i}" for i in range(n)],
+            "lat": lat,
+            "lon": lon,
+            "result_value": val,
+            "cell_s2": C.s2_encode(lat, lon, 14),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    return df.cache(), pdf
+
+
+def test_salted_agg_equals_plain_agg(spark, feat):
+    df, pdf = feat
+    plain = tile_aggregate(df).orderBy("cell_s2").toPandas()
+    salted = tile_aggregate(df, hot_threshold=100, salt_buckets=8) \
+        .orderBy("cell_s2").toPandas()
+    assert len(plain) == len(salted)
+    assert (plain["cell_s2"].to_numpy() == salted["cell_s2"].to_numpy()).all()
+    for c in ("n_obs", "sum_val", "min_val", "max_val", "avg_val"):
+        assert np.allclose(plain[c].to_numpy(), salted[c].to_numpy())
+    # oracle via pandas
+    exp = pdf.groupby("cell_s2")["result_value"].agg(["count", "sum", "min", "max"])
+    got = plain.set_index("cell_s2")
+    assert (got["n_obs"] == exp["count"]).all()
+    assert np.allclose(got["sum_val"], exp["sum"])
+
+
+def test_hot_cells_detected(spark, feat):
+    df, pdf = feat
+    hc = hot_cells(df, threshold=500).toPandas()
+    exp = pdf.groupby("cell_s2").size()
+    assert set(hc["cell_s2"]) == set(exp[exp > 500].index)
+    assert len(hc) >= 1  # the synthetic cluster is hot
+
+
+def test_rollup_consistency(spark, feat):
+    df, pdf = feat
+    base = tile_aggregate(df)
+    rolled = tile_rollup(base, 14, [10, 6]).toPandas()
+    lv = set(rolled["level"])
+    assert lv == {14, 10, 6}
+    # total counts conserved at every level
+    for level in (14, 10, 6):
+        assert rolled[rolled.level == level]["n_obs"].sum() == len(pdf)
+    # parent relationship: each level-10 cell is the bit-math parent
+    l14 = rolled[rolled.level == 14]
+    l10 = set(rolled[rolled.level == 10]["cell"])
+    parents = set(C.s2_parent(l14["cell"].to_numpy(), 10))
+    assert parents == l10
+
+
+def test_raster_roundtrip(spark, feat):
+    df, pdf = feat
+    ras = rasterize(df, tile_level=8, pixel_level=10).cache()
+    r = ras.toPandas()
+    assert (r["npix"] == 16).all()
+    assert (r["nnz"] >= 1).all()
+    # vector->raster->vector recovers per-pixel means
+    vec = raster_to_vector(ras, 8, 10).toPandas()
+    exp = (
+        pd.DataFrame(
+            {
+                "cell10": C.s2_parent(pdf["cell_s2"].to_numpy(), 10),
+                "v": pdf["result_value"].to_numpy(),
+            }
+        )
+        .groupby("cell10")["v"]
+        .mean()
+    )
+    got = vec.set_index("cell")["value"]
+    assert set(got.index) == set(exp.index)
+    assert np.allclose(got.sort_index().to_numpy(), exp.sort_index().to_numpy())
+    # pixel count conservation
+    assert int(r["nnz"].sum()) == len(exp)
+
+
+def test_range_partitioning_clusters_cells(spark, feat):
+    df, _ = feat
+    with_prefix = df.withColumn("cell_prefix", F.shiftright("cell_s2", 48))
+    parted = range_partition_by_cell(with_prefix, 8)
+    pdf = parted.select(
+        F.spark_partition_id().alias("pid"), "cell_s2"
+    ).toPandas()
+    # ranges must be disjoint across partitions
+    stats = pdf.groupby("pid")["cell_s2"].agg(["min", "max"]).sort_values("min")
+    prev_max = None
+    for _, row in stats.iterrows():
+        if prev_max is not None:
+            assert row["min"] >= prev_max
+        prev_max = row["max"]
