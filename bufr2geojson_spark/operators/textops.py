@@ -1,0 +1,344 @@
+"""Training-data text operators: dedup, fingerprints, language-ID, quality.
+
+These are the large-scale-pipeline operators layered on top of the engine
+(deduplication, similarity, text analysis). Design constraints:
+
+* **JVM-side only** — every function here compiles to built-in Column
+  expressions (split/transform/aggregate/zip_with/md5/conv); no Python UDFs
+  in any hot path, so the work stays inside whole-stage codegen;
+* **oracle-parity hashing** — all hash functions are derived from ``md5``
+  (identical in Spark and DuckDB), via the 32-bit ``h32(s) =
+  int(md5(s)[:8], 16)`` primitive, so the driver's DuckDB oracle can verify
+  every operator value-for-value;
+* shuffles only where semantically required (pair-joins, group-bys), with
+  the LSH band join as the documented scale path for near-dup at 100 TB
+  (the all-pairs shingle join is the small-scale oracle reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# hash + tokenization primitives (oracle-parity)
+# ---------------------------------------------------------------------------
+
+
+def h32(col: Column) -> Column:
+    """32-bit hash via md5 prefix — identical in Spark and DuckDB
+    (``('0x' || substr(md5(x),1,8))::BIGINT`` on the DuckDB side)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def words_of(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_of(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array (empty if fewer than k words)."""
+    w = words_of(text)
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: (text_md5, n_docs, keep_id)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text."""
+    keep = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(docs: DataFrame, num_hashes: int = 16,
+                      shingle_k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document MinHash signature, fully narrow (no explode/shuffle):
+    sig_j = min over shingles of h32(j || ':' || shingle)."""
+    sh = shingles_of(F.col(text_col), shingle_k)
+
+    def _hasher(j: int):
+        # NB: a plain `lambda s, j=j` would be mis-detected by pyspark as an
+        # (element, index) two-arg lambda, binding j to the index Column
+        return lambda s: h32(F.concat(F.lit(f"{j}:"), s))
+
+    sig_cols = [
+        F.array_min(F.transform(sh, _hasher(j))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return docs.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH banding: documents agreeing on all rows of any band become
+    a candidate pair. The band bucket-join is THE scale path for near-dup —
+    the shuffle key is (band, band_hash), so work is proportional to
+    candidates, not to all pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(docs, num_hashes, shingle_k, text_col, id_col)
+    band_frames = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
+            )
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    This is the *reference/oracle* formulation (all-pairs via shingle
+    equi-join); at 100 TB use ``lsh_candidate_pairs`` to bound candidates
+    and verify only those."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_of(F.col(text_col), shingle_k)))
+        .alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over word hashes, computed NARROW per row with
+    aggregate+zip_with (no explode, no shuffle): counter[b] accumulates
+    ±1 per word bit b; final bit b set iff counter[b] > 0."""
+    w = words_of(F.col(text_col))
+    # shift amounts must be Python ints (JVM shift ops take literal counts),
+    # so the per-bit array is built with a Python loop of expressions
+    counters = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, word: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h32(word), b).bitwiseAND(F.lit(1))
+                    .cast("long") * F.lit(2) - F.lit(1)
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    with_counters = docs.select(F.col(id_col), counters.alias("_c"))
+    bits = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.element_at(F.col("_c"), b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bits = term if bits is None else bits + term
+    return with_counters.select(F.col(id_col), bits.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation at
+    scale would band the simhash bits; at oracle scale the join is on a
+    cheap equality prefix (top byte) then exact popcount."""
+    sh = simhash(docs, text_col, id_col)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # popcount via bit_count (Spark) — DuckDB mirrors with bit_count too
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(x).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality, tokens, fingerprint
+# ---------------------------------------------------------------------------
+
+_EN_MARKERS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word heuristic language ID (deterministic, oracle-parity)."""
+    w = words_of(F.col(text_col))
+    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(markers, x)))
+    ratio = F.round(hits / F.size(w), 6)
+    return docs.select(
+        F.col(id_col),
+        hits.cast("long").alias("marker_hits"),
+        F.size(w).cast("long").alias("n_words"),
+        ratio.alias("marker_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + combined score (length, mean word
+    length, digit ratio, stopword ratio)."""
+    t = F.col(text_col)
+    w = words_of(t)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    mean_wlen = F.round((n_chars - (n_words - 1)) / n_words, 6)
+    digit_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))) / n_chars, 6
+    )
+    markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
+    stop_ratio = F.round(
+        F.size(F.filter(w, lambda x: F.array_contains(markers, x))) / n_words, 6
+    )
+    score = F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - digit_ratio) * 0.3
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_calc"),
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letter runs, digit
+    runs, and isolated punctuation as separate tokens)."""
+    t = F.col(text_col)
+    ws = F.size(words_of(t))
+    bpe = F.size(F.regexp_extract_all(t, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(bpe / ws, 6).alias("tokens_per_word"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 8, mod: int = 16,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mod-p sampled character-k-gram fingerprint (winnowing-style document
+    signature): keep k-gram hashes ≡ 0 (mod ``mod``)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.substr(t, i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: h32(g))
+    kept = F.filter(hashes, lambda h: h % mod == 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(kept).cast("long").alias("n_fp"),
+        F.array_min(kept).alias("min_fp"),
+        F.array_max(kept).alias("max_fp"),
+    )

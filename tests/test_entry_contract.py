@@ -1,0 +1,92 @@
+"""Driver-contract harness: run every queries() entry at sf0.001 and verify
+each oracle_sql() against DuckDB exactly as the driver does (row count +
+column names + order-insensitive values)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
+ALL_NAMES = sorted(entry_mod.queries().keys())
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLE_NAMES) <= set(ALL_NAMES)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    got = _canon(q(spark, SF_DIR).toPandas())
+    exp = _canon(duck.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    for c in got.columns:
+        ga, ea = got[c].tolist(), exp[c].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(ga, ea))
+            if not _values_equal(x, y)
+        ]
+        assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in ALL_NAMES if n not in ORACLE_NAMES]
+)
+def test_rows_only_queries_run(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.schema is not None
+
+
+def test_span_invariant_query_all_true(spark):
+    q = entry_mod.queries()["engine_span_invariant"]
+    rows = q(spark, SF_DIR).collect()
+    assert rows and all(r.spans_equal for r in rows)
