@@ -736,6 +736,8 @@ def q_quality_score(spark, sf_dir):
     return T.quality_score(d).orderBy("doc_id")
 
 
+# rounding here is floor(x*1e6 + 0.5)/1e6 on BOTH sides: pure IEEE arithmetic
+# is bit-identical across engines, unlike round() on exact .5 ties
 _SQL_QUALITY = """
     WITH feats AS (
         SELECT doc_id,
@@ -747,17 +749,24 @@ _SQL_QUALITY = """
                    w -> w IN ('the','a','of','and','to','in','is')))
                    AS stop_hits
         FROM documents
+    ),
+    ratios AS (
+        SELECT doc_id, n_chars_calc, n_words,
+               floor((n_chars_calc - (n_words - 1)) * 1.0 / n_words * 1e6
+                     + 0.5) / 1e6 AS mean_word_len,
+               floor(n_digits * 1.0 / n_chars_calc * 1e6 + 0.5) / 1e6
+                   AS digit_ratio,
+               floor(stop_hits * 1.0 / n_words * 1e6 + 0.5) / 1e6
+                   AS stopword_ratio
+        FROM feats
     )
-    SELECT doc_id, n_chars_calc, n_words,
-           round((n_chars_calc - (n_words - 1)) * 1.0 / n_words, 6)
-               AS mean_word_len,
-           round(n_digits * 1.0 / n_chars_calc, 6) AS digit_ratio,
-           round(stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
-           round(least(n_words / 100.0, 1.0) * 0.4
-                 + (1.0 - round(n_digits * 1.0 / n_chars_calc, 6)) * 0.3
-                 + least(round(stop_hits * 1.0 / n_words, 6) * 5.0, 1.0) * 0.3,
-                 6) AS quality
-    FROM feats ORDER BY doc_id
+    SELECT doc_id, n_chars_calc, n_words, mean_word_len, digit_ratio,
+           stopword_ratio,
+           floor((least(n_words / 100.0, 1.0) * 0.4
+                  + (1.0 - digit_ratio) * 0.3
+                  + least(stopword_ratio * 5.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6
+               AS quality
+    FROM ratios ORDER BY doc_id
 """
 
 

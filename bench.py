@@ -1,0 +1,170 @@
+"""Benchmark harness: headline engine + relational queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus extra keys: "features_tiles_per_sec" (the BASELINE.json headline metric,
+measured on the full pipeline: decode -> cell encode -> PIP + kNN -> salted
+tile agg -> range-partitioned write) and "pipeline" detail.
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+    SPARK_GRAFT_CPUS     default 32
+    BENCH_DOCS           synthesized corpus size (default scales with sf)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bufr2geojson-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.default.parallelism", str(CPUS))
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> int:
+    """Fully execute a plan; noop sink avoids driver collect cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_pipeline(spark, n_docs: int) -> dict:
+    """Headline: the full engine chain; metric = (features + tile rows) / sec."""
+    from pyspark.sql import functions as F
+
+    from bufr2geojson_spark.functions.cells import with_cells
+    from bufr2geojson_spark.operators.decode import decode_documents
+    from bufr2geojson_spark.operators.spatial import assign_region, knn_join
+    from bufr2geojson_spark.operators.tiles import (
+        range_partition_by_cell,
+        tile_aggregate,
+        tile_rollup,
+    )
+    from bufr2geojson_spark.sources.synth import (
+        default_n_stations,
+        synth_documents,
+        synth_region_polygons,
+        synth_stations,
+    )
+
+    n_st = default_n_stations(n_docs)
+    # materialize the synthesized corpus first so synth cost isn't benched
+    docs = synth_documents(spark, n_docs, n_stations=n_st, partitions=CPUS * 2)
+    docs.persist()
+    n_in = docs.count()
+    stations = synth_stations(spark, n_st)
+    polygons = synth_region_polygons(spark)
+
+    t0 = time.monotonic()
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    feats = assign_region(feats, polygons)
+    feats = knn_join(feats, stations, k=1, grid_deg=2.0)
+    feats = range_partition_by_cell(feats, CPUS, "cell_s2", "cell_prefix")
+    feats.persist()
+    n_features = feats.count()
+    tiles = tile_rollup(
+        tile_aggregate(feats, salt_buckets=16, hot_threshold=200), 14, [10, 6]
+    )
+    n_tiles = tiles.count()
+    _force(feats)  # full range-partitioned materialization to the noop sink
+    wall = time.monotonic() - t0
+    feats.unpersist()
+    docs.unpersist()
+    return {
+        "docs": n_in,
+        "features": n_features,
+        "tiles": n_tiles,
+        "wall_sec": round(wall, 3),
+        "features_tiles_per_sec": round((n_features + n_tiles) / wall, 1),
+    }
+
+
+def headline_queries() -> list[str]:
+    return [
+        "pricing_summary",
+        "top_revenue_orders",
+        "region_revenue",
+        "latest_event_per_user",
+        "orders_rollup",
+        "geo_knn",
+        "geo_pip",
+        "geo_tile_agg_salted",
+        "lsh_candidate_pairs",
+        "simhash",
+        "token_counts",
+        "ann_cosine_topk",
+        "engine_decode",
+        "engine_tiles",
+    ]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    sf = _sf_of(SF_DIR)
+    n_docs = int(os.environ.get("BENCH_DOCS", str(max(2000, int(200_000 * sf)))))
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + Arrow path once so q1 isn't charged for startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qtimes: dict[str, float] = {}
+    queries = entry_mod.queries()
+    for name in headline_queries():
+        fn = queries[name]
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    pipe = bench_pipeline(spark, n_docs)
+    qtimes["engine_pipeline"] = pipe["wall_sec"]
+
+    total = round(sum(qtimes.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": CPUS,
+        "features_tiles_per_sec": pipe["features_tiles_per_sec"],
+        "pipeline": pipe,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -273,6 +273,14 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+def round6(x: Column) -> Column:
+    """Engine-agnostic 6-dp rounding: ``floor(x*1e6 + 0.5)/1e6`` is pure IEEE
+    arithmetic, so Spark and any SQL oracle produce bit-identical doubles even
+    on exact .5 ties (where Spark's HALF_UP-on-shortest-repr and DuckDB's
+    half-away-on-binary disagree)."""
+    return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def quality_score(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality features + combined score (length, mean word
@@ -281,19 +289,18 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     w = words_of(t)
     n_chars = F.length(t)
     n_words = F.size(w)
-    mean_wlen = F.round((n_chars - (n_words - 1)) / n_words, 6)
-    digit_ratio = F.round(
-        (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))) / n_chars, 6
+    mean_wlen = round6((n_chars - (n_words - 1)) / n_words)
+    digit_ratio = round6(
+        (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))) / n_chars
     )
     markers = F.array(*[F.lit(m) for m in _EN_MARKERS])
-    stop_ratio = F.round(
-        F.size(F.filter(w, lambda x: F.array_contains(markers, x))) / n_words, 6
+    stop_ratio = round6(
+        F.size(F.filter(w, lambda x: F.array_contains(markers, x))) / n_words
     )
-    score = F.round(
+    score = round6(
         F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
         + (F.lit(1.0) - digit_ratio) * 0.3
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3,
-        6,
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
     )
     return docs.select(
         F.col(id_col),
