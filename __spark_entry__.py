@@ -139,9 +139,12 @@ def _edges_values_sql() -> str:
 
 
 def _synth_engine_inputs(spark: SparkSession, n_docs: int = 240):
+    # persist: several engine queries branch over the same corpus (hot-cell
+    # detection + salted agg + rollup), and the driver collects each query
+    # separately — caching the tiny synthesized input avoids re-synthesis
     docs = golden_documents(spark).unionByName(
         synth_documents(spark, n_docs, n_stations=48, partitions=4)
-    )
+    ).persist()
     stations = synth_stations(spark, 48)
     polygons = synth_region_polygons(spark)
     return docs, stations, polygons
@@ -160,7 +163,9 @@ def entry(spark: SparkSession) -> DataFrame:
     docs, stations, polygons = _synth_engine_inputs(spark, 120)
     feats = with_cells(decode_documents(docs).filter("error is null"))
     feats = assign_region(feats, polygons)
-    feats = knn_join(feats, stations, k=1, grid_deg=5.0)
+    # persisted: the summary agg, hot-cell detection, salted agg, and rollup
+    # all branch from the joined feature table
+    feats = knn_join(feats, stations, k=1, grid_deg=5.0).persist()
     tiles = tile_rollup(
         tile_aggregate(feats, hot_threshold=50), 14, [10, 6]
     )
@@ -709,6 +714,46 @@ def _sql_simhash():
     """
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        T.simhash_near_pairs(d, max_hamming=3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_simhash_near_pairs():
+    # same banded join as the engine: 4 bands of 4 bits; pigeonhole makes the
+    # candidate set complete for hamming <= 3
+    h = _H32_SQL.format(x="w")
+    bit_sums = ", ".join(
+        f"sum((({h} >> {b}) & 1) * 2 - 1) AS c{b}" for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counters AS (SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id),
+    sig AS (SELECT doc_id, {bits} AS simhash FROM counters),
+    banded AS (
+        SELECT doc_id, simhash, b.band,
+               (simhash >> (b.band * 4)) & 15 AS band_key
+        FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.lang_id(d).orderBy("doc_id")
@@ -890,6 +935,95 @@ def _sql_ann_lsh():
     """
 
 
+_IVF_N_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return A.ivf_topk(
+        e, _ANN_QUERY_IDS, k=5,
+        n_centroids=_IVF_N_CENTROIDS, nprobe=_IVF_NPROBE,
+    ).orderBy("query_id", "rank")
+
+
+# centroids = vectors at ids {i*step} with step = max(1, count//8) — the same
+# deterministic coarse quantizer as ivf_centroid_ids()
+_SQL_ANN_IVF = f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (SELECT greatest(1, count(*) // {_IVF_N_CENTROIDS}) AS step FROM base),
+    cents AS (
+        SELECT b.vec_id AS centroid_id, b.v AS centv
+        FROM base b, n
+        WHERE b.vec_id % n.step = 0
+          AND b.vec_id // n.step < {_IVF_N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT b.vec_id, b.v, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id ORDER BY
+                       round(list_dot_product(b.v, c.centv)
+                             / (sqrt(list_dot_product(b.v, b.v))
+                                * sqrt(list_dot_product(c.centv, c.centv))), 6)
+                           DESC, c.centroid_id ASC) AS rn
+            FROM base b CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY
+                       round(list_dot_product(q.v, c.centv)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(c.centv, c.centv))), 6)
+                           DESC, c.centroid_id ASC) AS rn
+            FROM base q CROSS JOIN cents c
+            WHERE q.vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})
+        ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(p.qv, a.v)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+        FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        A.embedding_near_dup(e, threshold=0.42)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SQL_EMB_NEAR_DUP = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+    JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+      ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.42
+    ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # engine-native operators (rows-only checks: not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -939,10 +1073,12 @@ def q_engine_pip(spark, sf_dir):
 
 def q_engine_tiles(spark, sf_dir):
     docs, _, _ = _synth_engine_inputs(spark)
-    feats = with_cells(decode_documents(docs).filter("error is null"))
-    tiles = tile_rollup(
-        tile_aggregate(feats, hot_threshold=50, salt_buckets=8), 14, [10, 6]
-    )
+    # persist the decoded+tiled features: hot-cell detection, the salted agg,
+    # and each rollup level all branch from this node (same pattern bench.py
+    # uses at scale — cache the feature table, aggregate from the cache)
+    feats = with_cells(decode_documents(docs).filter("error is null")).persist()
+    base = tile_aggregate(feats, hot_threshold=50, salt_buckets=8).persist()
+    tiles = tile_rollup(base, 14, [10, 6])
     return tiles.select(
         "level", "cell", "n_obs",
         F.round("sum_val", 4).alias("sum_val"),
@@ -1015,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1022,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         # engine-native (rows-only)
         "engine_decode": q_engine_decode,
         "engine_cells": q_engine_cells,
@@ -1055,10 +1194,13 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": _sql_lsh_pairs(),
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
         "simhash": _sql_simhash(),
+        "simhash_near_pairs": _sql_simhash_near_pairs(),
         "lang_id": _SQL_LANG_ID,
         "quality_score": _SQL_QUALITY,
         "token_counts": _SQL_TOKENS,
         "fingerprint": _sql_fingerprint(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_ivf_topk": _SQL_ANN_IVF,
+        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
     }

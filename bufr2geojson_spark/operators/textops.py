@@ -111,19 +111,24 @@ def lsh_candidate_pairs(
     candidates, not to all pairs."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(docs, num_hashes, shingle_k, text_col, id_col)
-    band_frames = []
+    # build all band hashes in ONE projection then explode — a union of
+    # per-band selects would rescan the corpus (and recompute every minhash)
+    # once per band; this keeps the expensive signature computation to a
+    # single pass
+    band_structs = []
     for b in range(bands):
         cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_hash"),
+                F.md5(F.concat_ws("_", *[F.col(c) for c in cols]))
+                .alias("band_hash"),
             )
         )
-    banded = band_frames[0]
-    for bf in band_frames[1:]:
-        banded = banded.unionByName(bf)
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(F.col(id_col), F.col("_b.band").alias("band"),
+             F.col("_b.band_hash").alias("band_hash"))
     a = banded.alias("a")
     b_ = banded.alias("b")
     pairs = (
@@ -200,16 +205,19 @@ def simhash(docs: DataFrame, text_col: str = "text",
     aggregate+zip_with (no explode, no shuffle): counter[b] accumulates
     ±1 per word bit b; final bit b set iff counter[b] > 0."""
     w = words_of(F.col(text_col))
-    # shift amounts must be Python ints (JVM shift ops take literal counts),
-    # so the per-bit array is built with a Python loop of expressions
+    # hash each word ONCE up front (md5 is the expensive part — folding over
+    # pre-hashed longs instead of words cuts md5 calls 16×); shift amounts
+    # must be Python ints (JVM shift ops take literal counts), so the per-bit
+    # array is built with a Python loop of expressions over the bound hash
+    hashes = F.transform(w, lambda word: h32(word))
     counters = F.aggregate(
-        w,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, word: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.shiftright(h32(word), b).bitwiseAND(F.lit(1))
+                    F.shiftright(h, b).bitwiseAND(F.lit(1))
                     .cast("long") * F.lit(2) - F.lit(1)
                     for b in range(SIMHASH_BITS)
                 ]
@@ -230,22 +238,47 @@ def simhash(docs: DataFrame, text_col: str = "text",
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Candidate generation at
-    scale would band the simhash bits; at oracle scale the join is on a
-    cheap equality prefix (top byte) then exact popcount."""
+    """Near-dup pairs by SimHash Hamming distance — EXACT, via banding.
+
+    The simhash is split into ``max_hamming + 1`` bit bands; by pigeonhole,
+    any pair within ``max_hamming`` differing bits must agree exactly on at
+    least one band, so the band equi-join is a *complete* candidate set (no
+    recall loss), and the shuffle is keyed on (band, band_bits) instead of
+    the all-pairs cross product — the scale path at 100 TB. Candidates then
+    pass an exact popcount filter."""
+    bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // bands
     sh = simhash(docs, text_col, id_col)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*band_structs)).alias("_b"),
+    ).select(id_col, "simhash", "_b.band", "_b.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
     x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # popcount via bit_count (Spark) — DuckDB mirrors with bit_count too
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(x).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

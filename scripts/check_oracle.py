@@ -1,7 +1,7 @@
 """Run every queries() entry vs its oracle_sql() in DuckDB at a given sf dir,
 mimicking the driver's correctness gate (row count + sorted-column values).
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
 """
 
 import math
@@ -16,6 +16,7 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entry_mod  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -57,6 +58,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     n_fail = 0
     for name in sorted(queries):
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             got = _canon(queries[name](spark, SF_DIR).toPandas())

@@ -1,0 +1,101 @@
+"""Property tests for the dedup / similarity operators added for the
+training-data surface: banded SimHash completeness, IVF ANN sanity, and the
+LSH near-dup candidate path vs the exact all-pairs form."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.operators import ann as A
+from bufr2geojson_spark.operators import textops as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_simhash_banded_pairs_equal_bruteforce(spark, docs):
+    """The banded join must find EXACTLY the pairs the all-pairs popcount
+    finds (pigeonhole completeness, bands = max_hamming + 1)."""
+    d = docs.limit(120)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in T.simhash_near_pairs(d, max_hamming=3).collect()
+    }
+    sh = T.simhash(d)
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all(spark, emb):
+    """With nprobe == n_centroids every inverted list is searched, so IVF
+    must return exactly the brute-force top-k."""
+    qids = [0, 7, 21]
+    exact = A.cosine_topk(emb, qids, k=3).collect()
+    ivf = A.ivf_topk(emb, qids, k=3, n_centroids=4, nprobe=4).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(
+        [(r.query_id, r.neighbor_id, r.rank) for r in exact], key=lambda t: t
+    ) == sorted([(r.query_id, r.neighbor_id, r.rank) for r in ivf],
+                key=lambda t: t)
+
+
+def test_ivf_topk_partial_probe_is_subset_ranked(spark, emb):
+    """nprobe < n_centroids returns k ranked rows per query whose cosines
+    are <= the exact best (approximation, never better than exact)."""
+    qids = [0, 42]
+    exact = {
+        (r.query_id, r.rank): r.cos
+        for r in A.cosine_topk(emb, qids, k=1).collect()
+    }
+    approx = A.ivf_topk(emb, qids, k=1, n_centroids=8, nprobe=2).collect()
+    for r in approx:
+        assert r.cos <= exact[(r.query_id, 1)] + 1e-9
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark, emb):
+    """The LSH-bucketed candidate path must return a subset of the exact
+    all-pairs result (same threshold), never a false positive."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in A.embedding_near_dup(emb, threshold=0.40).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in A.embedding_near_dup(
+            emb, threshold=0.40, n_planes=2, dim=64
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+
+
+def test_minhash_lsh_single_scan_plan(spark, docs):
+    """The banded signature must come from ONE projection (explode), not a
+    per-band union — i.e. the plan contains exactly one Generate node per
+    scan side, not `bands` scans."""
+    plan = T.lsh_candidate_pairs(
+        docs, num_hashes=4, bands=2
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # a union-of-bands plan would contain a Union node feeding the join
+    assert "Union" not in plan
