@@ -637,6 +637,7 @@ def synth_documents(
     partitions: int | None = None,
     hot_doc_share: float = 0.5,
     media_every: int = 3,
+    start_id: int = 0,
 ) -> DataFrame:
     """Scaled deterministic corpus: ``spark.range(n_docs)`` → ``mapInPandas``.
 
@@ -751,7 +752,8 @@ def synth_documents(
                 out_spans.append(spans)
             yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
 
-    rng = spark.range(n_docs)
+    # start_id offsets the id space (disjoint corpora for append/stream tests)
+    rng = spark.range(start_id, start_id + n_docs)
     if partitions:
         rng = rng.repartition(partitions)
     return rng.mapInPandas(gen, schema=DOCUMENT_SCHEMA)

@@ -1,0 +1,139 @@
+"""Structured Streaming ingest: micro-batch document decode + windowed tiles.
+
+The reference is purely batch (a generator over one file,
+``bufr2geojson/__init__.py:1179-1310``); streaming is the engine-side
+extension SURVEY.md §2.3 defers to: new document files land in a directory
+(the stand-in for an Iceberg append snapshot), each micro-batch runs the SAME
+stage functions as the batch pipeline (decode → cell encode), and two sinks
+are offered:
+
+* ``run_ingest_once`` — ``foreachBatch`` + ``Trigger.AvailableNow``: drain
+  everything currently in the source, write decoded features parquet
+  partitioned by ``cell_prefix``, then stop. Exactly-once per micro-batch via
+  the checkpoint dir; re-running resumes from the last committed offset (the
+  streaming analogue of the batch pipeline's lineage-resume).
+* ``windowed_tile_counts`` — event-time windowed aggregation with a
+  watermark over ``phenomenon_time``: per (window, cell) observation counts,
+  late data beyond the watermark dropped. State is bounded by
+  watermark horizon × cell cardinality.
+
+All transformations are the stateless batch stages (mapInPandas / pandas
+UDFs work unchanged on streaming DataFrames); only the windowed aggregation
+is stateful, and that state lives in Spark's HDFS-backed state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.functions.cells import with_cells
+from bufr2geojson_spark.operators.decode import decode_documents
+from bufr2geojson_spark.schemas import DOCUMENT_SCHEMA
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source document stream (each new parquet file = one append)."""
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def decode_stream(stream_docs: DataFrame, **decode_kw) -> DataFrame:
+    """Stage D+T on a stream — identical functions as batch (stateless)."""
+    feats = decode_documents(stream_docs, **decode_kw).filter("error is null")
+    return with_cells(feats)
+
+
+def event_time(features: DataFrame) -> DataFrame:
+    """Parse phenomenon_time (instant or 'start/end' period → end) into a
+    proper event-time column for watermarking."""
+    pt = F.col("phenomenon_time")
+    instant = F.when(
+        pt.contains("/"), F.element_at(F.split(pt, "/"), 2)
+    ).otherwise(pt)
+    return features.withColumn(
+        "event_ts", F.to_timestamp(instant, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    )
+
+
+def windowed_tile_counts(
+    features: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    cell_col: str = "cell_prefix",
+) -> DataFrame:
+    """Per-(event-time window, cell) counts with late-data watermark."""
+    return (
+        event_time(features)
+        .filter(F.col("event_ts").isNotNull())
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), F.col(cell_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.avg("result_value").alias("avg_val"),
+        )
+    )
+
+
+def run_ingest_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    **decode_kw,
+) -> int:
+    """Drain the source with AvailableNow; per micro-batch, decode + tile-encode
+    and append parquet partitioned by cell_prefix. Returns batches committed
+    this run (0 on a resume with nothing new — the exactly-once contract)."""
+    stream = read_document_stream(spark, input_path)
+    feats = decode_stream(stream, **decode_kw)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("cell_prefix")
+            .parquet(output_path)
+        )
+        n_batches["n"] += 1
+
+    q = (
+        feats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def run_windowed_counts_once(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    query_name: str = "tile_counts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """AvailableNow windowed aggregation into an in-memory sink (complete
+    mode) — returns the result table for assertions/serving."""
+    stream = read_document_stream(spark, input_path)
+    counts = windowed_tile_counts(
+        decode_stream(stream), window=window, watermark=watermark
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
