@@ -110,6 +110,59 @@ def bench_pipeline(spark, n_docs: int) -> dict:
     }
 
 
+def bench_scaling(spark, n_docs: int) -> dict:
+    """North-rule scaling evidence, self-contained: the same fused pipeline
+    chain (decode → cells → PIP + kNN → salted agg) run at three parallelism
+    widths by capping input/shuffle partitions (P tasks run concurrently on
+    P cores — the in-session proxy for local[P]). Reports throughput per
+    width and the two N→4N efficiencies. The authoritative spark-submit
+    variant is scripts/bench_scaling.sh; results in BENCH.md."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from bufr2geojson_spark.functions.cells import with_cells
+    from bufr2geojson_spark.operators.decode import decode_documents
+    from bufr2geojson_spark.operators.spatial import assign_region, knn_join
+    from bufr2geojson_spark.operators.tiles import tile_aggregate
+    from bufr2geojson_spark.sources.synth import (
+        default_n_stations,
+        synth_documents,
+        synth_region_polygons,
+        synth_stations,
+    )
+
+    n_st = default_n_stations(n_docs)
+    stations = synth_stations(spark, n_st)
+    polygons = synth_region_polygons(spark)
+    out: dict = {"n_docs": n_docs, "throughput": {}}
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    for p in (2, 8, 32):
+        if p > CPUS:
+            continue
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        docs = synth_documents(spark, n_docs, n_stations=n_st, partitions=p)
+        docs.persist()
+        docs.count()
+        t0 = time.monotonic()
+        feats = with_cells(decode_documents(docs).filter("error is null"))
+        feats = assign_region(feats, polygons)
+        feats = knn_join(feats, stations, k=1, grid_deg=2.0)
+        feats.persist()
+        n_features = feats.count()
+        tiles = tile_aggregate(feats, salt_buckets=16, hot_threshold=200)
+        n_tiles = tiles.count()
+        wall = time.monotonic() - t0
+        feats.unpersist()
+        docs.unpersist()
+        out["throughput"][str(p)] = round((n_features + n_tiles) / wall, 1)
+    spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    th = out["throughput"]
+    if "2" in th and "8" in th:
+        out["efficiency_2_to_8"] = round(th["8"] / th["2"] / 4.0, 3)
+    if "8" in th and "32" in th:
+        out["efficiency_8_to_32"] = round(th["32"] / th["8"] / 4.0, 3)
+    return out
+
+
 def headline_queries() -> list[str]:
     return [
         "pricing_summary",
@@ -152,6 +205,12 @@ def main() -> None:
     pipe = bench_pipeline(spark, n_docs)
     qtimes["engine_pipeline"] = pipe["wall_sec"]
 
+    scaling = (
+        bench_scaling(spark, min(n_docs, 60_000))
+        if os.environ.get("BENCH_SCALING", "1") != "0"
+        else {}
+    )
+
     total = round(sum(qtimes.values()), 3)
     print(json.dumps({
         "metric": "headline_total",
@@ -162,6 +221,7 @@ def main() -> None:
         "cpus": CPUS,
         "features_tiles_per_sec": pipe["features_tiles_per_sec"],
         "pipeline": pipe,
+        "scaling": scaling,
     }))
     spark.stop()
 

@@ -9,6 +9,12 @@ matching via cell-ring expansion". Architecture:
 * the dimension is captured once on the driver and shipped in the UDF closure
   (Spark serializes it per executor — the broadcast-join pattern without a
   shuffle on the big side; the feature stream stays a NARROW pipeline);
+* both joins are *scalar* pandas UDFs over (lat, lon) ONLY — the wide feature
+  row (span structs, ~kB JSON provenance strings) never crosses the
+  Arrow/Python boundary. Measured on this box, the earlier mapInPandas
+  formulation that round-tripped whole rows got SLOWER from 8 to 32 threads
+  (memory-bandwidth saturation); the two-float-columns-in, one-struct-out
+  shape restores near-linear scaling;
 * per Arrow batch everything is vectorized numpy: bbox interval prefilter
   (a flat "R-tree-lite": sorted bbox arrays checked in one vector op — the
   polygon count is small enough that a deeper tree buys nothing), then an
@@ -125,6 +131,29 @@ def _pip_matches(lat: np.ndarray, lon: np.ndarray, polys: list[dict],
     return np.array([], dtype=np.int64), [], []
 
 
+def region_match_udf(polys: list[dict], first_only: bool):
+    """Scalar pandas UDF: (lat, lon) -> array of matching region_ids
+    (polygon-precedence order). Only two float columns enter Python; the
+    match list leaves — the wide feature row stays JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(StringType()))
+    def _match(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float64)
+        lo = lon.to_numpy(dtype=np.float64)
+        n = len(la)
+        valid = ~(np.isnan(la) | np.isnan(lo))
+        la_v = np.where(valid, la, 1000.0)  # sentinel far outside
+        lo_v = np.where(valid, lo, 1000.0)
+        idx, rid, _ = _pip_matches(la_v, lo_v, polys, first_only)
+        out: list[list[str]] = [[] for _ in range(n)]
+        for i, r in zip(idx, rid):
+            out[i].append(r)
+        return pd.Series(out)
+
+    return _match
+
+
 def pip_join(
     features: DataFrame,
     polygons: DataFrame,
@@ -138,36 +167,27 @@ def pip_join(
     ``how='left'`` keeps non-matching features with null region columns;
     ``first_only=True`` assigns each feature at most one region (the
     smallest-bbox match — deterministic specific-region precedence).
-    Narrow operator: no shuffle on the feature side.
+
+    Plan shape: narrow scalar UDF (lat, lon → region_id array) → explode →
+    broadcast join on the tiny region dim for names. No shuffle on the
+    feature side; heavy columns never cross the Python boundary.
     """
     polys = _collect_polygons(polygons)
-    schema = StructType(
-        list(features.schema.fields)
-        + [StructField("region_id", StringType()),
-           StructField("region_name", StringType())]
+    match = region_match_udf(polys, first_only)
+    dims = F.broadcast(
+        polygons.select("region_id", F.col("region_name").alias("region_name"))
+        .distinct()
     )
-    keep_unmatched = how == "left"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            valid = ~(np.isnan(lat) | np.isnan(lon))
-            lat_v = np.where(valid, lat, 1000.0)  # sentinel far outside
-            idx, rid, rname = _pip_matches(lat_v, lon, polys, first_only)
-            matched = pdf.iloc[idx].copy()
-            matched["region_id"] = rid
-            matched["region_name"] = rname
-            if keep_unmatched:
-                miss_mask = np.ones(len(pdf), dtype=bool)
-                miss_mask[idx] = False
-                missed = pdf.iloc[np.nonzero(miss_mask)[0]].copy()
-                missed["region_id"] = None
-                missed["region_name"] = None
-                matched = pd.concat([matched, missed], ignore_index=True)
-            yield matched
-
-    return features.mapInPandas(run, schema=schema)
+    matched = features.withColumn(
+        "_rids", match(F.col(lat_col), F.col(lon_col))
+    )
+    explode = F.explode_outer if how == "left" else F.explode
+    exploded = matched.withColumn("region_id", explode(F.col("_rids"))).drop(
+        "_rids"
+    )
+    return exploded.join(dims, on="region_id", how="left").select(
+        *features.columns, "region_id", "region_name"
+    )
 
 
 def assign_region(features: DataFrame, polygons: DataFrame, **kw) -> DataFrame:
@@ -262,7 +282,10 @@ def knn_join(
     nearest possible point of the next unexplored ring (great-circle lower
     bound) exceeds the current k-th best distance. ``knn_ring`` reports the
     last ring searched — the skew diagnostic the lineage records pick up.
-    Narrow operator: the station grid rides in the closure; no shuffle.
+
+    Narrow operator: the station grid rides in the closure; no shuffle, and
+    (like ``pip_join``) only (lat, lon) enters Python — the result comes back
+    as one struct column that is splatted JVM-side.
     """
     st = stations.select("station_id", "lat", "lon").collect()
     grid = _StationGrid(
@@ -273,101 +296,106 @@ def knn_join(
     )
     if max_ring is None:
         max_ring = int(180.0 / grid_deg) + 1
-    schema = StructType(list(features.schema.fields) + KNN_FIELDS)
     kk = int(k)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            nid = np.full(n, None, dtype=object)
-            nkm = np.full(n, np.nan)
-            nring = np.full(n, -1, dtype=np.int64)
-            topk = np.full(n, None, dtype=object)
-            ci = np.floor((lat + 90.0) / grid.g).astype(np.int64)
-            cj = np.floor((lon + 180.0) / grid.g).astype(np.int64) % grid.nlon
-            valid = ~(np.isnan(lat) | np.isnan(lon))
-            # group features by their grid cell: one ring expansion per cell
-            cellkey = ci * 1000000 + cj
-            cellkey[~valid] = -1
-            order = np.argsort(cellkey, kind="stable")
-            sorted_keys = cellkey[order]
-            bounds = np.nonzero(np.diff(sorted_keys))[0] + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [n]])
-            for s, e in zip(starts, ends):
-                gidx = order[s:e]
-                if cellkey[gidx[0]] < 0:
-                    continue
-                fci, fcj = int(ci[gidx[0]]), int(cj[gidx[0]])
-                cand = []
-                ring = 0
-                glat = lat[gidx]
-                glon = lon[gidx]
-                # worst-case |lat| of this cell's band, for the cos-shrink of
-                # longitude separation in the termination bound
-                band_lo = fci * grid.g - 90.0
-                band_hi = band_lo + grid.g
-                phi_max = min(89.9, max(abs(band_lo), abs(band_hi)))
-                cos_phi = np.cos(np.radians(phi_max))
-                while ring <= max_ring:
-                    c = grid.ring_candidates(fci, fcj, ring)
-                    if c.size:
-                        cand.append(c)
-                    total = sum(x.size for x in cand)
-                    if total >= kk:
-                        all_c = np.concatenate(cand)
-                        d = haversine_km(
-                            glat[:, None], glon[:, None],
-                            grid.lats[all_c][None, :], grid.lons[all_c][None, :],
-                        )
-                        kth = np.sort(d, axis=1)[:, kk - 1]
-                        best_kth = float(kth.max())
-                        # lower bound on distance to anything beyond ring:
-                        # lat-only separation ≥ ring·g degrees; lon-only
-                        # separation ≥ ring·g degrees shrunk by cos(lat)
-                        # (exact great-circle bound via haversine of a pure
-                        # lon offset at the band's worst latitude)
-                        sep = np.radians(min(ring * grid.g, 180.0))
-                        lat_bound = sep * EARTH_RADIUS_KM
-                        lon_bound = 2.0 * EARTH_RADIUS_KM * np.arcsin(
-                            np.clip(cos_phi * np.sin(sep / 2.0), 0.0, 1.0)
-                        )
-                        if (2 * ring + 1) >= grid.nlon:
-                            bound_km = lat_bound  # lon fully wrapped
-                        else:
-                            bound_km = min(lat_bound, lon_bound)
-                        if bound_km > best_kth:
-                            break
-                    ring += 1
-                if not cand:
-                    continue
-                all_c = np.concatenate(cand)
-                d = haversine_km(
-                    glat[:, None], glon[:, None],
-                    grid.lats[all_c][None, :], grid.lons[all_c][None, :],
-                )
-                kuse = min(kk, all_c.size)
-                part = np.argsort(d, axis=1)[:, :kuse]
-                for row_i, fi in enumerate(gidx):
-                    sel = part[row_i]
-                    dists = d[row_i, sel]
-                    sids = grid.ids[all_c[sel]]
-                    nid[fi] = sids[0]
-                    nkm[fi] = round(float(dists[0]), 6)
-                    nring[fi] = min(ring, max_ring)
-                    topk[fi] = [
-                        {"station_id": str(sids[j]),
-                         "dist_km": round(float(dists[j]), 6),
-                         "rank": j + 1}
-                        for j in range(kuse)
-                    ]
-            out = pdf.copy()
-            out["nearest_station_id"] = nid
-            out["nearest_station_km"] = nkm
-            out["knn_ring"] = nring.astype(np.int32)
-            out["knn"] = topk
-            yield out
+    from pyspark.sql.functions import pandas_udf
 
-    return features.mapInPandas(run, schema=schema)
+    @pandas_udf(StructType(KNN_FIELDS))
+    def _knn(lat_s: pd.Series, lon_s: pd.Series) -> pd.DataFrame:
+        lat = lat_s.to_numpy(dtype=np.float64)
+        lon = lon_s.to_numpy(dtype=np.float64)
+        n = len(lat)
+        nid = np.full(n, None, dtype=object)
+        nkm = np.full(n, np.nan)
+        nring = np.full(n, -1, dtype=np.int64)
+        topk = np.full(n, None, dtype=object)
+        ci = np.floor((lat + 90.0) / grid.g).astype(np.int64)
+        cj = np.floor((lon + 180.0) / grid.g).astype(np.int64) % grid.nlon
+        valid = ~(np.isnan(lat) | np.isnan(lon))
+        # group features by their grid cell: one ring expansion per cell
+        cellkey = ci * 1000000 + cj
+        cellkey[~valid] = -1
+        order = np.argsort(cellkey, kind="stable")
+        sorted_keys = cellkey[order]
+        bounds = np.nonzero(np.diff(sorted_keys))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [n]])
+        for s, e in zip(starts, ends):
+            gidx = order[s:e]
+            if cellkey[gidx[0]] < 0:
+                continue
+            fci, fcj = int(ci[gidx[0]]), int(cj[gidx[0]])
+            cand = []
+            ring = 0
+            glat = lat[gidx]
+            glon = lon[gidx]
+            # worst-case |lat| of this cell's band, for the cos-shrink of
+            # longitude separation in the termination bound
+            band_lo = fci * grid.g - 90.0
+            band_hi = band_lo + grid.g
+            phi_max = min(89.9, max(abs(band_lo), abs(band_hi)))
+            cos_phi = np.cos(np.radians(phi_max))
+            while ring <= max_ring:
+                c = grid.ring_candidates(fci, fcj, ring)
+                if c.size:
+                    cand.append(c)
+                total = sum(x.size for x in cand)
+                if total >= kk:
+                    all_c = np.concatenate(cand)
+                    d = haversine_km(
+                        glat[:, None], glon[:, None],
+                        grid.lats[all_c][None, :], grid.lons[all_c][None, :],
+                    )
+                    kth = np.sort(d, axis=1)[:, kk - 1]
+                    best_kth = float(kth.max())
+                    # lower bound on distance to anything beyond ring:
+                    # lat-only separation ≥ ring·g degrees; lon-only
+                    # separation ≥ ring·g degrees shrunk by cos(lat)
+                    # (exact great-circle bound via haversine of a pure
+                    # lon offset at the band's worst latitude)
+                    sep = np.radians(min(ring * grid.g, 180.0))
+                    lat_bound = sep * EARTH_RADIUS_KM
+                    lon_bound = 2.0 * EARTH_RADIUS_KM * np.arcsin(
+                        np.clip(cos_phi * np.sin(sep / 2.0), 0.0, 1.0)
+                    )
+                    if (2 * ring + 1) >= grid.nlon:
+                        bound_km = lat_bound  # lon fully wrapped
+                    else:
+                        bound_km = min(lat_bound, lon_bound)
+                    if bound_km > best_kth:
+                        break
+                ring += 1
+            if not cand:
+                continue
+            all_c = np.concatenate(cand)
+            d = haversine_km(
+                glat[:, None], glon[:, None],
+                grid.lats[all_c][None, :], grid.lons[all_c][None, :],
+            )
+            kuse = min(kk, all_c.size)
+            part = np.argsort(d, axis=1)[:, :kuse]
+            for row_i, fi in enumerate(gidx):
+                sel = part[row_i]
+                dists = d[row_i, sel]
+                sids = grid.ids[all_c[sel]]
+                nid[fi] = sids[0]
+                nkm[fi] = round(float(dists[0]), 6)
+                nring[fi] = min(ring, max_ring)
+                topk[fi] = [
+                    {"station_id": str(sids[j]),
+                     "dist_km": round(float(dists[j]), 6),
+                     "rank": j + 1}
+                    for j in range(kuse)
+                ]
+        return pd.DataFrame(
+            {
+                "nearest_station_id": nid,
+                "nearest_station_km": nkm,
+                "knn_ring": pd.array(nring, dtype="int32"),
+                "knn": topk,
+            }
+        )
+
+    return features.withColumn(
+        "_knn", _knn(F.col(lat_col), F.col(lon_col))
+    ).select(*features.columns, "_knn.*")

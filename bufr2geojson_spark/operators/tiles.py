@@ -139,6 +139,27 @@ def tile_rollup(
     return out
 
 
+def tile_cardinality(
+    features: DataFrame,
+    cell_col: str = "cell_s2",
+    prefix_col: str = "cell_prefix",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-prefix distinct-tile estimates: ``approx_count_distinct`` (HLL++)
+    next to the exact count. At 100 TB the estimate is the planning input for
+    choosing rollup levels / partition counts without paying a global
+    distinct shuffle — the sketch merges map-side, so the shuffle carries one
+    HLL register set per partition instead of every distinct cell id."""
+    return (
+        features.groupBy(prefix_col)
+        .agg(
+            F.approx_count_distinct(cell_col, rsd).alias("n_tiles_approx"),
+            F.countDistinct(cell_col).alias("n_tiles_exact"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # N6: vector -> raster and raster -> vector
 # ---------------------------------------------------------------------------

@@ -46,6 +46,14 @@ class PipelineConfig:
     stages: tuple = ("D", "T", "J", "A", "W")
     knn_enabled: bool = True
     pip_enabled: bool = True
+    # Stages that materialize (parquet + lineage = resume points). Stages NOT
+    # listed stay lazy and fuse into the next checkpointed stage — D/T/J are
+    # all narrow, so e.g. ("J", "A", "W") runs decode+cells+joins as ONE pass
+    # over the data with a single feature-table write instead of three. Full
+    # per-stage checkpointing is maximum resumability; coarse checkpointing
+    # is maximum throughput (at 100 TB each extra checkpoint is a full
+    # table write+read). Lineage rows exist for every checkpointed stage.
+    checkpoint_stages: tuple = ("D", "T", "J", "A", "W")
 
 
 @dataclass
@@ -74,6 +82,10 @@ def run_pipeline(
     res = PipelineResult(snapshot_id=snapshot_id)
 
     def do(stage: str, compute, **wkw) -> DataFrame:
+        if stage not in conf.checkpoint_stages:
+            # lazy stage: fuses into the next checkpointed stage's pass
+            res.executed.append(f"{stage}~fused")
+            return compute()
         if resume and L.stage_complete(spark, work_dir, run_id, stage):
             res.skipped.append(stage)
             return L.read_stage(spark, work_dir, run_id, stage)

@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--checkpoints", default=None,
+                    help="comma list of stages to materialize (default: all;"
+                         " e.g. 'J,A,W' fuses decode+cells+joins into one"
+                         " pass for throughput)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,10 +60,16 @@ def main() -> None:
     stations = synth_stations(spark, n_st)
     polygons = synth_region_polygons(spark)
 
+    conf = PipelineConfig()
+    if args.checkpoints:
+        conf.checkpoint_stages = tuple(
+            s.strip() for s in args.checkpoints.split(",") if s.strip()
+        )
+
     t0 = time.monotonic()
     res = run_pipeline(
         spark, docs, stations, polygons, args.work, args.run_id,
-        snapshot_id=snapshot_id, resume=args.resume, conf=PipelineConfig(),
+        snapshot_id=snapshot_id, resume=args.resume, conf=conf,
     )
     n_features = res.features.count() if res.features is not None else 0
     n_tiles = res.tiles.count() if res.tiles is not None else 0

@@ -135,3 +135,31 @@ def test_snapshot_id_tracks_manifest(spark, workdir, dims):
     # appending files changes the snapshot id
     synth_documents(spark, 10).write.mode("append").parquet(p)
     assert snapshot_id_for(spark, p) != s1
+
+
+def test_coarse_checkpoints_equivalent(spark, dims, workdir):
+    """checkpoint_stages=('J','A','W') fuses D/T into J's single pass; the
+    final feature and tile tables must be identical to full checkpointing."""
+    stations, polygons = dims
+    docs = synth_documents(spark, N_DOCS, n_stations=N_ST, partitions=4)
+    conf = _conf()
+    conf.checkpoint_stages = ("J", "A", "W")
+    res = run_pipeline(
+        spark, docs, stations, polygons, workdir, "coarse", snapshot_id=123,
+        resume=False, conf=conf,
+    )
+    assert res.executed == ["D~fused", "T~fused", "J", "A", "W"]
+    full = run_pipeline(
+        spark, docs, stations, polygons, workdir, "full", snapshot_id=123,
+        resume=True, conf=_conf(),  # resume: reuses test_full_pipeline output
+    )
+    key = ["feature_id", "cell_s2", "cell_prefix", "region_id",
+           "nearest_station_id"]
+    assert res.features.select(*key).subtract(
+        full.features.select(*key)).count() == 0
+    assert res.features.count() == full.features.count()
+    t = ["level", "cell", "n_obs"]
+    assert res.tiles.select(*t).subtract(full.tiles.select(*t)).count() == 0
+    # lineage only for checkpointed stages
+    stages = {r.stage for r in res.lineage.select("stage").distinct().collect()}
+    assert stages == {"J", "A", "W"}

@@ -117,3 +117,20 @@ def test_range_partitioning_clusters_cells(spark, feat):
         if prev_max is not None:
             assert row["min"] >= prev_max
         prev_max = row["max"]
+
+
+def test_tile_cardinality_estimate_close_to_exact(spark):
+    from bufr2geojson_spark.functions.cells import with_cells
+    from bufr2geojson_spark.operators.decode import decode_documents
+    from bufr2geojson_spark.operators.tiles import tile_cardinality
+    from bufr2geojson_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 400, partitions=4)
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    rows = tile_cardinality(feats).collect()
+    assert rows
+    for r in rows:
+        # HLL++ at rsd=0.02 — allow 5% relative error
+        assert abs(r.n_tiles_approx - r.n_tiles_exact) <= max(
+            2, 0.05 * r.n_tiles_exact
+        )
