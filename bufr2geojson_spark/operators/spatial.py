@@ -174,10 +174,6 @@ def pip_join(
     """
     polys = _collect_polygons(polygons)
     match = region_match_udf(polys, first_only)
-    dims = F.broadcast(
-        polygons.select("region_id", F.col("region_name").alias("region_name"))
-        .distinct()
-    )
     matched = features.withColumn(
         "_rids", match(F.col(lat_col), F.col(lon_col))
     )
@@ -185,8 +181,20 @@ def pip_join(
     exploded = matched.withColumn("region_id", explode(F.col("_rids"))).drop(
         "_rids"
     )
-    return exploded.join(dims, on="region_id", how="left").select(
-        *features.columns, "region_id", "region_name"
+    # region_name via a literal map (the dim is already collected for the
+    # UDF closure) — zero exchanges, vs. a broadcast join whose build side
+    # would still shuffle for the dedup
+    name_map = F.create_map(
+        *[
+            lit
+            for p in polys
+            for lit in (F.lit(p["region_id"]), F.lit(p["region_name"]))
+        ]
+    )
+    return exploded.select(
+        *features.columns,
+        "region_id",
+        F.element_at(name_map, F.col("region_id")).alias("region_name"),
     )
 
 
