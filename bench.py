@@ -205,8 +205,13 @@ def main() -> None:
     pipe = bench_pipeline(spark, n_docs)
     qtimes["engine_pipeline"] = pipe["wall_sec"]
 
+    # scaling corpus large enough that per-job fixed overhead doesn't mask
+    # the parallel fraction at the narrow widths (2-wide needs ~45 s of work)
+    scaling_docs = int(os.environ.get(
+        "BENCH_SCALING_DOCS", str(max(20_000, min(60_000, n_docs * 3)))
+    ))
     scaling = (
-        bench_scaling(spark, min(n_docs, 60_000))
+        bench_scaling(spark, scaling_docs)
         if os.environ.get("BENCH_SCALING", "1") != "0"
         else {}
     )

@@ -81,20 +81,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 def minhash_signature(docs: DataFrame, num_hashes: int = 16,
                       shingle_k: int = 3, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
-    """Per-document MinHash signature, fully narrow (no explode/shuffle):
-    sig_j = min over shingles of h32(j || ':' || shingle)."""
+    """Per-document MinHash signature: sig_j = min over shingles of
+    h32(j || ':' || shingle).
+
+    Plan shape: explode shingles → md5 columns as a flat projection →
+    groupBy(doc_id).min. The flat projection stays inside whole-stage
+    codegen; the earlier array_min(transform(...)) formulation evaluated the
+    lambda INTERPRETED (Spark higher-order functions don't codegen), ~10×
+    slower per hash. The groupBy shuffle is one row per document: a doc's
+    shingles share its input partition, so map-side partial min collapses
+    them before the exchange."""
     sh = shingles_of(F.col(text_col), shingle_k)
-
-    def _hasher(j: int):
-        # NB: a plain `lambda s, j=j` would be mis-detected by pyspark as an
-        # (element, index) two-arg lambda, binding j to the index Column
-        return lambda s: h32(F.concat(F.lit(f"{j}:"), s))
-
-    sig_cols = [
-        F.array_min(F.transform(sh, _hasher(j))).alias(f"mh_{j}")
+    exploded = docs.select(
+        F.col(id_col), F.explode_outer(sh).alias("_s")
+    )
+    hash_cols = [
+        h32(F.concat(F.lit(f"{j}:"), F.col("_s"))).alias(f"_h{j}")
         for j in range(num_hashes)
     ]
-    return docs.select(F.col(id_col), *sig_cols)
+    return (
+        exploded.select(F.col(id_col), *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{j}").alias(f"mh_{j}") for j in range(num_hashes)])
+    )
 
 
 def lsh_candidate_pairs(
