@@ -1106,6 +1106,18 @@ def q_engine_media(spark, sf_dir):
     )
 
 
+def q_engine_geojson(spark, sf_dir):
+    """WCCDM-OBS GeoJSON serialization (the reference's output format;
+    deep-equality vs its golden fixture is tested in tests/test_geojson.py)."""
+    from bufr2geojson_spark.functions.geojson import to_geojson
+
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = decode_documents(docs).filter("error is null")
+    return to_geojson(feats, keep_cols=("feature_id",)).select(
+        "feature_id", F.length("geojson").alias("geojson_len")
+    ).orderBy("feature_id")
+
+
 def q_engine_span_invariant(spark, sf_dir):
     """Span-sequence equality invariant as a query: per doc, decoded
     spans_out must equal the input spans."""
@@ -1169,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_tiles": q_engine_tiles,
         "engine_raster": q_engine_raster,
         "engine_media": q_engine_media,
+        "engine_geojson": q_engine_geojson,
         "engine_span_invariant": q_engine_span_invariant,
     }
 
