@@ -137,22 +137,47 @@ def _strip2(value):
     return value.strip()
 
 
+_SNAKE_CACHE: dict = {}
+
+
 def _snake(key: str) -> str:
-    key = _RANK_RE.sub("", key)
-    key = _CAMEL_RE.sub(r"\1_\2", key)
-    return key.lower()
+    # memoized: descriptor keys repeat constantly within and across docs,
+    # and the two regex passes were ~13% of decode CPU
+    v = _SNAKE_CACHE.get(key)
+    if v is None:
+        v = _CAMEL_RE.sub(r"\1_\2", _RANK_RE.sub("", key)).lower()
+        if len(_SNAKE_CACHE) < 65536:
+            _SNAKE_CACHE[key] = v
+    return v
 
 
 class _DocState:
-    """Per-document qualifier state (reference BUFRParser :192-214)."""
+    """Per-document qualifier state (reference BUFRParser :192-214).
 
-    __slots__ = ("q",)
+    ``v`` is a state version counter bumped on every qualifier mutation;
+    the derived views (qualifier grouping, time, location, z, identity) are
+    memoized against it — consecutive data elements between qualifier
+    updates share the same in-force state, so the expensive derivations run
+    once per state change instead of once per feature."""
+
+    __slots__ = ("q", "v", "_memo")
 
     def __init__(self):
         self.q = {c: {} for c in QUALIFIER_CLASSES}
+        self.v = 0
+        self._memo: dict = {}
+
+    def _cached(self, key, fn):
+        hit = self._memo.get(key)
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = fn()
+        self._memo[key] = (self.v, r)
+        return r
 
     def set_qualifier(self, fxxyyy, key, value, description, attributes,
                       append=False):
+        self.v += 1
         # reference :216-254
         xx = fxxyyy[1:3]
         if value is None and description is None:
@@ -181,6 +206,11 @@ class _DocState:
         return default
 
     def get_qualifiers(self) -> dict:
+        # memoized per state version; shallow-copied because the caller adds
+        # outer keys (BUFR_element, zCoordinate)
+        return dict(self._cached("qual", self._get_qualifiers))
+
+    def _get_qualifiers(self) -> dict:
         # reference :278-360 — grouping of in-force qualifiers by class
         identification, wigos_md, qualifiers = {}, {}, {}
         processing, monitoring, quality, associated_field = {}, {}, {}, {}
@@ -228,6 +258,10 @@ class _DocState:
     # ----- geometry / vertical (reference :362-523) -----
 
     def get_zcoordinate(self, bufr_class=None) -> dict:
+        return self._cached(("z", bufr_class),
+                            lambda: self._get_zcoordinate(bufr_class))
+
+    def _get_zcoordinate(self, bufr_class=None) -> dict:
         result = {}
         q7 = self.q["07"]
         station_ground = q7.get("height_of_station_ground_above_mean_sea_level")
@@ -287,6 +321,10 @@ class _DocState:
         return result
 
     def get_location(self, bufr_class=None):
+        return self._cached(("loc", bufr_class),
+                            lambda: self._get_location(bufr_class))
+
+    def _get_location(self, bufr_class=None):
         q5, q6 = self.q["05"], self.q["06"]
         latitude = None
         if "latitude" in q5:
@@ -316,6 +354,9 @@ class _DocState:
     # ----- time (reference :525-631) -----
 
     def get_time(self) -> str:
+        return self._cached("time", self._get_time)
+
+    def _get_time(self) -> str:
         xx = "04"
         year = self.get_qualifier(xx, "year")
         month = self.get_qualifier(xx, "month")
@@ -366,6 +407,10 @@ class _DocState:
     # ----- identification (reference :633-780) -----
 
     def get_identification(self, guess_wsi=False) -> dict:
+        return self._cached(("ident", guess_wsi),
+                            lambda: self._get_identification(guess_wsi))
+
+    def _get_identification(self, guess_wsi=False) -> dict:
         q1 = self.q["01"]
         wsi = None
         wigos_keys = ("wigos_identifier_series", "wigos_issuer_of_identifier",
@@ -509,8 +554,6 @@ def _report_id(spans) -> str:
 def _parse_value(tok: str):
     if tok == "" or tok is None:
         return None
-    if any(c in tok for c in ".eE") and not tok.lstrip("-").isdigit():
-        return float(tok)
     try:
         return int(tok)
     except ValueError:
@@ -546,6 +589,9 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
     msg_idx = int(raw_headers.get("messageNumber", 1))
     report_type = (f"{headers['dataCategory']:03}"
                    f"{headers['internationalDataSubCategory']:03}")
+    # serialized once per document; per-feature metadata_json splices this
+    # fragment instead of re-serializing the 23 header keys per feature
+    headers_json = json.dumps(headers)
 
     state = _DocState()
     last_key = None
@@ -655,7 +701,6 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
         zcoord = z.get("z") if z else None
         if z is not None:
             metadata["zCoordinate"] = zcoord
-        metadata["BUFRheaders"] = headers
 
         ident = state.get_identification(guess_wsi)
         wsi = ident["wsi"]
@@ -714,8 +759,11 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
             "report_type": report_type,
             "bufr_element": fxxyyy,
             "zcoord": zcoord,
-            "headers_json": json.dumps(headers),
-            "metadata_json": json.dumps(metadata),
+            "headers_json": headers_json,
+            # metadata keeps reference key order (BUFRheaders last) but the
+            # header fragment is spliced in pre-serialized
+            "metadata_json": json.dumps(metadata)[:-1]
+            + ',"BUFRheaders":' + headers_json + "}",
             "prov_json": json.dumps(prov),
             "error": None,
             "n_media_spans": n_media,
