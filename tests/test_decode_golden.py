@@ -258,3 +258,15 @@ def test_determinism(spark):
     a = decode_documents(docs).orderBy("feature_id").collect()
     b = decode_documents(docs).orderBy("feature_id").collect()
     assert a == b
+
+
+def test_strip2_unit():
+    """Reference's only unit test (tests/test_bufr2geojson.py:270-276)."""
+    from bufr2geojson_spark.operators.decode import _strip2
+
+    for value in ["test", " test", "test ", " test ", "  test    "]:
+        assert _strip2(value) == "test"
+    for value in [b"test", b" test", b"test ", b" test ", b"  test    "]:
+        assert _strip2(value) == b"test"
+    assert _strip2(5) == "5"
+    assert _strip2(None) is None
