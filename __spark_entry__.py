@@ -496,6 +496,53 @@ def _sql_geo_knn():
     """
 
 
+def q_geo_knn3(spark, sf_dir):
+    """k=3 ring-expansion kNN — exercises the full top-k array output."""
+    import pandas as pd
+
+    pts = _geo_points(spark, sf_dir)
+    st = pd.DataFrame(
+        _geo_station_rows(), columns=["station_id", "lat", "lon"]
+    )
+    st["tsi"] = st["station_id"]
+    st["elevation_m"] = 0.0
+    st["wmo_region"] = 0
+    stations = spark.createDataFrame(st)
+    out = knn_join(pts, stations, k=3, grid_deg=30.0)
+    return out.select(
+        "pid", F.explode("knn").alias("nn")
+    ).select(
+        "pid",
+        F.col("nn.station_id").alias("station_id"),
+        F.round("nn.dist_km", 2).alias("dist_km"),
+        F.col("nn.rank").alias("rank"),
+    ).orderBy("pid", "rank")
+
+
+def _sql_geo_knn3():
+    return f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    scored AS (
+        SELECT p.pid, st.station_id,
+               2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(st.s_lat - p.lat) / 2), 2)
+                   + cos(radians(p.lat)) * cos(radians(st.s_lat))
+                     * pow(sin(radians(st.s_lon - p.lon) / 2), 2)
+               )) AS d,
+               row_number() OVER (
+                   PARTITION BY p.pid ORDER BY
+                   2 * 6371.0 * asin(sqrt(
+                       pow(sin(radians(st.s_lat - p.lat) / 2), 2)
+                       + cos(radians(p.lat)) * cos(radians(st.s_lat))
+                         * pow(sin(radians(st.s_lon - p.lon) / 2), 2)
+                   )) ASC, st.station_id ASC) AS rn
+        FROM pts p CROSS JOIN {_stations_values_sql()}
+    )
+    SELECT pid, station_id, round(d, 2) AS dist_km, rn AS rank
+    FROM scored WHERE rn <= 3 ORDER BY pid, rank
+    """
+
+
 def q_geo_pip(spark, sf_dir):
     import pandas as pd
 
@@ -1155,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_customers_per_segment": q_distinct_customers_per_segment,
         # geo operator semantics vs SQL oracles (N3/N4/N5/N7)
         "geo_knn": q_geo_knn,
+        "geo_knn3": q_geo_knn3,
         "geo_pip": q_geo_pip,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         # dedup / text analysis
@@ -1200,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "event_hourly_windows": _SQL_EVENT_HOURLY,
         "distinct_customers_per_segment": _SQL_DISTINCT_SEGMENT,
         "geo_knn": _sql_geo_knn(),
+        "geo_knn3": _sql_geo_knn3(),
         "geo_pip": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "dedup_exact": _SQL_DEDUP_EXACT,

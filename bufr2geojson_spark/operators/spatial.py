@@ -238,17 +238,32 @@ class _StationGrid:
         for s, e in zip(starts, ends):
             self.buckets[(int(keys[s, 0]), int(keys[s, 1]))] = order[s:e]
 
-    def ring_candidates(self, ci: int, cj: int, ring: int) -> np.ndarray:
-        """Station indices whose bucket is at Chebyshev distance == ring."""
+    def ring_candidates(self, ci: int, cj: int, ring: int,
+                        seen: set | None = None) -> np.ndarray:
+        """Station indices whose bucket is at Chebyshev distance == ring.
+
+        ``seen`` tracks visited bucket keys across the expansion: longitude
+        wrap (``% nlon``) can map several (di, dj) offsets — within one ring
+        or across rings — onto the same bucket, and a duplicated bucket
+        would duplicate its stations in the candidate list (wrong top-k for
+        k > 1)."""
         out = []
         if ring == 0:
-            b = self.buckets.get((ci, cj))
+            key = (ci, cj % self.nlon)
+            if seen is not None:
+                seen.add(key)
+            b = self.buckets.get(key)
             return b if b is not None else np.array([], dtype=np.int64)
         for di in range(-ring, ring + 1):
             for dj in range(-ring, ring + 1):
                 if max(abs(di), abs(dj)) != ring:
                     continue
-                b = self.buckets.get((ci + di, (cj + dj) % self.nlon))
+                key = (ci + di, (cj + dj) % self.nlon)
+                if seen is not None:
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                b = self.buckets.get(key)
                 if b is not None:
                     out.append(b)
         if out:
@@ -334,6 +349,7 @@ def knn_join(
                 continue
             fci, fcj = int(ci[gidx[0]]), int(cj[gidx[0]])
             cand = []
+            seen_buckets: set = set()
             ring = 0
             glat = lat[gidx]
             glon = lon[gidx]
@@ -344,7 +360,7 @@ def knn_join(
             phi_max = min(89.9, max(abs(band_lo), abs(band_hi)))
             cos_phi = np.cos(np.radians(phi_max))
             while ring <= max_ring:
-                c = grid.ring_candidates(fci, fcj, ring)
+                c = grid.ring_candidates(fci, fcj, ring, seen_buckets)
                 if c.size:
                     cand.append(c)
                 total = sum(x.size for x in cand)

@@ -138,3 +138,30 @@ def test_knn_high_latitude_correct(spark):
     d = haversine_km(84.0, 60.0, st["lat"].to_numpy(), st["lon"].to_numpy())
     assert r.nearest_station_id == st["station_id"][int(np.argmin(d))]
     assert abs(r.nearest_station_km - d.min()) < 1e-6
+
+
+def test_knn_topk_no_duplicate_stations_under_lon_wrap(spark):
+    """Longitude wrap can map several ring offsets onto one bucket; a
+    duplicated bucket once yielded the same station twice in the top-k
+    (caught by the geo_knn3 DuckDB oracle). Coarse 30-degree grid + k=3
+    forces rings wide enough to wrap."""
+    import pandas as pd
+
+    from bufr2geojson_spark.operators.spatial import knn_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "lat": [-66.1, 10.0],
+                      "lon": [-32.7, 179.5]})
+    )
+    st = pd.DataFrame({
+        "station_id": [f"s{i}" for i in range(6)],
+        "lat": [-59.7, -18.4, -35.2, 40.0, 10.5, -66.0],
+        "lon": [142.2, -73.9, 73.2, -179.8, 178.9, -33.0],
+    })
+    stations = spark.createDataFrame(st)
+    out = knn_join(pts, stations, k=3, grid_deg=30.0).collect()
+    for r in out:
+        sids = [nn.station_id for nn in r.knn]
+        assert len(sids) == len(set(sids)), f"duplicate station in top-k: {sids}"
+        dists = [nn.dist_km for nn in r.knn]
+        assert dists == sorted(dists)
