@@ -138,16 +138,24 @@ def _edges_values_sql() -> str:
     return f"(VALUES {rows}) AS e(region_id, x1, y1, x2, y2, is_anti)"
 
 
+_SYNTH_CACHE: dict = {}
+
+
 def _synth_engine_inputs(spark: SparkSession, n_docs: int = 240):
-    # persist: several engine queries branch over the same corpus (hot-cell
-    # detection + salted agg + rollup), and the driver collects each query
-    # separately — caching the tiny synthesized input avoids re-synthesis
+    # persist + memoize: several engine queries branch over the same corpus
+    # (hot-cell detection + salted agg + rollup) and the driver collects
+    # each query separately — one cached corpus per size is shared across
+    # all of them instead of each call pinning its own copy for the session
+    key = (id(spark), n_docs)
+    if key in _SYNTH_CACHE:
+        return _SYNTH_CACHE[key]
     docs = golden_documents(spark).unionByName(
         synth_documents(spark, n_docs, n_stations=48, partitions=4)
     ).persist()
     stations = synth_stations(spark, 48)
     polygons = synth_region_polygons(spark)
-    return docs, stations, polygons
+    _SYNTH_CACHE[key] = (docs, stations, polygons)
+    return _SYNTH_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

@@ -183,13 +183,16 @@ def pip_join(
     )
     # region_name via a literal map (the dim is already collected for the
     # UDF closure) — zero exchanges, vs. a broadcast join whose build side
-    # would still shuffle for the dedup
+    # would still shuffle for the dedup. Names are deduped first: a
+    # multipolygon region legitimately has one row per ring, and duplicate
+    # keys would make create_map throw under the default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION
+    names: dict[str, str] = {}
+    for p in polys:
+        names.setdefault(p["region_id"], p["region_name"])
     name_map = F.create_map(
-        *[
-            lit
-            for p in polys
-            for lit in (F.lit(p["region_id"]), F.lit(p["region_name"]))
-        ]
+        *[lit for rid, rname in names.items()
+          for lit in (F.lit(rid), F.lit(rname))]
     )
     return exploded.select(
         *features.columns,
@@ -328,6 +331,13 @@ def knn_join(
         lat = lat_s.to_numpy(dtype=np.float64)
         lon = lon_s.to_numpy(dtype=np.float64)
         n = len(lat)
+        if n == 0:
+            return pd.DataFrame(
+                {"nearest_station_id": pd.Series(dtype=object),
+                 "nearest_station_km": pd.Series(dtype="float64"),
+                 "knn_ring": pd.Series(dtype="int32"),
+                 "knn": pd.Series(dtype=object)}
+            )
         nid = np.full(n, None, dtype=object)
         nkm = np.full(n, np.nan)
         nring = np.full(n, -1, dtype=np.int64)
@@ -397,17 +407,23 @@ def knn_join(
                 grid.lats[all_c][None, :], grid.lons[all_c][None, :],
             )
             kuse = min(kk, all_c.size)
-            part = np.argsort(d, axis=1)[:, :kuse]
+            # deterministic ranking: distance ASC, station_id ASC on ties
+            # (np.argsort alone breaks ties by candidate order, which
+            # depends on bucket traversal); distances stay unrounded so a
+            # consumer's single rounding step matches an oracle's
+            sid_keys = grid.ids[all_c].astype(str)
             for row_i, fi in enumerate(gidx):
-                sel = part[row_i]
+                # NB: fresh name — the outer `order` array drives the
+                # group slicing and must not be shadowed
+                sel = np.lexsort((sid_keys, d[row_i]))[:kuse]
                 dists = d[row_i, sel]
                 sids = grid.ids[all_c[sel]]
                 nid[fi] = sids[0]
-                nkm[fi] = round(float(dists[0]), 6)
+                nkm[fi] = float(dists[0])
                 nring[fi] = min(ring, max_ring)
                 topk[fi] = [
                     {"station_id": str(sids[j]),
-                     "dist_km": round(float(dists[j]), 6),
+                     "dist_km": float(dists[j]),
                      "rank": j + 1}
                     for j in range(kuse)
                 ]

@@ -13,9 +13,11 @@ are offered:
   the checkpoint dir; re-running resumes from the last committed offset (the
   streaming analogue of the batch pipeline's lineage-resume).
 * ``windowed_tile_counts`` — event-time windowed aggregation with a
-  watermark over ``phenomenon_time``: per (window, cell) observation counts,
-  late data beyond the watermark dropped. State is bounded by
-  watermark horizon × cell cardinality.
+  watermark over ``phenomenon_time``: per (window, cell) observation counts.
+  In ``append`` output mode the watermark drops late data and bounds state
+  to watermark horizon × cell cardinality; ``complete`` mode (the bounded
+  drain used by tests/backfills) re-emits all windows and does not bound
+  state — see ``run_windowed_counts_once``.
 
 All transformations are the stateless batch stages (mapInPandas / pandas
 UDFs work unchanged on streaming DataFrames); only the windowed aggregation
@@ -57,8 +59,13 @@ def event_time(features: DataFrame) -> DataFrame:
     instant = F.when(
         pt.contains("/"), F.element_at(F.split(pt, "/"), 2)
     ).otherwise(pt)
+    # try_to_timestamp: the decoder deliberately preserves the reference's
+    # "Invalid date (...)" message string as phenomenon_time for docs with
+    # missing date qualifiers (reference :543-549); under Spark 4's default
+    # ANSI mode a plain to_timestamp would abort the whole stream on it
+    # instead of yielding null
     return features.withColumn(
-        "event_ts", F.to_timestamp(instant, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        "event_ts", F.try_to_timestamp(instant, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
     )
 
 
@@ -96,10 +103,16 @@ def run_ingest_once(
     n_batches = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch write: foreachBatch alone is only
+        # at-least-once (a crash between the append and the offset commit
+        # replays the batch); scoping each batch to its own overwritten
+        # directory makes the replay rewrite the same files instead of
+        # duplicating rows — that, plus the checkpointed offsets, is the
+        # exactly-once contract
         (
-            batch_df.write.mode("append")
+            batch_df.write.mode("overwrite")
             .partitionBy("cell_prefix")
-            .parquet(output_path)
+            .parquet(f"{output_path}/batch_id={batch_id}")
         )
         n_batches["n"] += 1
 
@@ -120,9 +133,19 @@ def run_windowed_counts_once(
     query_name: str = "tile_counts",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    output_mode: str = "complete",
 ) -> DataFrame:
-    """AvailableNow windowed aggregation into an in-memory sink (complete
-    mode) — returns the result table for assertions/serving."""
+    """AvailableNow windowed aggregation into an in-memory sink — returns
+    the result table for assertions/serving.
+
+    Output-mode semantics matter here: in the default ``complete`` mode
+    Spark does NOT use the watermark to drop late data or bound state — it
+    re-emits every window each batch, which is the right shape for a
+    *bounded drain* (tests, backfills) where the stream ends. For an
+    unbounded production stream pass ``output_mode='append'``: only
+    watermark-expired windows emit, late data is dropped, and state is
+    bounded by watermark horizon × cell cardinality (but windows still open
+    when an AvailableNow drain ends are withheld)."""
     stream = read_document_stream(spark, input_path)
     counts = windowed_tile_counts(
         decode_stream(stream), window=window, watermark=watermark
@@ -130,7 +153,7 @@ def run_windowed_counts_once(
     q = (
         counts.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

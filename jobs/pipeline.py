@@ -13,7 +13,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# running without --py-files (plain `python jobs/pipeline.py`): the package
+# lives next to this script's parent dir
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VALID_STAGES = ("D", "T", "J", "A", "W")
 
 
 def main() -> None:
@@ -32,6 +40,20 @@ def main() -> None:
                          " e.g. 'J,A,W' fuses decode+cells+joins into one"
                          " pass for throughput)")
     args = ap.parse_args()
+
+    # validate before paying Spark startup: a silently-ignored typo here
+    # would disable all materialization and leave no resume points
+    checkpoint_stages = None
+    if args.checkpoints:
+        checkpoint_stages = tuple(
+            s.strip().upper() for s in args.checkpoints.split(",") if s.strip()
+        )
+        unknown = set(checkpoint_stages) - set(VALID_STAGES)
+        if unknown:
+            raise SystemExit(
+                f"--checkpoints: unknown stage(s) {sorted(unknown)}; "
+                f"valid: {','.join(VALID_STAGES)}"
+            )
 
     from pyspark.sql import SparkSession
 
@@ -61,10 +83,8 @@ def main() -> None:
     polygons = synth_region_polygons(spark)
 
     conf = PipelineConfig()
-    if args.checkpoints:
-        conf.checkpoint_stages = tuple(
-            s.strip() for s in args.checkpoints.split(",") if s.strip()
-        )
+    if checkpoint_stages:
+        conf.checkpoint_stages = checkpoint_stages
 
     t0 = time.monotonic()
     res = run_pipeline(

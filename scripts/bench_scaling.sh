@@ -19,7 +19,7 @@ WORK="${SCALE_WORK:-/dev/shm/b2g_scale}"
 rm -f bufr2geojson_spark.zip
 zip -qr bufr2geojson_spark.zip bufr2geojson_spark
 
-for C in 8 32; do
+for C in ${SCALE_CORES:-2 8 32}; do
   rm -rf "$WORK/n$C"
   spark-submit --master "local[$C]" --driver-memory 40g \
     --conf spark.sql.shuffle.partitions=$((C * 2)) \

@@ -3,7 +3,7 @@ pre-materialized input, so phase-level scaling efficiency (N vs 4N cores) can
 be attributed. Usage:
 
     spark-submit --master local[C] --py-files bufr2geojson_spark.zip \
-        scripts/profile_scaling.py --docs <parquet> [--phases synth,decode,...]
+        scripts/profile_scaling.py --docs <parquet> [--synth N]
 """
 
 from __future__ import annotations
