@@ -107,8 +107,6 @@ def _stations_values_sql() -> str:
 def _polygon_edges() -> list[tuple[str, float, float, float, float, int]]:
     """Region polygon edges (region_id, x1, y1, x2, y2, anti) from the synth
     shapes — module-level, no Spark needed."""
-    import pandas as pd  # noqa: F401
-
     edges = []
     shapes = _polygon_shapes()
     for rid, ring, anti in shapes:

@@ -43,7 +43,10 @@ Reference behaviors reproduced exactly (file:line cites into
   itself normalizes them, tests/test_bufr2geojson.py:261-262);
 * per-document error containment → quarantine ``error`` column instead of
   executor-killing exceptions (R27; reference logs & yields {} at
-  :1213-1218, :1299-1300).
+  :1213-1218, :1299-1300). NOTE the span-text contract: element fields are
+  pipe-separated and text fields must not contain ``|`` (the synth never
+  emits one); a malformed span mis-parses and the document lands in
+  quarantine rather than crashing the executor.
 
 Known-dead reference branches intentionally NOT resurrected (SURVEY.md §7):
 the fxxyyy==tuple comparison (:1081-1088) and the fxxyyy-keyed increment

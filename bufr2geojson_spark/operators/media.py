@@ -100,7 +100,10 @@ def decode_media(media: DataFrame) -> DataFrame:
             meta = _fake_decode(pdf["media_ref"])
             meta.insert(0, "media_ref", pdf["media_ref"].to_numpy())
             meta.insert(0, "doc_id", pdf["doc_id"].to_numpy())
-            meta["is_stub"] = not _HAVE_PIL
+            # unconditionally a stub: only _fake_decode exists today, so the
+            # flag must not claim a real decode just because PIL happens to
+            # be importable — flip this only when a real PIL path is wired
+            meta["is_stub"] = True
             yield meta[[f.name for f in MEDIA_META_SCHEMA.fields]]
 
     return media.select("doc_id", "media_ref").mapInPandas(

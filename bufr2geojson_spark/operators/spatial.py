@@ -367,8 +367,7 @@ def knn_join(
             # longitude separation in the termination bound
             band_lo = fci * grid.g - 90.0
             band_hi = band_lo + grid.g
-            phi_max = min(89.9, max(abs(band_lo), abs(band_hi)))
-            cos_phi = np.cos(np.radians(phi_max))
+            phi_band = max(abs(band_lo), abs(band_hi))
             while ring <= max_ring:
                 c = grid.ring_candidates(fci, fcj, ring, seen_buckets)
                 if c.size:
@@ -382,13 +381,21 @@ def knn_join(
                     )
                     kth = np.sort(d, axis=1)[:, kk - 1]
                     best_kth = float(kth.max())
-                    # lower bound on distance to anything beyond ring:
-                    # lat-only separation ≥ ring·g degrees; lon-only
-                    # separation ≥ ring·g degrees shrunk by cos(lat)
-                    # (exact great-circle bound via haversine of a pure
-                    # lon offset at the band's worst latitude)
+                    # lower bound on distance to any UNEXPLORED bucket
+                    # (Chebyshev > ring). Two disjoint cases:
+                    # |di| > ring  → pure-lat gap ≥ ring·g degrees;
+                    # |di| ≤ ring, |dj| > ring → lon gap ≥ ring·g degrees,
+                    #   but the station may sit up to ring·g degrees of
+                    #   latitude away, where meridians converge — so the
+                    #   cos shrink must use the WORST latitude reachable
+                    #   within ±ring rows (φ_band + ring·g), not just the
+                    #   feature's own band (haversine ≥
+                    #   2R·asin(cos φmax·sin(Δλ/2)) since
+                    #   cosφ1·cosφ2 ≥ cos²φmax)
                     sep = np.radians(min(ring * grid.g, 180.0))
                     lat_bound = sep * EARTH_RADIUS_KM
+                    phi_reach = min(90.0, phi_band + ring * grid.g)
+                    cos_phi = max(np.cos(np.radians(phi_reach)), 0.0)
                     lon_bound = 2.0 * EARTH_RADIUS_KM * np.arcsin(
                         np.clip(cos_phi * np.sin(sep / 2.0), 0.0, 1.0)
                     )

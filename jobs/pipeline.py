@@ -41,6 +41,9 @@ def main() -> None:
                          " pass for throughput)")
     args = ap.parse_args()
 
+    if not args.docs and not args.synth:
+        raise SystemExit("one of --docs or --synth is required")
+
     # validate before paying Spark startup: a silently-ignored typo here
     # would disable all materialization and leave no resume points
     checkpoint_stages = None

@@ -165,3 +165,31 @@ def test_knn_topk_no_duplicate_stations_under_lon_wrap(spark):
         assert len(sids) == len(set(sids)), f"duplicate station in top-k: {sids}"
         dists = [nn.dist_km for nn in r.knn]
         assert dists == sorted(dists)
+
+
+def test_knn_termination_bound_is_true_lower_bound(spark):
+    """Adversarial case for ring termination: the true nearest sits in an
+    unexplored bucket at higher latitude (meridians converge there, so its
+    real distance is SMALLER than a same-band bound would claim), while a
+    decoy at the feature's own latitude almost matches. The cos shrink must
+    use the worst latitude reachable within the ring, else the decoy wins."""
+    import pandas as pd
+
+    from bufr2geojson_spark.operators.spatial import haversine_km, knn_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "lat": [29.999], "lon": [29.999]})
+    )
+    st = pd.DataFrame({
+        "station_id": ["true-nearest", "decoy"],
+        "lat": [60.0001, 29.999],
+        "lon": [90.0001, -28.9],
+    })
+    d_true = haversine_km(29.999, 29.999, 60.0001, 90.0001)
+    d_decoy = haversine_km(29.999, 29.999, 29.999, -28.9)
+    assert d_true < d_decoy  # the trap is real
+    out = knn_join(
+        pts, spark.createDataFrame(st), k=1, grid_deg=30.0
+    ).collect()[0]
+    assert out.nearest_station_id == "true-nearest"
+    assert abs(out.nearest_station_km - d_true) < 1e-6
