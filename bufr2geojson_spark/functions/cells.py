@@ -311,6 +311,18 @@ def hex_parent(cell: np.ndarray, res: int) -> np.ndarray:
     return hex_encode(lat, lon, res)
 
 
+def hex_parent_udf(res: int):
+    """Arrow-batched hex parent (unlike the S2 parent, hex ancestry is not
+    pure bit math — it re-encodes the child center at the coarser res, per
+    H3's own parent semantics)."""
+
+    @pandas_udf(LongType())
+    def _par(cell: pd.Series) -> pd.Series:
+        return pd.Series(hex_parent(cell.to_numpy(dtype=np.int64), res))
+
+    return _par
+
+
 # ---------------------------------------------------------------------------
 # Spark surface: Arrow-batched pandas UDF factories
 # ---------------------------------------------------------------------------

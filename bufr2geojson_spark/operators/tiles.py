@@ -107,12 +107,27 @@ def tile_aggregate(
 def tile_rollup(
     tiles: DataFrame, from_level: int, to_levels: list[int],
     cell_col: str = "cell_s2",
+    cell_kind: str = "s2",
 ) -> DataFrame:
-    """Multi-resolution rollup (N5): re-aggregate finished tiles up the S2
-    hierarchy with pure JVM bit math (s2_parent_col — no UDF, stays in
-    whole-stage codegen). Aggregating tiles (not raw features) makes each
-    coarser level a shuffle over the *tile* cardinality, which shrinks 4×
-    per level. Output: one row per (level, cell)."""
+    """Multi-resolution rollup (N5): re-aggregate finished tiles up the cell
+    hierarchy. Aggregating tiles (not raw features) makes each coarser level
+    a shuffle over the *tile* cardinality, which shrinks ~4× per level.
+    Output: one row per (level, cell).
+
+    ``cell_kind='s2'``: the ancestor is pure JVM bit math (s2_parent_col —
+    no UDF, stays in whole-stage codegen). ``cell_kind='hex'``: H3-style
+    ancestry re-encodes the child center at the coarser res (not bit math),
+    so the parent is an Arrow-batched UDF; everything else is identical."""
+    if cell_kind == "s2":
+        def parent(col, lvl):
+            return s2_parent_col(col, lvl)
+    elif cell_kind == "hex":
+        from bufr2geojson_spark.functions.cells import hex_parent_udf
+
+        def parent(col, lvl):
+            return hex_parent_udf(lvl)(col)
+    else:
+        raise ValueError("cell_kind must be 's2' or 'hex'")
     out = tiles.select(
         F.lit(from_level).alias("level"),
         F.col(cell_col).alias("cell"),
@@ -123,7 +138,7 @@ def tile_rollup(
         if lvl >= from_level:
             raise ValueError("rollup levels must be coarser than from_level")
         nxt = (
-            prev.groupBy(s2_parent_col(F.col("cell"), lvl).alias("cell"))
+            prev.groupBy(parent(F.col("cell"), lvl).alias("cell"))
             .agg(
                 F.sum("n_obs").alias("n_obs"),
                 F.sum("sum_val").alias("sum_val"),

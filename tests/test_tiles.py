@@ -134,3 +134,32 @@ def test_tile_cardinality_estimate_close_to_exact(spark):
         assert abs(r.n_tiles_approx - r.n_tiles_exact) <= max(
             2, 0.05 * r.n_tiles_exact
         )
+
+
+def test_hex_rollup_conserves_counts_and_contains_children(spark):
+    from bufr2geojson_spark.functions.cells import hex_parent, with_cells
+    from bufr2geojson_spark.operators.decode import decode_documents
+    from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_rollup
+    from bufr2geojson_spark.sources.synth import synth_documents
+
+    import numpy as np
+
+    docs = synth_documents(spark, 300, partitions=4)
+    feats = with_cells(decode_documents(docs).filter("error is null"),
+                       hex_res_=7)
+    base = tile_aggregate(feats, cell_col="cell_h3")
+    rolled = tile_rollup(base, 7, [5, 3], cell_col="cell_h3",
+                         cell_kind="hex")
+    per_level = {
+        r.level: r.total
+        for r in rolled.groupBy("level").agg(
+            __import__("pyspark.sql.functions", fromlist=["sum"])
+            .sum("n_obs").alias("total")).collect()
+    }
+    # observation counts conserved across every level
+    assert per_level[7] == per_level[5] == per_level[3]
+    # every level-7 cell's hex_parent at res 5 appears among the level-5 cells
+    l7 = [r.cell for r in rolled.filter("level = 7").collect()]
+    l5 = {r.cell for r in rolled.filter("level = 5").collect()}
+    parents = hex_parent(np.array(l7, dtype=np.int64), 5)
+    assert set(parents.tolist()) <= l5
