@@ -1139,6 +1139,20 @@ def q_engine_tiles(spark, sf_dir):
     ).orderBy("level", "cell")
 
 
+def q_engine_tiles_hex(spark, sf_dir):
+    """Hex (H3-style) multi-resolution rollup — the hex leg of N5."""
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    tiles = tile_rollup(
+        tile_aggregate(feats, cell_col="cell_h3"), 7, [5, 3],
+        cell_col="cell_h3", cell_kind="hex",
+    )
+    return tiles.select(
+        "level", "cell", "n_obs",
+        F.round("sum_val", 4).alias("sum_val"),
+    ).orderBy("level", "cell")
+
+
 def q_engine_raster(spark, sf_dir):
     docs, _, _ = _synth_engine_inputs(spark)
     feats = with_cells(decode_documents(docs).filter("error is null"))
@@ -1233,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
         "engine_tiles": q_engine_tiles,
+        "engine_tiles_hex": q_engine_tiles_hex,
         "engine_raster": q_engine_raster,
         "engine_media": q_engine_media,
         "engine_geojson": q_engine_geojson,

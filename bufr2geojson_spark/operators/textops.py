@@ -210,38 +210,34 @@ SIMHASH_BITS = 16
 
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash over word hashes, computed NARROW per row with
-    aggregate+zip_with (no explode, no shuffle): counter[b] accumulates
-    ±1 per word bit b; final bit b set iff counter[b] > 0."""
+    """16-bit SimHash over word hashes: counter[b] accumulates ±1 per word
+    bit b; final bit b set iff counter[b] > 0.
+
+    Plan shape: explode words → md5 once per word as a flat codegen'd
+    projection → 16 per-bit sums in one groupBy(doc_id) (map-side partial
+    aggregation collapses each doc to one row before the exchange). The
+    earlier aggregate+zip_with fold kept everything narrow but evaluated
+    the lambda INTERPRETED (no codegen for Spark higher-order functions) —
+    the same ~10×-per-hash penalty the minhash rewrite removed."""
     w = words_of(F.col(text_col))
-    # hash each word ONCE up front (md5 is the expensive part — folding over
-    # pre-hashed longs instead of words cuts md5 calls 16×); shift amounts
-    # must be Python ints (JVM shift ops take literal counts), so the per-bit
-    # array is built with a Python loop of expressions over the bound hash
-    hashes = F.transform(w, lambda word: h32(word))
-    counters = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, b).bitwiseAND(F.lit(1))
-                    .cast("long") * F.lit(2) - F.lit(1)
-                    for b in range(SIMHASH_BITS)
-                ]
-            ),
-            lambda x, y: x + y,
-        ),
-    )
-    with_counters = docs.select(F.col(id_col), counters.alias("_c"))
+    exploded = docs.select(F.col(id_col), F.explode_outer(w).alias("_w"))
+    h = h32(F.col("_w"))
+    hashed = exploded.select(F.col(id_col), h.alias("_h"))
+    counter_aggs = [
+        F.sum(
+            F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))
+            .cast("long") * F.lit(2) - F.lit(1)
+        ).alias(f"_c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    counters = hashed.groupBy(id_col).agg(*counter_aggs)
     bits = None
     for b in range(SIMHASH_BITS):
         term = F.when(
-            F.element_at(F.col("_c"), b + 1) > 0, F.lit(1 << b).cast("long")
+            F.col(f"_c{b}") > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         bits = term if bits is None else bits + term
-    return with_counters.select(F.col(id_col), bits.alias("simhash"))
+    return counters.select(F.col(id_col), bits.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
