@@ -608,24 +608,33 @@ def q_geo_tile_agg_salted(spark, sf_dir):
         pts, cell_col="tile", value_col="result_value",
         salt_buckets=8, hot_threshold=5,
     )
+    # engine-agnostic floor-form rounding (pure IEEE arithmetic, identical in
+    # Spark and DuckDB even on .5 ties) — same trick as textops.round6
+    def _r(c, dp):
+        m = float(10 ** dp)
+        return F.floor(F.col(c) * m + F.lit(0.5)) / m
+
     return out.select(
         "tile", "n_obs",
-        F.round("sum_val", 2).alias("sum_val"),
-        F.round("min_val", 2).alias("min_val"),
-        F.round("max_val", 2).alias("max_val"),
-        F.round("avg_val", 4).alias("avg_val"),
+        _r("sum_val", 2).alias("sum_val"),
+        _r("min_val", 2).alias("min_val"),
+        _r("max_val", 2).alias("max_val"),
+        _r("avg_val", 4).alias("avg_val"),
     ).orderBy("tile")
 
 
+# tile must be CAST to BIGINT: Spark's floor(long)*100+floor(long) is BIGINT
+# while DuckDB's floor() returns DOUBLE — the round-1 hash mismatch was
+# canonical "400" vs "400.0" with every value equal.
 _SQL_GEO_TILE = f"""
     WITH pts AS ({_GEO_PTS_SQL})
-    SELECT floor((lat + 90.0) / 5.0) * 100
-           + floor((lon + 180.0) / 5.0) AS tile,
+    SELECT CAST(floor((lat + 90.0) / 5.0) * 100
+           + floor((lon + 180.0) / 5.0) AS BIGINT) AS tile,
            count(val) AS n_obs,
-           round(sum(val), 2) AS sum_val,
-           round(min(val), 2) AS min_val,
-           round(max(val), 2) AS max_val,
-           round(sum(val) / count(val), 4) AS avg_val
+           floor(sum(val) * 100 + 0.5) / 100 AS sum_val,
+           floor(min(val) * 100 + 0.5) / 100 AS min_val,
+           floor(max(val) * 100 + 0.5) / 100 AS max_val,
+           floor(sum(val) / count(val) * 10000 + 0.5) / 10000 AS avg_val
     FROM pts GROUP BY 1 ORDER BY tile
 """
 
@@ -1055,9 +1064,27 @@ _SQL_ANN_IVF = f"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    # n_planes=0 = the exact all-pairs ORACLE form (never the operator
+    # default); the default bucketed path is exercised by
+    # q_embedding_near_dup_lsh below.
     e = _t(spark, sf_dir, "embeddings")
     return (
-        A.embedding_near_dup(e, threshold=0.42)
+        A.embedding_near_dup(e, threshold=0.42, n_planes=0)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The LSH-bucketed (default) near-dup path, checked against the exact
+    all-pairs oracle. 2 planes × 12 OR-ed tables is recall-complete on this
+    corpus at threshold 0.42 (verified in numpy: recovers every exact pair
+    at sf0.001/0.01/0.1) — the synthetic embeddings have no tight near-dup
+    clusters (max pair cosine 0.51), so completeness needs OR-amplification;
+    on real near-dup data (cosine ≥ 0.95) the same operator prunes
+    instead."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        A.embedding_near_dup(e, threshold=0.42, n_planes=2, n_tables=12)
         .orderBy("id_a", "id_b")
     )
 
@@ -1165,10 +1192,17 @@ def q_engine_media(spark, sf_dir):
     media = media_table(docs)
     meta = decode_media(media)
     frames = frame_sample(media, n_frames=4)
+    # frame_ts is array<double>; the driver's pandas canonicalization cannot
+    # factorize list cells (round-1 engine_media err), so serialize it to a
+    # deterministic CSV string column before returning.
     return (
         meta.join(frames, ["doc_id", "media_ref"])
         .select("doc_id", "media_ref", "width", "height", "channels",
-                "sha", "is_stub", "frame_ts")
+                "sha", "is_stub",
+                F.concat_ws(
+                    ",",
+                    F.transform("frame_ts", lambda x: x.cast("string")),
+                ).alias("frame_ts_csv"))
         .orderBy("doc_id", "media_ref")
     )
 
@@ -1241,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # engine-native (rows-only)
         "engine_decode": q_engine_decode,
         "engine_cells": q_engine_cells,
@@ -1286,4 +1321,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _SQL_ANN_IVF,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP,
     }

@@ -369,21 +369,29 @@ def token_counts(docs: DataFrame, text_col: str = "text",
 def fingerprint(docs: DataFrame, k: int = 8, mod: int = 16,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Mod-p sampled character-k-gram fingerprint (winnowing-style document
-    signature): keep k-gram hashes ≡ 0 (mod ``mod``)."""
+    signature): keep k-gram hashes ≡ 0 (mod ``mod``).
+
+    Plan shape (round-2 rewrite, mirroring ``minhash_signature``): explode
+    gram positions → md5 as a flat codegen projection → map-side-combined
+    groupBy(doc_id). The earlier ``transform``/``filter`` formulation ran
+    O(len) md5s per row INTERPRETED (Spark higher-order functions don't
+    codegen). The groupBy shuffle is one row per document thanks to partial
+    aggregation; docs shorter than ``k`` survive via ``explode_outer`` with
+    a null position → null hash → zero-count group."""
     t = F.col(text_col)
     n = F.length(t)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.substr(t, i, F.lit(k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(grams, lambda g: h32(g))
-    kept = F.filter(hashes, lambda h: h % mod == 0)
-    return docs.select(
-        F.col(id_col),
-        F.size(kept).cast("long").alias("n_fp"),
-        F.array_min(kept).alias("min_fp"),
-        F.array_max(kept).alias("max_fp"),
+    positions = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1)))
+    exploded = docs.select(
+        F.col(id_col), F.explode_outer(positions).alias("_i"), t.alias("_t")
+    )
+    h = h32(F.substr(F.col("_t"), F.col("_i"), F.lit(k)))
+    kept = F.when(h % mod == 0, h)
+    return (
+        exploded.select(F.col(id_col), kept.alias("_kh"))
+        .groupBy(id_col)
+        .agg(
+            F.count("_kh").alias("n_fp"),
+            F.min("_kh").alias("min_fp"),
+            F.max("_kh").alias("max_fp"),
+        )
     )

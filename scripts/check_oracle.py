@@ -1,10 +1,14 @@
 """Run every queries() entry vs its oracle_sql() in DuckDB at a given sf dir,
 mimicking the driver's correctness gate (row count + sorted-column values).
 
+The comparison is EXACT — canonical string equality per cell, no float
+tolerance — because the driver hashes exact canonical values; a tolerant
+local check let the round-1 geo_tile BIGINT-vs-DOUBLE mismatch through
+("400" vs "400.0"). Local green must predict driver green.
+
 Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
 """
 
-import math
 import sys
 import time
 
@@ -22,19 +26,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical string form: sorted columns, every cell stringified with its
+    native dtype repr (int64 500 -> "500", float64 500.0 -> "500.0"), rows
+    sorted. Matches what the driver's value hash sees."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].map(lambda v: str(v))
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def _values_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 
 

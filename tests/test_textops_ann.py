@@ -78,16 +78,33 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, emb):
     all-pairs result (same threshold), never a false positive."""
     exact = {
         (r.id_a, r.id_b)
-        for r in A.embedding_near_dup(emb, threshold=0.40).collect()
+        for r in A.embedding_near_dup(emb, threshold=0.40,
+                                      n_planes=0).collect()
     }
     lsh = {
         (r.id_a, r.id_b)
         for r in A.embedding_near_dup(
-            emb, threshold=0.40, n_planes=2, dim=64
+            emb, threshold=0.40, n_planes=2, n_tables=1, dim=64
         ).collect()
     }
     assert lsh <= exact
     assert len(exact) > 0
+
+
+def test_embedding_near_dup_default_is_bucketed(spark, emb):
+    """The DEFAULT path must be the LSH-bucketed self-join (no O(n²) cross
+    product in the plan) and, at a high threshold, must recover the exact
+    all-pairs result (OR-amplified recall)."""
+    df = A.embedding_near_dup(emb, threshold=0.90)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "tbl" in plan and "bucket" in plan
+    exact = {
+        (r.id_a, r.id_b)
+        for r in A.embedding_near_dup(emb, threshold=0.90,
+                                      n_planes=0).collect()
+    }
+    got = {(r.id_a, r.id_b) for r in df.collect()}
+    assert got == exact
 
 
 def test_minhash_lsh_single_scan_plan(spark, docs):
