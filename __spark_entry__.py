@@ -143,8 +143,11 @@ def _synth_engine_inputs(spark: SparkSession, n_docs: int = 240):
     # persist + memoize: several engine queries branch over the same corpus
     # (hot-cell detection + salted agg + rollup) and the driver collects
     # each query separately — one cached corpus per size is shared across
-    # all of them instead of each call pinning its own copy for the session
-    key = (id(spark), n_docs)
+    # all of them instead of each call pinning its own copy for the session.
+    # Keyed on applicationId, not id(spark): a stopped session's id() can be
+    # reused by a new session, which would hand out DataFrames bound to a
+    # dead SparkContext.
+    key = (spark.sparkContext.applicationId, n_docs)
     if key in _SYNTH_CACHE:
         return _SYNTH_CACHE[key]
     docs = golden_documents(spark).unionByName(

@@ -115,9 +115,16 @@ def tile_rollup(
     Output: one row per (level, cell).
 
     ``cell_kind='s2'``: the ancestor is pure JVM bit math (s2_parent_col —
-    no UDF, stays in whole-stage codegen). ``cell_kind='hex'``: H3-style
-    ancestry re-encodes the child center at the coarser res (not bit math),
-    so the parent is an Arrow-batched UDF; everything else is identical."""
+    no UDF, stays in whole-stage codegen) and ancestry is TRANSITIVE, so
+    each coarser level re-aggregates the previous one (cheapest: the
+    shuffle shrinks ~4× per level). ``cell_kind='hex'``: H3-style ancestry
+    re-encodes the child center at the coarser res and is NOT transitive
+    (aperture-4 hexes don't nest), so chaining 7→5→3 can place mass in
+    different level-3 cells than a direct 7→3 assignment, compounding per
+    level — every hex target level is therefore derived DIRECTLY from the
+    from_level tiles. The residual approximation (a fine hex whose center
+    falls in a different coarse hex than most of its area) is inherent to
+    hex grids and documented, not compounded."""
     if cell_kind == "s2":
         def parent(col, lvl):
             return s2_parent_col(col, lvl)
@@ -133,12 +140,14 @@ def tile_rollup(
         F.col(cell_col).alias("cell"),
         "n_obs", "sum_val", "min_val", "max_val", "avg_val",
     )
+    base = out
     prev = out
     for lvl in sorted(to_levels, reverse=True):
         if lvl >= from_level:
             raise ValueError("rollup levels must be coarser than from_level")
+        src = prev if cell_kind == "s2" else base
         nxt = (
-            prev.groupBy(parent(F.col("cell"), lvl).alias("cell"))
+            src.groupBy(parent(F.col("cell"), lvl).alias("cell"))
             .agg(
                 F.sum("n_obs").alias("n_obs"),
                 F.sum("sum_val").alias("sum_val"),

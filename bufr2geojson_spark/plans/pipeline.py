@@ -15,6 +15,7 @@ output + lineage already exist — the checkpoint-resume contract (N10).
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,10 +82,25 @@ def run_pipeline(
     conf = conf or PipelineConfig()
     res = PipelineResult(snapshot_id=snapshot_id)
 
+    if "W" in conf.stages and "W" not in conf.checkpoint_stages:
+        # W *is* the final write: excluding it from checkpoint_stages would
+        # silently produce no output table — a config typo, not a fusion
+        # choice (there is no downstream stage for W to fuse into)
+        warnings.warn(
+            "'W' is in stages but not in checkpoint_stages: the final "
+            "feature table will NOT be written. Add 'W' to "
+            "checkpoint_stages (or drop it from stages to be explicit).",
+            stacklevel=2,
+        )
+
+    materialized = True  # current `features` is backed by parquet/cache
+
     def do(stage: str, compute, **wkw) -> DataFrame:
+        nonlocal materialized
         if stage not in conf.checkpoint_stages:
             # lazy stage: fuses into the next checkpointed stage's pass
             res.executed.append(f"{stage}~fused")
+            materialized = False
             return compute()
         if resume and L.stage_complete(spark, work_dir, run_id, stage):
             res.skipped.append(stage)
@@ -93,6 +109,7 @@ def run_pipeline(
             compute(), spark, work_dir, run_id, stage, snapshot_id, **wkw
         )
         res.executed.append(stage)
+        materialized = True
         return out
 
     upto = conf.stages
@@ -138,6 +155,19 @@ def run_pipeline(
             return j
         features = do("J", _joins, cell_col="cell_s2")
 
+    # When the feature chain up to here is FUSED (not checkpointed) and more
+    # than one checkpointed consumer follows (A reads it for tiles, W for
+    # the final write), cache it — otherwise the whole decode+join chain
+    # re-executes once per consumer (e.g. checkpoint_stages=('A','W') ran
+    # the full pass twice in round 1)
+    _cached_features = None
+    n_consumers = ("A" in upto and "A" in conf.checkpoint_stages) + (
+        "W" in upto and "W" in conf.checkpoint_stages
+    )
+    if not materialized and n_consumers > 1:
+        features = features.persist()
+        _cached_features = features
+
     # A — salted tile aggregation + rollup
     if "A" in upto:
         def _tiles():
@@ -164,6 +194,11 @@ def run_pipeline(
         )
 
     res.features = features
+    # release the fused-chain cache once the final features are parquet-
+    # backed (W checkpointed replaced `features` with the read-back table);
+    # if W was fused, res.features still points at the cached chain — keep it
+    if _cached_features is not None and features is not _cached_features:
+        _cached_features.unpersist()
     try:
         res.lineage = L.read_lineage(spark, work_dir, run_id)
     except Exception:

@@ -63,9 +63,13 @@ def event_time(features: DataFrame) -> DataFrame:
     # "Invalid date (...)" message string as phenomenon_time for docs with
     # missing date qualifiers (reference :543-549); under Spark 4's default
     # ANSI mode a plain to_timestamp would abort the whole stream on it
-    # instead of yielding null
+    # instead of yielding null.
+    # The trailing Z is parsed as a ZONE ('X'), not a literal: a literal 'Z'
+    # would interpret the instant in the session timezone, so any caller not
+    # pinning spark.sql.session.timeZone=UTC would get shifted epochs and
+    # window boundaries.
     return features.withColumn(
-        "event_ts", F.try_to_timestamp(instant, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        "event_ts", F.try_to_timestamp(instant, F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
     )
 
 

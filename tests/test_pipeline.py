@@ -163,3 +163,44 @@ def test_coarse_checkpoints_equivalent(spark, dims, workdir):
     # lineage only for checkpointed stages
     stages = {r.stage for r in res.lineage.select("stage").distinct().collect()}
     assert stages == {"J", "A", "W"}
+
+
+def test_fused_chain_cached_for_multiple_consumers(spark, dims, workdir):
+    """checkpoint_stages=('A','W'): the fused decode+join chain feeds BOTH
+    the tile agg and the final write — it must be persisted so the pass
+    doesn't re-execute once per consumer, and the outputs must match full
+    checkpointing."""
+    stations, polygons = dims
+    docs = synth_documents(spark, N_DOCS, n_stations=N_ST, partitions=4)
+    conf = _conf()
+    conf.checkpoint_stages = ("A", "W")
+    res = run_pipeline(
+        spark, docs, stations, polygons, workdir, "aw_only", snapshot_id=9,
+        resume=False, conf=conf,
+    )
+    assert res.executed == ["D~fused", "T~fused", "J~fused", "A", "W"]
+    full = run_pipeline(
+        spark, docs, stations, polygons, workdir, "full", snapshot_id=123,
+        resume=True, conf=_conf(),  # reuses test_full_pipeline output
+    )
+    assert res.features.count() == full.features.count()
+    t = ["level", "cell", "n_obs"]
+    assert res.tiles.select(*t).subtract(full.tiles.select(*t)).count() == 0
+
+
+def test_missing_final_write_warns(spark, dims, workdir):
+    """'W' in stages but not in checkpoint_stages would silently skip the
+    final feature-table write — must warn."""
+    import warnings as _w
+
+    stations, polygons = dims
+    docs = synth_documents(spark, 20, n_stations=N_ST, partitions=2)
+    conf = _conf()
+    conf.checkpoint_stages = ("D", "T", "J", "A")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        run_pipeline(
+            spark, docs, stations, polygons, workdir, "no_w", snapshot_id=1,
+            resume=False, conf=conf,
+        )
+    assert any("final" in str(c.message).lower() for c in caught)

@@ -90,3 +90,28 @@ def test_windowed_tile_counts(spark, stream_dirs):
         .count()
     )
     assert total == expected
+
+
+def test_event_time_is_session_timezone_independent(spark):
+    """The trailing Z must parse as a UTC zone designator, not a literal:
+    the same instant must produce the same epoch under any session tz."""
+    from bufr2geojson_spark.streaming.ingest import event_time
+
+    df = spark.createDataFrame(
+        [("2022-03-20T21:00:00Z",), ("2022-03-19T21:00:00Z/2022-03-20T21:00:00Z",),
+         ("Invalid date (year missing)",)],
+        "phenomenon_time string",
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        utc = [r.event_ts for r in event_time(df).select(
+            F.unix_timestamp("event_ts").alias("event_ts")).collect()]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = [r.event_ts for r in event_time(df).select(
+            F.unix_timestamp("event_ts").alias("event_ts")).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert utc == ny
+    assert utc[0] == 1647810000  # 2022-03-20T21:00:00Z
+    assert utc[1] == 1647810000  # period → end instant
+    assert utc[2] is None        # reference 'Invalid date' quirk → null

@@ -163,3 +163,30 @@ def test_hex_rollup_conserves_counts_and_contains_children(spark):
     l5 = {r.cell for r in rolled.filter("level = 5").collect()}
     parents = hex_parent(np.array(l7, dtype=np.int64), 5)
     assert set(parents.tolist()) <= l5
+
+
+def test_hex_rollup_levels_derived_direct_not_chained(spark):
+    """Hex ancestry is not transitive (aperture-4 hexes don't nest), so each
+    coarser level must come straight from the from_level tiles: rolling
+    7→[5,3] must give the same level-3 tiles as rolling 7→[3] directly."""
+    from bufr2geojson_spark.functions.cells import with_cells
+    from bufr2geojson_spark.operators.decode import decode_documents
+    from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_rollup
+    from bufr2geojson_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 300, partitions=4)
+    feats = with_cells(decode_documents(docs).filter("error is null"),
+                       hex_res_=7)
+    base = tile_aggregate(feats, cell_col="cell_h3").persist()
+    chained3 = {
+        (r.cell, r.n_obs)
+        for r in tile_rollup(base, 7, [5, 3], cell_col="cell_h3",
+                             cell_kind="hex").filter("level = 3").collect()
+    }
+    direct3 = {
+        (r.cell, r.n_obs)
+        for r in tile_rollup(base, 7, [3], cell_col="cell_h3",
+                             cell_kind="hex").filter("level = 3").collect()
+    }
+    base.unpersist()
+    assert chained3 == direct3
