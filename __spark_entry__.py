@@ -150,8 +150,11 @@ def _synth_engine_inputs(spark: SparkSession, n_docs: int = 240):
     key = (spark.sparkContext.applicationId, n_docs)
     if key in _SYNTH_CACHE:
         return _SYNTH_CACHE[key]
+    # every 10th doc is a multi-subset bulletin (R3): decode explodes it
+    # into one report per subset, so the feature count exceeds n_docs
     docs = golden_documents(spark).unionByName(
-        synth_documents(spark, n_docs, n_stations=48, partitions=4)
+        synth_documents(spark, n_docs, n_stations=48, partitions=4,
+                        multi_subset_every=10)
     ).persist()
     stations = synth_stations(spark, 48)
     polygons = synth_region_polygons(spark)

@@ -570,9 +570,55 @@ def _parse_value(tok: str):
 
 def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
                 source_identifier, include_spans):
+    """Decode one document, exploding multi-subset documents (R3).
+
+    The reference clones the message and extracts subset i as an independent
+    single-subset report with its own md5 report id
+    (bufr2geojson/__init__.py:1224-1239). Our span encoding carries one
+    ``header`` span per subset (``subsetNumber`` = i+1, ``numberOfSubsets``
+    = N); each subset's spans run from its header span up to the next one.
+    Returns (features, errors): one error entry per failed subset — a bad
+    subset quarantines itself without suppressing its siblings' features,
+    matching the reference's per-subset containment (:1251-1254)."""
     spans = sorted(spans, key=lambda s: s["offset"])
+    header_positions = [
+        i for i, s in enumerate(spans) if s["kind"] == "header"
+    ]
+    if not header_positions:
+        return [], ["missing header span"]
+    if len(header_positions) == 1:
+        feats, err = _decode_subset(
+            doc_id, spans, spans,
+            guess_wsi=guess_wsi, result_time=result_time,
+            prov_end_time=prov_end_time,
+            source_identifier=source_identifier,
+            include_spans=include_spans,
+        )
+        return feats, ([] if err is None else [err])
+    features, errors = [], []
+    for j, hp in enumerate(header_positions):
+        end = (header_positions[j + 1]
+               if j + 1 < len(header_positions) else len(spans))
+        seg = spans[hp:end]
+        feats, err = _decode_subset(
+            doc_id, seg, spans,
+            guess_wsi=guess_wsi, result_time=result_time,
+            prov_end_time=prov_end_time,
+            source_identifier=source_identifier,
+            include_spans=include_spans,
+        )
+        features.extend(feats)
+        if err is not None:
+            errors.append(f"subset {j + 1}: {err}")
+    return features, errors
+
+
+def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
+                   prov_end_time, source_identifier, include_spans):
     features = []
-    n_media = sum(1 for s in spans if s["kind"] == "media")
+    # media count and the span-sequence invariant are DOCUMENT-level
+    # properties: count/preserve the full document's spans, not the segment
+    n_media = sum(1 for s in full_spans if s["kind"] == "media")
 
     header_spans = [s for s in spans if s["kind"] == "header"]
     if not header_spans:
@@ -772,7 +818,7 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
             "n_media_spans": n_media,
         }
         if include_spans:
-            row["spans_out"] = list(spans)
+            row["spans_out"] = list(full_spans)
         features.append(row)
         last_key = key
         index += 1
@@ -818,7 +864,7 @@ def decode_documents(
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 spans = [dict(s) for s in spans]
                 try:
-                    feats, err = _decode_doc(
+                    feats, errs = _decode_doc(
                         doc_id, spans,
                         guess_wsi=guess_wsi,
                         result_time=result_time,
@@ -827,9 +873,9 @@ def decode_documents(
                         include_spans=include_spans,
                     )
                 except Exception as e:  # quarantine, never kill the executor
-                    feats, err = [], f"decode error: {e}"
+                    feats, errs = [], [f"decode error: {e}"]
                 rows.extend(feats)
-                if err is not None:
+                for err in errs:  # one quarantine row per failed subset
                     rows.append(_error_row(doc_id, err, include_spans, spans))
             if rows:
                 out = pd.DataFrame(rows)

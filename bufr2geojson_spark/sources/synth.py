@@ -142,6 +142,8 @@ def _header_json(
     source_identifier: str | None = None,
     centre: int = 233,
     table_version: int = 14,
+    number_of_subsets: int = 1,
+    subset_number: int = 1,
 ) -> str:
     headers = {
         "edition": 4,
@@ -162,10 +164,10 @@ def _header_json(
         "typicalSecond": 0,
         "typicalDate": f"{year:04d}{month:02d}{day:02d}",
         "typicalTime": f"{hour:02d}{minute:02d}00",
-        "numberOfSubsets": 1,
+        "numberOfSubsets": number_of_subsets,
         "observedData": 1,
         "compressedData": 0,
-        "subsetNumber": 1,
+        "subsetNumber": subset_number,
         "sequence": sequence,
     }
     if report_identifier is not None:
@@ -638,6 +640,7 @@ def synth_documents(
     hot_doc_share: float = 0.5,
     media_every: int = 3,
     start_id: int = 0,
+    multi_subset_every: int | None = None,
 ) -> DataFrame:
     """Scaled deterministic corpus: ``spark.range(n_docs)`` → ``mapInPandas``.
 
@@ -646,7 +649,12 @@ def synth_documents(
       hot cells the salted aggregation (N7) must handle;
     * identification style varies by station kind to exercise the reference's
       WSI precedence chain (``bufr2geojson/__init__.py:651-780``);
-    * every ``media_every``-th document interleaves a media span.
+    * every ``media_every``-th document interleaves a media span;
+    * every ``multi_subset_every``-th document (when set) is a MULTI-SUBSET
+      bulletin — 2 or 3 station reports in one document, one header span per
+      subset (``numberOfSubsets``/``subsetNumber`` set accordingly) — the
+      shape the reference explodes with ``codes_bufr_extract_subset``
+      (``bufr2geojson/__init__.py:1224-1232``, R3).
     """
     if n_stations is None:
         n_stations = default_n_stations(n_docs)
@@ -676,78 +684,102 @@ def synth_documents(
             )
             jlat = np.round((_uni(ids, seed, 4) - 0.5) * 0.6, 5)
             jlon = np.round((_uni(ids, seed, 5) - 0.5) * 0.6, 5)
-            lat = np.clip(np.round(st_lat[sidx] + jlat, 5), -89.9, 89.9)
-            lon = st_lon[sidx] + jlon
-            lon = np.round((lon + 180.0) % 360.0 - 180.0, 5)
             day = 1 + (_h(ids, seed, 6) % np.uint64(28)).astype(np.int64)
             hour = (_h(ids, seed, 7) % np.uint64(24)).astype(np.int64)
             minute = 10 * (_h(ids, seed, 8) % np.uint64(6)).astype(np.int64)
             n_el = 4 + (_h(ids, seed, 9) % np.uint64(9)).astype(np.int64)
             cat0 = (_h(ids, seed, 10) % np.uint64(len(_DATA_CATALOG))).astype(np.int64)
             has_media = (ids % np.uint64(media_every)) == 0
-            ground = st_elev[sidx]
             vals = np.stack(
                 [_uni(ids, seed, 100 + j) for j in range(12)], axis=1
             )
 
+            n_subsets = np.ones(n, dtype=np.int64)
+            if multi_subset_every:
+                is_multi = (ids % np.uint64(multi_subset_every)) == np.uint64(
+                    multi_subset_every - 1
+                )
+                n_subsets = np.where(
+                    is_multi,
+                    2 + (_h(ids, seed, 20) % np.uint64(2)).astype(np.int64),
+                    1,
+                )
+
             out_ids = []
             out_spans = []
             for i in range(n):
-                s = int(sidx[i])
-                kind = int(st_kind[s])
-                block = int(st_block[s]) if kind <= 6 else None
-                stnum = int(st_stnum[s]) if kind <= 6 else None
-                callsign = str(st_tsi[s]) if 7 <= kind <= 8 else None
-                spans = [
-                    _span(
-                        "header",
-                        _header_json(
-                            year=2022,
-                            month=3,
-                            day=int(day[i]),
-                            hour=int(hour[i]),
-                            minute=int(minute[i]),
-                            sequence="307080",
-                        ),
-                        0,
-                    )
-                ]
-                spans += _qualifier_spans(
-                    block=block,
-                    station=stnum,
-                    callsign=callsign,
-                    wigos=(0, 20008, 0, str(st_tsi[s])) if kind == 9 else None,
-                    year=2022,
-                    month=3,
-                    day=int(day[i]),
-                    hour=int(hour[i]),
-                    minute=int(minute[i]),
-                    lat=float(lat[i]),
-                    lon=float(lon[i]),
-                    ground_m=float(ground[i]),
-                    barometer_m=float(ground[i]) + 1.5,
-                    start_offset=1,
-                )
-                off = spans[-1]["offset"] + 1
-                if has_media[i]:
+                S = int(n_subsets[i])
+                spans = []
+                off = 0
+                for k in range(S):
+                    # subset k varies station/time deterministically so each
+                    # subset is a distinct station report in the same doc
+                    s = int((sidx[i] + 13 * k) % n_stations)
+                    kind = int(st_kind[s])
+                    block = int(st_block[s]) if kind <= 6 else None
+                    stnum = int(st_stnum[s]) if kind <= 6 else None
+                    callsign = str(st_tsi[s]) if 7 <= kind <= 8 else None
+                    k_lat = float(np.clip(
+                        np.round(st_lat[s] + jlat[i], 5), -89.9, 89.9))
+                    k_lon = float(np.round(
+                        (st_lon[s] + jlon[i] + 180.0) % 360.0 - 180.0, 5))
+                    k_hour = int((hour[i] + k) % 24)
                     spans.append(
                         _span(
-                            "media",
-                            "station webcam frame",
+                            "header",
+                            _header_json(
+                                year=2022,
+                                month=3,
+                                day=int(day[i]),
+                                hour=k_hour,
+                                minute=int(minute[i]),
+                                sequence="307080",
+                                number_of_subsets=S,
+                                subset_number=k + 1,
+                            ),
                             off,
-                            f"synthetic://img/{int(ids[i])}.png",
                         )
                     )
-                    off += 1
-                for j in range(int(n_el[i])):
-                    f, key, units, scale, width, lo, hi = _DATA_CATALOG[
-                        (int(cat0[i]) + j) % len(_DATA_CATALOG)
-                    ]
-                    val = round(lo + (hi - lo) * float(vals[i, j]), 2)
-                    spans.append(
-                        _span("element", element_text(f, key, val, units, scale, 0, width), off)
+                    spans += _qualifier_spans(
+                        block=block,
+                        station=stnum,
+                        callsign=callsign,
+                        wigos=(0, 20008, 0, str(st_tsi[s])) if kind == 9 else None,
+                        year=2022,
+                        month=3,
+                        day=int(day[i]),
+                        hour=k_hour,
+                        minute=int(minute[i]),
+                        lat=k_lat,
+                        lon=k_lon,
+                        ground_m=float(st_elev[s]),
+                        barometer_m=float(st_elev[s]) + 1.5,
+                        start_offset=off + 1,
                     )
-                    off += 1
+                    off = spans[-1]["offset"] + 1
+                    if has_media[i] and k == 0:
+                        spans.append(
+                            _span(
+                                "media",
+                                "station webcam frame",
+                                off,
+                                f"synthetic://img/{int(ids[i])}.png",
+                            )
+                        )
+                        off += 1
+                    for j in range(int(n_el[i])):
+                        f, key, units, scale, width, lo, hi = _DATA_CATALOG[
+                            (int(cat0[i]) + j + k) % len(_DATA_CATALOG)
+                        ]
+                        val = round(
+                            lo + (hi - lo) * float(vals[i, (j + k) % 12]), 2
+                        )
+                        spans.append(
+                            _span("element",
+                                  element_text(f, key, val, units, scale, 0,
+                                               width), off)
+                        )
+                        off += 1
                 out_ids.append(f"doc-{int(ids[i]):010d}")
                 out_spans.append(spans)
             yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})

@@ -270,3 +270,83 @@ def test_strip2_unit():
         assert _strip2(value) == b"test"
     assert _strip2(5) == "5"
     assert _strip2(None) is None
+
+
+# ---------------------------------------------------------------------------
+# multi-subset explosion (R3, reference __init__.py:1224-1239)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_subset_explodes_to_per_subset_reports(spark):
+    """A numberOfSubsets=N document must decode into N independent reports:
+    N distinct report_ids, each with its own feature index sequence starting
+    at 0, and more features than a single-subset doc."""
+    from bufr2geojson_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 6, n_stations=30, partitions=2,
+                           multi_subset_every=1)
+    rows = decode_documents(docs).filter("error is null").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 6
+    for doc_id, feats in by_doc.items():
+        rids = {f.report_id for f in feats}
+        n_subsets = {json.loads(f.headers_json)["numberOfSubsets"]
+                     for f in feats}
+        assert len(n_subsets) == 1
+        S = n_subsets.pop()
+        assert S in (2, 3)
+        # one report id per subset, each restarting its feature index at 0
+        assert len(rids) == S, f"{doc_id}: {len(rids)} report ids for {S} subsets"
+        subset_numbers = {json.loads(f.headers_json)["subsetNumber"]
+                          for f in feats}
+        assert subset_numbers == set(range(1, S + 1))
+        for rid in rids:
+            idxs = sorted(f["index"] for f in feats if f.report_id == rid)
+            assert idxs == list(range(len(idxs)))
+            assert any(f.feature_id == f"{rid}-0" for f in feats)
+
+
+def test_multi_subset_span_invariant_is_document_level(spark):
+    """spans_out must be the FULL document span list for every feature of a
+    multi-subset doc (the per-row invariant is on the document, not the
+    subset segment)."""
+    from bufr2geojson_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 3, n_stations=30, partitions=1,
+                           multi_subset_every=1)
+    src = {r.doc_id: [tuple(s) for s in r.spans] for r in docs.collect()}
+    feats = decode_documents(docs, include_spans=True).filter(
+        "error is null").collect()
+    assert feats
+    for f in feats:
+        assert [tuple(s) for s in f.spans_out] == src[f.doc_id]
+
+
+def test_multi_subset_bad_subset_quarantined_others_survive(spark):
+    """A subset whose header is broken must quarantine ONLY itself: its
+    siblings' features still decode (reference per-subset containment,
+    __init__.py:1251-1254)."""
+    from pyspark.sql import Row
+    from bufr2geojson_spark.schemas import DOCUMENT_SCHEMA
+    from bufr2geojson_spark.sources.synth import synth_documents
+
+    doc = synth_documents(spark, 1, n_stations=30, partitions=1,
+                          multi_subset_every=1).collect()[0]
+    spans = [s.asDict() for s in doc.spans]
+    # break the SECOND subset's header (drop a required key)
+    h_pos = [i for i, s in enumerate(spans) if s["kind"] == "header"]
+    assert len(h_pos) >= 2
+    bad = json.loads(spans[h_pos[1]]["text"])
+    del bad["dataCategory"]
+    spans[h_pos[1]]["text"] = json.dumps(bad)
+    broken = spark.createDataFrame(
+        [Row(doc_id=doc.doc_id, spans=spans)], DOCUMENT_SCHEMA)
+    out = decode_documents(broken).collect()
+    good = [r for r in out if r.error is None]
+    errs = [r for r in out if r.error is not None]
+    assert good, "intact subsets must still produce features"
+    assert len(errs) == 1 and "subset 2" in errs[0].error
+    # the broken subset contributed no report id
+    assert len({r.report_id for r in good}) == len(h_pos) - 1
