@@ -123,6 +123,83 @@ ASSOCIATED_FIELDS: dict[str, dict] = {
     },
 }
 
+# ---------------------------------------------------------------------------
+# pluggable table providers
+# ---------------------------------------------------------------------------
+
+
+class DictTableProvider:
+    """Code/flag tables served from in-memory dicts — the default provider,
+    wrapping the curated module-level tables above. Providers are plain
+    picklable objects captured in the decode UDF closure: each executor
+    materializes the tables once, the Spark analogue of the reference's
+    process-global lazy cache (``bufr2geojson/__init__.py:61-62,782-841``).
+
+    Miss semantics match the reference exactly: an uncovered code-table
+    entry decodes to ``"Invalid"`` (``:806-808``); an uncovered flag bit is
+    silently skipped (``:831-841`` only appends known labels)."""
+
+    def __init__(self, code_tables: dict | None = None,
+                 flag_tables: dict | None = None):
+        self._code = CODE_TABLES if code_tables is None else code_tables
+        self._flag = FLAG_TABLES if flag_tables is None else flag_tables
+
+    def code_entry(self, fxxyyy: str, entry: int) -> str:
+        return self._code.get(fxxyyy, {}).get(int(entry), "Invalid")
+
+    def flag_label(self, fxxyyy: str, bit: int) -> str | None:
+        return self._flag.get(fxxyyy, {}).get(int(bit))
+
+
+class CsvTableProvider:
+    """Code/flag tables lazily loaded from a CSV directory, mirroring the
+    reference's per-master-table-version ecCodes table layout
+    (``{root}/{version}/codetables/{fxxyyy}.csv``, loaded on first access and
+    cached per process, ``bufr2geojson/__init__.py:782-841``). File format:
+    one ``entry,label`` line per table entry (label may contain commas; only
+    the first comma splits). Flag tables live in ``flagtables/``.
+
+    On a real cluster, point ``root`` at a distributed-FS copy of the WMO
+    tables: the provider pickles into the UDF closure and each executor
+    reads each table file at most once."""
+
+    def __init__(self, root: str, master_table_version: int = 14):
+        self.root = root
+        self.version = master_table_version
+        self._code_cache: dict[str, dict[int, str]] = {}
+        self._flag_cache: dict[str, dict[int, str]] = {}
+
+    def _load(self, kind: str, fxxyyy: str) -> dict[int, str]:
+        import os
+
+        path = os.path.join(self.root, str(self.version), kind,
+                            f"{fxxyyy}.csv")
+        table: dict[int, str] = {}
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#"):
+                        continue
+                    entry, _, label = line.partition(",")
+                    table[int(entry)] = label
+        return table
+
+    def code_entry(self, fxxyyy: str, entry: int) -> str:
+        if fxxyyy not in self._code_cache:
+            self._code_cache[fxxyyy] = self._load("codetables", fxxyyy)
+        return self._code_cache[fxxyyy].get(int(entry), "Invalid")
+
+    def flag_label(self, fxxyyy: str, bit: int) -> str | None:
+        if fxxyyy not in self._flag_cache:
+            self._flag_cache[fxxyyy] = self._load("flagtables", fxxyyy)
+        return self._flag_cache[fxxyyy].get(int(bit))
+
+
+#: default provider used by the decode stage when none is injected
+DEFAULT_TABLE_PROVIDER = DictTableProvider()
+
+
 # Affine unit conversions applied by the reference through cfunits
 # (PREFERRED_UNITS bufr2geojson/__init__.py:74-77, applied :1037-1044).
 # cfunits is unavailable; K->Celsius and Pa->hPa are exact affine maps.

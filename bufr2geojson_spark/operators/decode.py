@@ -70,8 +70,7 @@ from pyspark.sql import DataFrame
 
 from bufr2geojson_spark.functions.wmo_tables import (
     ASSOCIATED_FIELDS,
-    CODE_TABLES,
-    FLAG_TABLES,
+    DEFAULT_TABLE_PROVIDER,
     PREFERRED_UNITS,
 )
 from bufr2geojson_spark.schemas import feature_schema
@@ -476,17 +475,17 @@ class _DocState:
 # ---------------------------------------------------------------------------
 
 
-def _code_value(fxxyyy: str, code) -> str:
-    table = CODE_TABLES.get(fxxyyy, {})
-    return table.get(int(code), "Invalid")  # "Invalid" on miss (:806-808)
+def _code_value(fxxyyy: str, code, provider=None) -> str:
+    provider = provider or DEFAULT_TABLE_PROVIDER
+    return provider.code_entry(fxxyyy, code)  # "Invalid" on miss (:806-808)
 
 
-def _flag_values(fxxyyy: str, bitstring: str) -> list:
-    table = FLAG_TABLES.get(fxxyyy, {})
+def _flag_values(fxxyyy: str, bitstring: str, provider=None) -> list:
+    provider = provider or DEFAULT_TABLE_PROVIDER
     out = []
     for idx, bit in enumerate(bitstring):
         if bit == "1":
-            label = table.get(idx + 1)
+            label = provider.flag_label(fxxyyy, idx + 1)
             if label is not None:
                 out.append(label)
     return out
@@ -569,7 +568,7 @@ def _parse_value(tok: str):
 
 
 def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
-                source_identifier, include_spans):
+                source_identifier, include_spans, table_provider=None):
     """Decode one document, exploding multi-subset documents (R3).
 
     The reference clones the message and extracts subset i as an independent
@@ -593,6 +592,7 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
             prov_end_time=prov_end_time,
             source_identifier=source_identifier,
             include_spans=include_spans,
+            table_provider=table_provider,
         )
         return feats, ([] if err is None else [err])
     features, errors = [], []
@@ -606,6 +606,7 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
             prov_end_time=prov_end_time,
             source_identifier=source_identifier,
             include_spans=include_spans,
+            table_provider=table_provider,
         )
         features.extend(feats)
         if err is not None:
@@ -614,7 +615,8 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
 
 
 def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
-                   prov_end_time, source_identifier, include_spans):
+                   prov_end_time, source_identifier, include_spans,
+                   table_provider=None):
     features = []
     # media count and the span-sequence invariant are DOCUMENT-level
     # properties: count/preserve the full document's spans, not the segment
@@ -674,7 +676,7 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
         observation_type = OM
         _value = None
         if units == "CODE TABLE" and value is not None:
-            description = _code_value(fxxyyy, value)
+            description = _code_value(fxxyyy, value, table_provider)
             observation_type = OM_CATEGORY
             f0 = int(fxxyyy[0])
             _value = {
@@ -686,7 +688,7 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
         elif units == "FLAG TABLE" and value is not None:
             observation_type = OM_CATEGORY
             bitstring = "{0:0{1}b}".format(int(value), int(width or 0))
-            description = _flag_values(fxxyyy, bitstring)
+            description = _flag_values(fxxyyy, bitstring, table_provider)
             f0 = int(fxxyyy[0])
             _value = {
                 "flagtable": f"http://codes.wmo.int/bufr4/codeflag/"
@@ -843,6 +845,7 @@ def decode_documents(
     prov_end_time: str | None = None,
     source_identifier: str = "",
     include_spans: bool = False,
+    table_provider=None,
 ) -> DataFrame:
     """Decode the interleaved-document table into WCCDM-OBS feature rows.
 
@@ -871,6 +874,7 @@ def decode_documents(
                         prov_end_time=pet,
                         source_identifier=source_identifier,
                         include_spans=include_spans,
+                        table_provider=table_provider,
                     )
                 except Exception as e:  # quarantine, never kill the executor
                     feats, errs = [], [f"decode error: {e}"]

@@ -350,3 +350,60 @@ def test_multi_subset_bad_subset_quarantined_others_survive(spark):
     assert len(errs) == 1 and "subset 2" in errs[0].error
     # the broken subset contributed no report id
     assert len({r.report_id for r in good}) == len(h_pos) - 1
+
+
+# ---------------------------------------------------------------------------
+# pluggable code/flag tables (R12/R13) + miss path
+# ---------------------------------------------------------------------------
+
+
+def _one_code_element_doc(fxxyyy, entry, width=8):
+    from bufr2geojson_spark.sources.synth import (
+        _header_json, _qualifier_spans, _span, element_text)
+
+    spans = [_span("header", _header_json(year=2022, month=3, day=20,
+                                          hour=21), 0)]
+    spans += _qualifier_spans(block=3, station=951, callsign=None,
+                              year=2022, month=3, day=20, hour=21, minute=0,
+                              lat=51.47, lon=-9.42, ground_m=21.0,
+                              barometer_m=22.0, start_offset=1)
+    off = spans[-1]["offset"] + 1
+    spans.append(_span("element", element_text(
+        fxxyyy, "#1#someUncoveredCodeThing", entry, "CODE TABLE", 0, 0,
+        width), off))
+    return {"doc_id": "tbl-miss", "spans": spans}
+
+
+def test_uncovered_code_table_entry_decodes_invalid(spark):
+    """An fxxyyy with no table entry must decode description='Invalid'
+    exactly like the reference miss path (__init__.py:806-808)."""
+    from bufr2geojson_spark.schemas import DOCUMENT_SCHEMA
+
+    docs = spark.createDataFrame([_one_code_element_doc("099999", 3)],
+                                 DOCUMENT_SCHEMA)
+    rows = decode_documents(docs).filter("error is null").collect()
+    assert len(rows) == 1
+    assert rows[0].result_code.description == "Invalid"
+    assert rows[0].result_code.entry == "3"
+
+
+def test_csv_table_provider_loads_and_misses(spark, tmp_path):
+    """CsvTableProvider: lazily reads {root}/{version}/codetables/{id}.csv,
+    labels resolve, uncovered entries still decode 'Invalid'."""
+    from bufr2geojson_spark.functions.wmo_tables import CsvTableProvider
+    from bufr2geojson_spark.schemas import DOCUMENT_SCHEMA
+
+    d = tmp_path / "14" / "codetables"
+    d.mkdir(parents=True)
+    (d / "099999.csv").write_text("3,MY CUSTOM LABEL, WITH COMMA\n7,OTHER\n")
+    prov = CsvTableProvider(str(tmp_path), master_table_version=14)
+    assert prov.code_entry("099999", 3) == "MY CUSTOM LABEL, WITH COMMA"
+    assert prov.code_entry("099999", 99) == "Invalid"     # entry miss
+    assert prov.code_entry("012345", 0) == "Invalid"      # table-file miss
+    assert prov.flag_label("099999", 1) is None           # no flag table
+
+    docs = spark.createDataFrame([_one_code_element_doc("099999", 3)],
+                                 DOCUMENT_SCHEMA)
+    rows = decode_documents(docs, table_provider=prov).filter(
+        "error is null").collect()
+    assert rows[0].result_code.description == "MY CUSTOM LABEL, WITH COMMA"

@@ -85,3 +85,77 @@ def test_write_geojson_partitioned(spark, tmp_path):
     assert n == feats.count()
     first = json.loads(back.limit(1).collect()[0].value)
     assert first["type"] == "Feature"
+
+
+# ---------------------------------------------------------------------------
+# JSON-Schema validation (reference test_bufr2geojson.py:32-45,241-252)
+# ---------------------------------------------------------------------------
+
+SCHEMA_PATH = ("bufr2geojson_spark/resources/schemas/wccdm-obs.json")
+
+
+def _wsi_format_checker():
+    """WSI format checker re-expressing the reference's is_wsi
+    (test_bufr2geojson.py:32-45): 0-{<=65534}-{<=65534}-{alnum<=16}.
+    (The schema itself declares no 'wsi' format — the checker is registered
+    for parity with how the reference invokes validate().)
+
+    date-time/date format enforcement is deliberately OFF: the reference
+    emits resultTime as '%Y-%m-%d %H:%M' (__init__.py:1114), which violates
+    RFC3339 — its own schema validation passes only because jsonschema's
+    date-time check is a no-op without rfc3339-validator installed. This
+    environment has that library, so we pin the observable reference
+    behavior (structural validation, formats inert) explicitly."""
+    from jsonschema import FormatChecker
+
+    fc = FormatChecker(formats=[])
+
+    @fc.checks("wsi", (ValueError, AssertionError))
+    def is_wsi(instance):  # noqa: F811
+        assert isinstance(instance, str)
+        words = instance.split("-")
+        assert words[0] == "0"
+        assert int(words[1]) <= 65534
+        assert int(words[2]) <= 65534
+        local_id = words[3]
+        assert len(local_id) <= 16
+        assert local_id.isalnum()
+        return True
+
+    return fc
+
+
+def _is_wsi(s: str) -> bool:
+    words = s.split("-")
+    try:
+        return (words[0] == "0" and int(words[1]) <= 65534
+                and int(words[2]) <= 65534 and len(words[3]) <= 16
+                and words[3].isalnum())
+    except (ValueError, IndexError):
+        return False
+
+
+def test_every_feature_validates_against_wccdm_schema(spark):
+    """Every GeoJSON feature the engine emits must validate against the
+    WCCDM-OBS JSON Schema (vendored verbatim from the reference's
+    resources/schemas/wccdm-obs.json — a published WMO data resource), the
+    same check the reference test suite applies to every transformed
+    message (test_bufr2geojson.py:251-252)."""
+    from jsonschema import validate
+
+    schema = json.load(open(SCHEMA_PATH))
+    fc = _wsi_format_checker()
+    docs = golden_documents(spark).unionByName(
+        synth_documents(spark, 80, n_stations=30, partitions=2,
+                        multi_subset_every=7))
+    feats = decode_documents(docs).filter("error is null")
+    rows = to_geojson(feats, keep_cols=("feature_id",)).collect()
+    assert len(rows) > 80
+    for r in rows:
+        gj = json.loads(r.geojson)
+        validate(gj, schema, format_checker=fc)
+        # WSI format on the host field (guessed-WSI path always sets one;
+        # stricter than the schema, which never declares format 'wsi')
+        host = gj["properties"]["host"]
+        if host and host.startswith("0-"):
+            assert _is_wsi(host), f"bad WSI {host!r}"
