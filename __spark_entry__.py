@@ -1214,31 +1214,91 @@ def q_engine_media(spark, sf_dir):
 
 
 def q_engine_geojson(spark, sf_dir):
-    """WCCDM-OBS GeoJSON serialization (the reference's output format;
-    deep-equality vs its golden fixture is tested in tests/test_geojson.py)."""
+    """WCCDM-OBS GeoJSON serialization digest (the reference's output
+    format; deep-equality vs its golden fixture is tested in
+    tests/test_geojson.py). Aggregated to a one-row digest so the
+    deterministic synth corpus doubles as a constant-result oracle
+    (_SQL_ENGINE_GEOJSON) — the corpus is seeded and hash-derived, so the
+    feature count and total serialized length are fixtures, not flakes."""
     from bufr2geojson_spark.functions.geojson import to_geojson
 
     docs, _, _ = _synth_engine_inputs(spark)
     feats = decode_documents(docs).filter("error is null")
-    return to_geojson(feats, keep_cols=("feature_id",)).select(
+    gj = to_geojson(feats, keep_cols=("feature_id",)).select(
         "feature_id", F.length("geojson").alias("geojson_len")
-    ).orderBy("feature_id")
+    )
+    return gj.agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum("geojson_len").alias("total_len"),
+        F.min("geojson_len").alias("min_len"),
+        F.max("geojson_len").alias("max_len"),
+    )
+
+
+# deterministic-fixture oracle: constants measured once from the seeded
+# synth corpus (240 docs + golden, multi_subset_every=10); any engine change
+# that alters serialization or decode cardinality trips the hash gate
+_SQL_ENGINE_GEOJSON = """
+    SELECT CAST(2271 AS BIGINT) AS n_features,
+           CAST(5937927 AS BIGINT) AS total_len,
+           CAST(2579 AS INTEGER) AS min_len,
+           CAST(2786 AS INTEGER) AS max_len
+"""
 
 
 def q_engine_span_invariant(spark, sf_dir):
     """Span-sequence equality invariant as a query: per doc, decoded
-    spans_out must equal the input spans."""
+    spans_out must equal the input spans — reduced to a one-row digest
+    (n_docs, n_violations) so it is checkable against a constant oracle:
+    n_violations MUST be 0 and n_docs must equal the corpus size."""
     docs, _, _ = _synth_engine_inputs(spark, 60)
     feats = decode_documents(docs, include_spans=True).filter("error is null")
     per_doc = feats.groupBy("doc_id").agg(
         F.first("spans_out").alias("spans_out")
     )
     joined = docs.join(per_doc, "doc_id")
-    return joined.select(
+    per_doc_eq = joined.select(
         "doc_id",
         (F.to_json(F.col("spans")) == F.to_json(F.col("spans_out")))
         .alias("spans_equal"),
-    ).orderBy("doc_id")
+    )
+    return per_doc_eq.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("spans_equal"), 1).otherwise(0))
+        .alias("n_violations"),
+    )
+
+
+_SQL_ENGINE_SPAN_INVARIANT = """
+    SELECT CAST(63 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+"""
+
+
+def q_engine_decode_digest(spark, sf_dir):
+    """Decode-output digest over the deterministic engine corpus: feature
+    count, distinct reports (> distinct docs because multi-subset documents
+    explode, R3), and a value checksum — oracle-checkable constants."""
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = decode_documents(docs).filter("error is null")
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("report_id").alias("n_reports"),
+        # per-feature integer cents summed as LONG: exact and independent of
+        # partial-aggregation order (a double sum rounded once would wobble
+        # in the last ulp with partitioning)
+        F.sum(F.floor(F.col("result_value") * 100 + 0.5).cast("long"))
+        .alias("value_cents"),
+    )
+
+
+# constants verified identical at local[4]/7 partitions and local[16]/32
+_SQL_ENGINE_DECODE_DIGEST = """
+    SELECT CAST(2271 AS BIGINT) AS n_features,
+           CAST(243 AS BIGINT) AS n_docs,
+           CAST(280 AS BIGINT) AS n_reports,
+           CAST(591726961 AS BIGINT) AS value_cents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1282,8 +1342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        # engine-native (rows-only)
+        # engine-native (digest queries carry constant-result oracles over
+        # the deterministic synth corpus; the rest are rows-only)
         "engine_decode": q_engine_decode,
+        "engine_decode_digest": q_engine_decode_digest,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -1328,4 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _SQL_ANN_IVF,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP,
+        # engine digests vs deterministic-fixture constants
+        "engine_decode_digest": _SQL_ENGINE_DECODE_DIGEST,
+        "engine_geojson": _SQL_ENGINE_GEOJSON,
+        "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }

@@ -89,4 +89,5 @@ def test_entry_smoke(spark):
 def test_span_invariant_query_all_true(spark):
     q = entry_mod.queries()["engine_span_invariant"]
     rows = q(spark, SF_DIR).collect()
-    assert rows and all(r.spans_equal for r in rows)
+    assert len(rows) == 1
+    assert rows[0].n_docs > 0 and rows[0].n_violations == 0
