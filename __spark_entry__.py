@@ -729,6 +729,35 @@ def _sql_lsh_pairs():
     """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup GROUPS from candidate pairs: iterative min-label connected
+    components over the MinHash-LSH pair graph (the step a dedup pipeline
+    runs to pick one survivor per duplicate cluster). Oracle = the same
+    fixpoint via DuckDB's recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = T.lsh_candidate_pairs(d, num_hashes=4, bands=2, shingle_k=3)
+    return T.connected_components(pairs).orderBy("doc_id")
+
+
+def _sql_dedup_components():
+    pairs_sql = _sql_lsh_pairs()
+    return f"""
+    WITH RECURSIVE lsh_pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1342,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "dedup_components": q_dedup_components,
         # engine-native (digest queries carry constant-result oracles over
         # the deterministic synth corpus; the rest are rows-only)
         "engine_decode": q_engine_decode,
@@ -1390,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _SQL_ANN_IVF,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP,
+        "dedup_components": _sql_dedup_components(),
         # engine digests vs deterministic-fixture constants
         "engine_decode_digest": _SQL_ENGINE_DECODE_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,

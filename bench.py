@@ -176,45 +176,81 @@ def headline_queries() -> list[str]:
         "lsh_candidate_pairs",
         "simhash",
         "token_counts",
+        "fingerprint",
         "ann_cosine_topk",
+        "embedding_near_dup_lsh",
         "engine_decode",
         "engine_tiles",
     ]
 
 
-def main() -> None:
+def _run_leg(leg: str) -> dict:
+    """Run one bench leg in a FRESH subprocess JVM and return its JSON.
+
+    Legs cross-contaminate inside one JVM: the 240k-doc pipeline bloats the
+    old-gen heap and the query sweep afterwards measures GC, not queries
+    (lsh_candidate_pairs 3.6s fresh vs 43s dirty), and vice versa
+    (pipeline 52k rows/s fresh vs 28k/s after the sweep). BASELINE.md's
+    comparable numbers were fresh-JVM spark-submit runs."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["BENCH_LEG"] = leg
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def leg_main(leg: str) -> None:
     import __spark_entry__ as entry_mod
 
     sf = _sf_of(SF_DIR)
-    n_docs = int(os.environ.get("BENCH_DOCS", str(max(2000, int(200_000 * sf)))))
+    # 240k docs at sf0.1 — the corpus BASELINE.md's 35,585 features+tiles/s
+    # was measured on, so the per-round pipeline number is directly
+    # comparable (round 1 benched 20k docs and fixed costs dominated)
+    n_docs = int(os.environ.get("BENCH_DOCS", str(max(2400, int(2_400_000 * sf)))))
 
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
-
-    # warm the JVM + Arrow path once so q1 isn't charged for startup
+    # warm the JVM + Arrow path once so the first query isn't charged startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    qtimes: dict[str, float] = {}
-    queries = entry_mod.queries()
-    for name in headline_queries():
-        fn = queries[name]
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        qtimes[name] = round(time.monotonic() - t0, 3)
+    if leg == "queries":
+        qtimes: dict[str, float] = {}
+        queries = entry_mod.queries()
+        for name in headline_queries():
+            fn = queries[name]
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            qtimes[name] = round(time.monotonic() - t0, 3)
+        print(json.dumps({"queries": qtimes}))
+    elif leg == "pipeline":
+        print(json.dumps({"pipeline": bench_pipeline(spark, n_docs)}))
+    elif leg == "scaling":
+        scaling_docs = int(os.environ.get(
+            "BENCH_SCALING_DOCS", str(max(20_000, min(60_000, n_docs)))
+        ))
+        print(json.dumps({"scaling": bench_scaling(spark, scaling_docs)}))
+    spark.stop()
 
-    pipe = bench_pipeline(spark, n_docs)
-    qtimes["engine_pipeline"] = pipe["wall_sec"]
 
-    # scaling corpus large enough that per-job fixed overhead doesn't mask
-    # the parallel fraction at the narrow widths (2-wide needs ~45 s of work)
-    scaling_docs = int(os.environ.get(
-        "BENCH_SCALING_DOCS", str(max(20_000, min(60_000, n_docs * 3)))
-    ))
+def main() -> None:
+    leg = os.environ.get("BENCH_LEG")
+    if leg:
+        leg_main(leg)
+        return
+
+    sf = _sf_of(SF_DIR)
+    qtimes = _run_leg("queries")["queries"]
+    pipe = _run_leg("pipeline")["pipeline"]
     scaling = (
-        bench_scaling(spark, scaling_docs)
+        _run_leg("scaling")["scaling"]
         if os.environ.get("BENCH_SCALING", "1") != "0"
         else {}
     )
+    qtimes["engine_pipeline"] = pipe["wall_sec"]
 
     total = round(sum(qtimes.values()), 3)
     print(json.dumps({
@@ -228,7 +264,6 @@ def main() -> None:
         "pipeline": pipe,
         "scaling": scaling,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

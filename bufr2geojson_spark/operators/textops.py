@@ -395,3 +395,82 @@ def fingerprint(docs: DataFrame, k: int = 8, mod: int = 16,
             F.max("_kh").alias("max_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup groups from candidate pairs (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair list —
+    the step that turns near-dup *pairs* (LSH/simhash/jaccard) into dedup
+    *groups*. Returns (doc_id, component_id) with component_id = min id in
+    the component, one row per vertex that appears in at least one pair.
+
+    Pregel-style min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Each round is one shuffle keyed on vertex id
+    (edges are broadcast-or-shuffle joined on dst), and labels are
+    materialized per round so the plan stays O(1) deep instead of
+    compounding lineage. Near-dup graphs are forests of tiny cliques, so
+    the loop converges in 2-3 rounds; the driver-side loop with one
+    convergence count per round is the standard shape for iterative
+    algorithms (the alternating large-star/small-star variant halves round
+    count at extreme scale, same per-round plan).
+
+    Not SQL-expressible as a single query in Spark, but DuckDB's recursive
+    CTE computes the same fixpoint — used as the oracle."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(nb_min["nb_label"], labels["label"]),
+                ).alias("label"),
+            )
+            .persist()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component_id"))

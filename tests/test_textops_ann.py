@@ -116,3 +116,28 @@ def test_minhash_lsh_single_scan_plan(spark, docs):
     )._jdf.queryExecution().optimizedPlan().toString()
     # a union-of-bands plan would contain a Union node feeding the join
     assert "Union" not in plan
+
+
+def test_connected_components_min_label(spark):
+    """Known graph: {a-b, b-c} one component, {x-y} another, chain {p-q-r-s}
+    — every vertex labels to the component's min id, converging within
+    diameter rounds."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"),
+         ("p", "q"), ("q", "r"), ("r", "s")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in T.connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+        ("p", "p"), ("q", "p"), ("r", "p"), ("s", "p"),
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    assert T.connected_components(pairs).count() == 0
