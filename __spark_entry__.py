@@ -1164,6 +1164,117 @@ def q_engine_cells(spark, sf_dir):
     ).orderBy("feature_id")
 
 
+def q_engine_cells_digest(spark, sf_dir):
+    """Cell-encode digest (N1/N2/N8): feature count, distinct cell counts at
+    both indexes, and exact bit_xor checksums of the cell ids (commutative,
+    so partition-order independent) vs deterministic-fixture constants."""
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cell_s2").alias("d_s2"),
+        F.countDistinct("cell_h3").alias("d_h3"),
+        F.countDistinct("cell_prefix").alias("d_prefix"),
+        F.expr("bit_xor(cell_s2)").alias("x_s2"),
+        F.expr("bit_xor(cell_h3)").alias("x_h3"),
+    )
+
+
+# constants verified identical at local[8]/8 partitions and local[24]/32
+_SQL_ENGINE_CELLS_DIGEST = """
+    SELECT CAST(2271 AS BIGINT) AS n, CAST(280 AS BIGINT) AS d_s2,
+           CAST(169 AS BIGINT) AS d_h3, CAST(54 AS BIGINT) AS d_prefix,
+           CAST(999230862769782784 AS BIGINT) AS x_s2,
+           CAST(6773413738901930379 AS BIGINT) AS x_h3
+"""
+
+
+def q_engine_knn_digest(spark, sf_dir):
+    """kNN digest (N4): station assignment counts and an exact integer
+    checksum of the distances (floor-to-millimeters per row, summed as
+    LONG — partition-order independent)."""
+    docs, stations, _ = _synth_engine_inputs(spark)
+    feats = decode_documents(docs).filter("error is null")
+    j = knn_join(feats, stations, k=1, grid_deg=5.0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("nearest_station_id").alias("d_station"),
+        F.sum(F.floor(F.col("nearest_station_km") * 1000 + 0.5).cast("long"))
+        .alias("mm_sum"),
+        F.max("knn_ring").alias("max_ring"),
+        F.sum("knn_ring").alias("ring_sum"),
+    )
+
+
+_SQL_ENGINE_KNN_DIGEST = """
+    SELECT CAST(2271 AS BIGINT) AS n, CAST(47 AS BIGINT) AS d_station,
+           CAST(86710027 AS BIGINT) AS mm_sum,
+           CAST(36 AS INTEGER) AS max_ring, CAST(3170 AS BIGINT) AS ring_sum
+"""
+
+
+def q_engine_pip_digest(spark, sf_dir):
+    """PIP digest (N3): per-region feature counts — a deterministic ≤8-row
+    table checkable against literal constants."""
+    docs, _, polygons = _synth_engine_inputs(spark)
+    feats = decode_documents(docs).filter("error is null")
+    return (
+        assign_region(feats, polygons)
+        .groupBy(F.coalesce("region_id", F.lit("NONE")).alias("region_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("region_id")
+    )
+
+
+_SQL_ENGINE_PIP_DIGEST = """
+    SELECT region_id, CAST(n AS BIGINT) AS n FROM (VALUES
+        ('NONE', 1257), ('R1', 136), ('R2', 182), ('R3', 120),
+        ('R4', 207), ('R5', 256), ('R6', 112), ('T1', 1)
+    ) AS t(region_id, n) ORDER BY region_id
+"""
+
+
+def q_engine_tiles_digest(spark, sf_dir):
+    """Salted tile agg + rollup digest (N5/N7): per-level tile counts and
+    exact observation totals."""
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    base = tile_aggregate(feats, hot_threshold=50, salt_buckets=8)
+    tiles = tile_rollup(base, 14, [10, 6])
+    return (
+        tiles.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_obs").alias("obs_sum"))
+        .orderBy("level")
+    )
+
+
+_SQL_ENGINE_TILES_DIGEST = """
+    SELECT CAST(level AS INTEGER) AS level, CAST(n_tiles AS BIGINT) AS n_tiles,
+           CAST(obs_sum AS BIGINT) AS obs_sum FROM (VALUES
+        (6, 67, 2267), (10, 226, 2267), (14, 280, 2267)
+    ) AS t(level, n_tiles, obs_sum) ORDER BY level
+"""
+
+
+def q_engine_raster_digest(spark, sf_dir):
+    """Raster digest (N6): tile count and exact pixel totals."""
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    ras = rasterize(feats, tile_level=6, pixel_level=8)
+    return ras.agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("npix").alias("npix_sum"),
+        F.sum("nnz").alias("nnz_sum"),
+    )
+
+
+_SQL_ENGINE_RASTER_DIGEST = """
+    SELECT CAST(67 AS BIGINT) AS n_tiles, CAST(1072 AS BIGINT) AS npix_sum,
+           CAST(124 AS BIGINT) AS nnz_sum
+"""
+
+
 def q_engine_knn(spark, sf_dir):
     docs, stations, _ = _synth_engine_inputs(spark)
     feats = decode_documents(docs).filter("error is null")
@@ -1376,6 +1487,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the deterministic synth corpus; the rest are rows-only)
         "engine_decode": q_engine_decode,
         "engine_decode_digest": q_engine_decode_digest,
+        "engine_cells_digest": q_engine_cells_digest,
+        "engine_knn_digest": q_engine_knn_digest,
+        "engine_pip_digest": q_engine_pip_digest,
+        "engine_tiles_digest": q_engine_tiles_digest,
+        "engine_raster_digest": q_engine_raster_digest,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -1423,6 +1539,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         # engine digests vs deterministic-fixture constants
         "engine_decode_digest": _SQL_ENGINE_DECODE_DIGEST,
+        "engine_cells_digest": _SQL_ENGINE_CELLS_DIGEST,
+        "engine_knn_digest": _SQL_ENGINE_KNN_DIGEST,
+        "engine_pip_digest": _SQL_ENGINE_PIP_DIGEST,
+        "engine_tiles_digest": _SQL_ENGINE_TILES_DIGEST,
+        "engine_raster_digest": _SQL_ENGINE_RASTER_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }
