@@ -1326,6 +1326,47 @@ def q_engine_tiles_hex(spark, sf_dir):
     ).orderBy("level", "cell")
 
 
+def q_engine_tiles_hex_digest(spark, sf_dir):
+    """Hex rollup digest (N5 hex leg): per-level tile counts + exact
+    observation totals (levels derived direct from from_level — see
+    tiles.tile_rollup hex note)."""
+    tiles = q_engine_tiles_hex(spark, sf_dir)
+    return (
+        tiles.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_tiles"),
+             F.sum("n_obs").alias("obs_sum"))
+        .orderBy("level")
+    )
+
+
+_SQL_ENGINE_TILES_HEX_DIGEST = """
+    SELECT CAST(level AS INTEGER) AS level, CAST(n_tiles AS BIGINT) AS n_tiles,
+           CAST(obs_sum AS BIGINT) AS obs_sum FROM (VALUES
+        (3, 56, 2267), (5, 81, 2267), (7, 169, 2267)
+    ) AS t(level, n_tiles, obs_sum) ORDER BY level
+"""
+
+
+def q_engine_media_digest(spark, sf_dir):
+    """Media-plumbing digest (explode + mapInPandas decode + frame sample):
+    media count, exact metadata sums, distinct content hashes."""
+    m = q_engine_media(spark, sf_dir)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("width").alias("w_sum"),
+        F.sum("height").alias("h_sum"),
+        F.sum("channels").alias("c_sum"),
+        F.countDistinct("sha").alias("d_sha"),
+    )
+
+
+_SQL_ENGINE_MEDIA_DIGEST = """
+    SELECT CAST(82 AS BIGINT) AS n_media, CAST(53200 AS BIGINT) AS w_sum,
+           CAST(45076 AS BIGINT) AS h_sum, CAST(246 AS BIGINT) AS c_sum,
+           CAST(82 AS BIGINT) AS d_sha
+"""
+
+
 def q_engine_raster(spark, sf_dir):
     docs, _, _ = _synth_engine_inputs(spark)
     feats = with_cells(decode_documents(docs).filter("error is null"))
@@ -1492,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_pip_digest": q_engine_pip_digest,
         "engine_tiles_digest": q_engine_tiles_digest,
         "engine_raster_digest": q_engine_raster_digest,
+        "engine_tiles_hex_digest": q_engine_tiles_hex_digest,
+        "engine_media_digest": q_engine_media_digest,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -1544,6 +1587,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_pip_digest": _SQL_ENGINE_PIP_DIGEST,
         "engine_tiles_digest": _SQL_ENGINE_TILES_DIGEST,
         "engine_raster_digest": _SQL_ENGINE_RASTER_DIGEST,
+        "engine_tiles_hex_digest": _SQL_ENGINE_TILES_HEX_DIGEST,
+        "engine_media_digest": _SQL_ENGINE_MEDIA_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }
