@@ -1098,6 +1098,18 @@ _SQL_ANN_IVF = f"""
 """
 
 
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF with a k-means-trained coarse quantizer (iterative Lloyd's —
+    data-dependent float means, so rows-only rather than oracle-hashed;
+    exactness when probing all lists is pytest-verified)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = A.ivf_train(e, n_centroids=_IVF_N_CENTROIDS, n_iter=2)
+    return A.ivf_topk(
+        e, _ANN_QUERY_IDS, k=5,
+        n_centroids=_IVF_N_CENTROIDS, nprobe=_IVF_NPROBE, centroids=cents,
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # n_planes=0 = the exact all-pairs ORACLE form (never the operator
     # default); the default bucketed path is exercised by
@@ -1521,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "dedup_components": q_dedup_components,

@@ -366,6 +366,58 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = DEFAULT_DIM,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer — the
+    trained replacement for the deterministic modulo centroids.
+
+    Init = the modulo centroids (same rule as the oracle). Each iteration:
+    (1) assign every vector to its max-cosine centroid (broadcast-join +
+    per-vector argmax — one pass over the corpus, no shuffle of vectors);
+    (2) new centroid = elementwise mean of its members, computed by
+    exploding (centroid, pos, val) triples into a map-side-combined
+    groupBy(centroid, pos) average — the shuffle is C×dim rows per
+    partition, never the corpus. Centroids are localCheckpoint-ed per
+    iteration (tiny: C rows) so the plan depth stays O(1).
+
+    Returns (centroid_id, centv, centn) directly usable by ``ivf_assign``
+    and ``ivf_topk(centroids=...)``. Iterative and data-dependent, so it is
+    exercised by pytest (objective must be monotonically non-decreasing)
+    rather than a SQL oracle."""
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = _ivf_centroids(base, n_centroids, id_col, dim).localCheckpoint()
+    for _ in range(n_iter):
+        assigned = ivf_assign(base.select(F.col(id_col), F.col("v")
+                                          .alias(vec_col)),
+                              cents, id_col, vec_col, dim)
+        triples = assigned.select(
+            "centroid_id", F.posexplode("v").alias("pos", "val")
+        )
+        means = (
+            triples.groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("_pm"))
+            .select(
+                "centroid_id",
+                F.transform("_pm", lambda s: s["m"]).alias("centv"),
+            )
+        )
+        cents = means.select(
+            "centroid_id", "centv", _norm(F.col("centv"), dim).alias("centn")
+        ).localCheckpoint()
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -376,17 +428,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = DEFAULT_DIM,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine only against vectors whose centroid is among the
     query's ``nprobe`` nearest centroids. Plan: broadcast(query probes) ⋈
     inverted lists on centroid_id — the corpus is scanned once and shuffled
     once on a C-ary key. Centroid selection is lazy and in-plan; pass
     ``corpus_size`` (a catalog statistic on a real table) only to pin the
-    centroid id list up front."""
+    centroid id list up front, or ``centroids`` (e.g. from ``ivf_train``)
+    to use a trained quantizer."""
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     )
-    if corpus_size is not None:
+    if centroids is not None:
+        cents = centroids
+    elif corpus_size is not None:
         cids = ivf_centroid_ids(n_centroids, corpus_size)
         cents = base.filter(F.col(id_col).isin(cids)).select(
             F.col(id_col).alias("centroid_id"),

@@ -141,3 +141,41 @@ def test_connected_components_min_label(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a string, id_b string")
     assert T.connected_components(pairs).count() == 0
+
+
+def test_ivf_train_shapes_and_exactness_when_probing_all(spark, emb):
+    """Trained quantizer sanity: C centroids of the right width, and IVF
+    with the trained centroids probing ALL lists equals brute force exactly
+    (partitioning into inverted lists never changes the full search)."""
+    cents = A.ivf_train(emb, n_centroids=4, n_iter=2)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert all(len(r.centv) == 64 and r.centn > 0 for r in rows)
+    qids = [0, 21]
+    exact = [(r.query_id, r.neighbor_id, r.rank)
+             for r in A.cosine_topk(emb, qids, k=3).collect()]
+    trained = [(r.query_id, r.neighbor_id, r.rank)
+               for r in A.ivf_topk(emb, qids, k=3, n_centroids=4, nprobe=4,
+                                   centroids=cents).collect()]
+    assert sorted(exact) == sorted(trained)
+
+
+def test_ivf_train_improves_quantizer_objective(spark, emb):
+    """Mean objective (avg max-cosine of each vector to its centroid) after
+    Lloyd iterations must beat the untrained modulo-centroid init on this
+    corpus (cosine-assignment + mean-update is spherical-k-means-like, not
+    strictly monotone in theory, so assert a clear empirical win margin)."""
+    from pyspark.sql import functions as F
+
+    def objective(cents):
+        a = A.ivf_assign(emb, cents)
+        joined = a.join(cents, "centroid_id")
+        return joined.select(
+            F.avg(A.cosine(F.col("v"), F.col("centv"), 64)).alias("o")
+        ).collect()[0].o
+
+    base = emb.select(F.col("vec_id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+    init = A._ivf_centroids(base, 4, "vec_id", 64)
+    trained = A.ivf_train(emb, n_centroids=4, n_iter=3)
+    assert objective(trained) > objective(init)
