@@ -1406,6 +1406,46 @@ def q_engine_media(spark, sf_dir):
     )
 
 
+def q_engine_media_resize_digest(spark, sf_dir):
+    """Resize plumbing digest: fixed-grid pixel arrays summed to exact
+    integers per row (pixels are 6-dp values; ×1e6 floor-rounds exactly),
+    then summed as LONG — partition-order independent, so checkable
+    against deterministic-fixture constants."""
+    from bufr2geojson_spark.operators.media import media_table, resize_media
+
+    docs, _, _ = _synth_engine_inputs(spark)
+    r = resize_media(media_table(docs), out_w=4, out_h=4)
+    px_e6 = F.aggregate(
+        F.transform("pixels",
+                    lambda p: F.floor(p * 1e6 + 0.5).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return r.select(px_e6.alias("_px")).agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("_px").alias("px_sum_e6"),
+    )
+
+
+# verified identical at local[6]/5 partitions and local[20]/32
+_SQL_ENGINE_MEDIA_RESIZE_DIGEST = """
+    SELECT CAST(82 AS BIGINT) AS n_media,
+           CAST(659635282 AS BIGINT) AS px_sum_e6
+"""
+
+
+def q_engine_media_xmodal(spark, sf_dir):
+    """Cross-modal retrieval plumbing: top-3 embedding rows per media
+    feature vector (stub features; rows-only — depends on both the synth
+    corpus and the sf-scaled embeddings table)."""
+    from bufr2geojson_spark.operators.media import (
+        decode_media, media_feature_join, media_table)
+
+    docs, _, _ = _synth_engine_inputs(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    feats = decode_media(media_table(docs))
+    return media_feature_join(feats, e, k=3).orderBy("media_ref", "rank")
+
+
 def q_engine_geojson(spark, sf_dir):
     """WCCDM-OBS GeoJSON serialization digest (the reference's output
     format; deep-equality vs its golden fixture is tested in
@@ -1548,6 +1588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_raster_digest": q_engine_raster_digest,
         "engine_tiles_hex_digest": q_engine_tiles_hex_digest,
         "engine_media_digest": q_engine_media_digest,
+        "engine_media_resize_digest": q_engine_media_resize_digest,
+        "engine_media_xmodal": q_engine_media_xmodal,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -1602,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_raster_digest": _SQL_ENGINE_RASTER_DIGEST,
         "engine_tiles_hex_digest": _SQL_ENGINE_TILES_HEX_DIGEST,
         "engine_media_digest": _SQL_ENGINE_MEDIA_DIGEST,
+        "engine_media_resize_digest": _SQL_ENGINE_MEDIA_RESIZE_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }

@@ -125,3 +125,83 @@ def frame_sample(media: DataFrame, n_frames: int = 4,
             lambda i: F.round(i.cast("double") * step + step / 2.0, 3),
         ).alias("frame_ts"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("pixels", ArrayType(DoubleType())),
+        StructField("is_stub", BooleanType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Arrow-batched resize to a fixed (out_w × out_h) grayscale grid.
+
+    Real pipeline shape: mapInPandas over (doc_id, media_ref) with the
+    target dims closed over, one flat float array per image out (the layout
+    a training pipeline feeds to a vision tower). Pixel synthesis is the
+    deterministic STUB (no Pillow/ffmpeg in this container): each pixel is
+    hash-derived from (media_ref, pixel index) — replace `_stub_pixels`
+    with a real decode+bilinear resize; schema/batching stay identical."""
+    n_px = out_w * out_h
+
+    def _stub_pixels(ref: str) -> list:
+        digest = hashlib.md5(str(ref).encode()).digest()
+        return [
+            round(digest[(i * 7 + 3) % 16] / 255.0, 6) for i in range(n_px)
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "out_w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "out_h": np.full(len(pdf), out_h, dtype=np.int32),
+                    "pixels": [_stub_pixels(r) for r in pdf["media_ref"]],
+                    "is_stub": np.full(len(pdf), True),
+                }
+            )
+
+    return media.select("doc_id", "media_ref").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def media_feature_join(media_features: DataFrame,
+                       embeddings: DataFrame,
+                       k: int = 3) -> DataFrame:
+    """Cross-modal retrieval plumbing: top-k embedding rows per media
+    feature vector by cosine — reuses the ANN kernel over the media
+    `features` column (dim 8 here), demonstrating that media features are
+    first-class vectors to the similarity operators."""
+    from pyspark.sql import Window
+
+    from bufr2geojson_spark.operators.ann import _cos_pre, _dot, _norm
+
+    dim = 8
+    m = media_features.select(
+        "media_ref", F.col("features").alias("mv")
+    ).withColumn("mn", _norm(F.col("mv"), dim))
+    e = embeddings.select(
+        F.col("vec_id"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, dim).alias("ev"),
+    ).withColumn("en", _norm(F.col("ev"), dim))
+    scored = (
+        F.broadcast(m).crossJoin(e)
+        .select("media_ref", "vec_id",
+                _cos_pre(_dot(F.col("mv"), F.col("ev"), dim),
+                         F.col("mn"), F.col("en")).alias("cos"))
+    )
+    w = Window.partitionBy("media_ref").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("media_ref", "vec_id", "cos", "rank")
+    )
