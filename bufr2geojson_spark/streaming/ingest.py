@@ -164,3 +164,56 @@ def run_windowed_counts_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def dedup_reports_stream(
+    features: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup of retransmitted reports: keep the first
+    arrival of each (report_id, feature index) within the event-time
+    watermark. Uses ``dropDuplicatesWithinWatermark`` — state holds one
+    key per feature seen in the watermark horizon and is dropped once the
+    watermark passes it, so state is bounded by (arrival rate × horizon),
+    never the stream's lifetime. The batch analogue is
+    ``textops.exact_dedup``; the key is the decoder's md5 report identity
+    (one per subset), so a bulletin retransmitted by an upstream broker
+    deduplicates even when its document id differs."""
+    return (
+        event_time(features)
+        .filter(F.col("event_ts").isNotNull())
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["report_id", "index"])
+    )
+
+
+def run_dedup_ingest_once(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "2 hours",
+    **decode_kw,
+) -> int:
+    """AvailableNow drain: decode + streaming report-dedup + idempotent
+    per-batch parquet append (same exactly-once shape as run_ingest_once)."""
+    stream = read_document_stream(spark, input_path)
+    feats = dedup_reports_stream(decode_stream(stream, **decode_kw),
+                                 watermark=watermark)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{output_path}/batch_id={batch_id}")
+        )
+        n_batches["n"] += 1
+
+    q = (
+        feats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -115,3 +115,31 @@ def test_event_time_is_session_timezone_independent(spark):
     assert utc[0] == 1647810000  # 2022-03-20T21:00:00Z
     assert utc[1] == 1647810000  # period → end instant
     assert utc[2] is None        # reference 'Invalid date' quirk → null
+
+
+def test_stream_dedup_drops_retransmitted_reports(spark, tmp_path):
+    """The same documents appended twice (an upstream retransmission) must
+    come out once: dropDuplicatesWithinWatermark on the md5 report identity,
+    state bounded by the watermark horizon."""
+    import shutil
+
+    from bufr2geojson_spark.sources.synth import synth_documents
+    from bufr2geojson_spark.streaming.ingest import run_dedup_ingest_once
+
+    base = str(tmp_path)
+    docs = synth_documents(spark, 40, n_stations=20, partitions=2)
+    docs.write.parquet(f"{base}/in")
+    # retransmission: identical corpus appended as more part files
+    docs.write.mode("append").parquet(f"{base}/in")
+    run_dedup_ingest_once(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    out = spark.read.parquet(f"{base}/out")
+    from bufr2geojson_spark.streaming.ingest import event_time
+
+    n_unique = (
+        event_time(decode_documents(docs).filter("error is null"))
+        .filter(F.col("event_ts").isNotNull())
+        .selectExpr("report_id", "index").distinct().count()
+    )
+    assert out.select("report_id", "index").distinct().count() == out.count()
+    assert out.count() == n_unique
+    shutil.rmtree(base, ignore_errors=True)
