@@ -407,3 +407,24 @@ def test_csv_table_provider_loads_and_misses(spark, tmp_path):
     rows = decode_documents(docs, table_provider=prov).filter(
         "error is null").collect()
     assert rows[0].result_code.description == "MY CUSTOM LABEL, WITH COMMA"
+
+
+def test_prov_json_template_matches_dict_dumps():
+    """The string-template PROV serializer must be byte-identical to
+    json.dumps of the dict form for arbitrary (escaped) inputs."""
+    import json as _json
+
+    from bufr2geojson_spark.operators.decode import _prov_block, _prov_json
+
+    cases = [
+        ("synop-file.bin", "1ec58338aab209c8ab22f05309315b71-0", 0, 0, 1),
+        ('we"ird\\src', "abc-12", 7, 2, 3),
+        ("", "id-0", 0, 1, 1),
+        ("üñïçødé", "id-1", 3, 0, 2),
+    ]
+    for src, fid, idx, sub, msg in cases:
+        expected = _json.dumps(_prov_block(src, fid, idx, sub, msg,
+                                           "2024-12-19 00:00:00"))
+        got = _prov_json(src, fid, idx, sub, msg,
+                         _json.dumps("2024-12-19 00:00:00"))
+        assert got == expected, (src, fid)
