@@ -614,18 +614,16 @@ def q_geo_tile_agg_salted(spark, sf_dir):
         pts, cell_col="tile", value_col="result_value",
         salt_buckets=8, hot_threshold=5,
     )
-    # engine-agnostic floor-form rounding (pure IEEE arithmetic, identical in
-    # Spark and DuckDB even on .5 ties) — same trick as textops.round6
-    def _r(c, dp):
-        m = float(10 ** dp)
-        return F.floor(F.col(c) * m + F.lit(0.5)) / m
+    # engine-agnostic floor-form rounding (pure IEEE arithmetic, identical
+    # in Spark and DuckDB even on .5 ties) — shared with every round6 user
+    from bufr2geojson_spark.operators.textops import round_dp
 
     return out.select(
         "tile", "n_obs",
-        _r("sum_val", 2).alias("sum_val"),
-        _r("min_val", 2).alias("min_val"),
-        _r("max_val", 2).alias("max_val"),
-        _r("avg_val", 4).alias("avg_val"),
+        round_dp(F.col("sum_val"), 2).alias("sum_val"),
+        round_dp(F.col("min_val"), 2).alias("min_val"),
+        round_dp(F.col("max_val"), 2).alias("max_val"),
+        round_dp(F.col("avg_val"), 4).alias("avg_val"),
     ).orderBy("tile")
 
 

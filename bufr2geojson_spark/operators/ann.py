@@ -91,8 +91,21 @@ def _cos_pre(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     return F.round(dot / (norm_a * norm_b), 6)
 
 
-def _as_double(col: Column) -> Column:
-    return col.cast("array<double>")
+def _as_double(col: Column, dim: int | None = None) -> Column:
+    """Cast to array<double>; when ``dim`` is given, guard the width with
+    assert_true — the unrolled kernels index a[0..dim-1], so a wider
+    embedding would silently truncate and a narrower one would fail with an
+    opaque array-index error. The guard is one size check per row (noise
+    next to the 64-term dot)."""
+    cast = col.cast("array<double>")
+    if dim is None:
+        return cast
+    ok = F.assert_true(
+        F.size(col) == dim,
+        F.lit(f"embedding width != configured dim={dim}; pass dim= to the "
+              "ANN operator (or dim=None for the width-agnostic fallback)"),
+    )
+    return F.when(ok.isNull(), cast)
 
 
 def _seq_dot_np(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -170,11 +183,11 @@ def cosine_topk(
     (the window partitioning by query), corpus scanned once."""
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
+        _as_double(F.col(vec_col), dim).alias("qv"),
     ).withColumn("qn", _norm(F.col("qv"), dim))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
+        _as_double(F.col(vec_col), dim).alias("cv"),
     ).withColumn("cn", _norm(F.col("cv"), dim))
     scored = (
         F.broadcast(q)
@@ -248,7 +261,7 @@ def lsh_ann_topk(
     planes = hyperplanes(n_planes, dim)
     base = embeddings.select(
         F.col(id_col),
-        _as_double(F.col(vec_col)).alias("v"),
+        _as_double(F.col(vec_col), dim).alias("v"),
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes)) \
      .withColumn("vn", _norm(F.col("v"), dim))
     q = base.filter(F.col(id_col).isin(query_ids)).select(
@@ -337,7 +350,7 @@ def ivf_assign(
     Centroids are broadcast; assignment is a narrow argmax — no shuffle
     beyond the per-vector window, no UDF."""
     base = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
     )
     if isinstance(centroids, list):
         cents = base.filter(F.col(id_col).isin(centroids)).select(
@@ -351,7 +364,7 @@ def ivf_assign(
         base.withColumn("vn", _norm(F.col("v"), dim))
         .join(F.broadcast(cents))
         .select(
-            id_col, "v", "centroid_id",
+            id_col, "v", "vn", "centroid_id",
             _cos_pre(_dot(F.col("v"), F.col("centv"), dim),
                      F.col("vn"), F.col("centn")).alias("ccos"),
         )
@@ -362,7 +375,9 @@ def ivf_assign(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, "v", "centroid_id")
+        # vn carried through so downstream pair scoring (ivf_topk) reuses
+        # the norm instead of re-evaluating the 64-term expression per row
+        .select(id_col, "v", "vn", "centroid_id")
     )
 
 
@@ -391,7 +406,7 @@ def ivf_train(
     exercised by pytest (objective must be monotonically non-decreasing)
     rather than a SQL oracle."""
     base = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
     )
     cents = _ivf_centroids(base, n_centroids, id_col, dim).localCheckpoint()
     for _ in range(n_iter):
@@ -438,7 +453,7 @@ def ivf_topk(
     centroid id list up front, or ``centroids`` (e.g. from ``ivf_train``)
     to use a trained quantizer."""
     base = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
     )
     if centroids is not None:
         cents = centroids
@@ -455,7 +470,7 @@ def ivf_topk(
 
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
+        _as_double(F.col(vec_col), dim).alias("qv"),
     ).withColumn("qn", _norm(F.col("qv"), dim))
     qprobe_scored = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "qn", "centroid_id",
@@ -475,7 +490,7 @@ def ivf_topk(
         .join(
             assigned.withColumnRenamed(id_col, "neighbor_id")
             .withColumnRenamed("v", "cv")
-            .withColumn("cn", _norm(F.col("cv"), dim)),
+            .withColumnRenamed("vn", "cn"),
             on="centroid_id",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -520,7 +535,7 @@ def embedding_near_dup(
     oracle reference ONLY; never the default.
     """
     base = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
     )
     if n_planes > 0:
         # all tables' buckets come from ONE vectorized UDF pass then a

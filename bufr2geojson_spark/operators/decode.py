@@ -650,14 +650,20 @@ def _decode_doc(doc_id, spans, *, guess_wsi, result_time, prov_end_time,
         end = (header_positions[j + 1]
                if j + 1 < len(header_positions) else len(spans))
         seg = spans[hp:end]
-        feats, err = _decode_subset(
-            doc_id, seg, spans,
-            guess_wsi=guess_wsi, result_time=result_time,
-            prov_end_time=prov_end_time,
-            source_identifier=source_identifier,
-            include_spans=include_spans,
-            table_provider=table_provider,
-        )
+        try:
+            feats, err = _decode_subset(
+                doc_id, seg, spans,
+                guess_wsi=guess_wsi, result_time=result_time,
+                prov_end_time=prov_end_time,
+                source_identifier=source_identifier,
+                include_spans=include_spans,
+                table_provider=table_provider,
+            )
+        except Exception as e:
+            # a subset that RAISES (corrupt header JSON, malformed element)
+            # must also quarantine only itself — returned errors alone don't
+            # cover exceptions, which would otherwise discard siblings
+            feats, err = [], f"decode error: {e}"
         features.extend(feats)
         if err is not None:
             errors.append(f"subset {j + 1}: {err}")

@@ -311,12 +311,17 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+def round_dp(x: Column, dp: int) -> Column:
+    """Engine-agnostic rounding to ``dp`` decimals: ``floor(x*10^dp + 0.5) /
+    10^dp`` is pure IEEE arithmetic, so Spark and any SQL oracle produce
+    bit-identical doubles even on exact .5 ties (where Spark's
+    HALF_UP-on-shortest-repr and DuckDB's half-away-on-binary disagree)."""
+    m = F.lit(float(10 ** dp))
+    return F.floor(x * m + F.lit(0.5)) / m
+
+
 def round6(x: Column) -> Column:
-    """Engine-agnostic 6-dp rounding: ``floor(x*1e6 + 0.5)/1e6`` is pure IEEE
-    arithmetic, so Spark and any SQL oracle produce bit-identical doubles even
-    on exact .5 ties (where Spark's HALF_UP-on-shortest-repr and DuckDB's
-    half-away-on-binary disagree)."""
-    return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return round_dp(x, 6)
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
@@ -441,6 +446,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nb_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -466,11 +472,12 @@ def connected_components(
         )
         labels = new_labels
         if n_changed == 0:
+            converged = True
             break
-    else:
+    edges.unpersist()
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component_id"))

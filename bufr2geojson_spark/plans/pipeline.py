@@ -104,6 +104,7 @@ def run_pipeline(
             return compute()
         if resume and L.stage_complete(spark, work_dir, run_id, stage):
             res.skipped.append(stage)
+            materialized = True  # parquet read-back needs no fused-chain cache
             return L.read_stage(spark, work_dir, run_id, stage)
         out = L.write_stage(
             compute(), spark, work_dir, run_id, stage, snapshot_id, **wkw

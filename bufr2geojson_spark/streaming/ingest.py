@@ -178,12 +178,21 @@ def dedup_reports_stream(
     never the stream's lifetime. The batch analogue is
     ``textops.exact_dedup``; the key is the decoder's md5 report identity
     (one per subset), so a bulletin retransmitted by an upstream broker
-    deduplicates even when its document id differs."""
-    return (
-        event_time(features)
-        .filter(F.col("event_ts").isNotNull())
+    deduplicates even when its document id differs.
+
+    Features whose phenomenon_time cannot be parsed (the reference's
+    'Invalid date (...)' quirk) have no event time to bound state with, so
+    they BYPASS the watermark dedup and pass through unchanged (at-least-
+    once for that sliver rather than silent data loss; the sink can still
+    dedup them within each micro-batch — run_dedup_ingest_once does)."""
+    with_ts = event_time(features)
+    deduped = (
+        with_ts.filter(F.col("event_ts").isNotNull())
         .withWatermark("event_ts", watermark)
         .dropDuplicatesWithinWatermark(["report_id", "index"])
+    )
+    return deduped.unionByName(
+        with_ts.filter(F.col("event_ts").isNull())
     )
 
 
@@ -203,8 +212,12 @@ def run_dedup_ingest_once(
     n_batches = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch exact dedup mops up the pass-through sliver (invalid-
+        # date reports bypass the watermarked state); idempotent on the
+        # already-deduped rows
         (
-            batch_df.write.mode("overwrite")
+            batch_df.dropDuplicates(["report_id", "index"])
+            .write.mode("overwrite")
             .parquet(f"{output_path}/batch_id={batch_id}")
         )
         n_batches["n"] += 1

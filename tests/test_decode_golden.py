@@ -428,3 +428,24 @@ def test_prov_json_template_matches_dict_dumps():
         got = _prov_json(src, fid, idx, sub, msg,
                          _json.dumps("2024-12-19 00:00:00"))
         assert got == expected, (src, fid)
+
+
+def test_multi_subset_raising_subset_quarantined_others_survive(spark):
+    """A subset whose decode RAISES (corrupt header JSON) — not just returns
+    an error — must still quarantine only itself."""
+    from pyspark.sql import Row
+    from bufr2geojson_spark.schemas import DOCUMENT_SCHEMA
+    from bufr2geojson_spark.sources.synth import synth_documents
+
+    doc = synth_documents(spark, 1, n_stations=30, partitions=1,
+                          multi_subset_every=1).collect()[0]
+    spans = [s.asDict() for s in doc.spans]
+    h_pos = [i for i, s in enumerate(spans) if s["kind"] == "header"]
+    spans[h_pos[1]]["text"] = "{not json at all"
+    broken = spark.createDataFrame(
+        [Row(doc_id=doc.doc_id, spans=spans)], DOCUMENT_SCHEMA)
+    out = decode_documents(broken).collect()
+    good = [r for r in out if r.error is None]
+    errs = [r for r in out if r.error is not None]
+    assert good, "intact subsets must still produce features"
+    assert len(errs) == 1 and errs[0].error.startswith("subset 2: decode error")

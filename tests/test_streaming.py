@@ -133,11 +133,11 @@ def test_stream_dedup_drops_retransmitted_reports(spark, tmp_path):
     docs.write.mode("append").parquet(f"{base}/in")
     run_dedup_ingest_once(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
     out = spark.read.parquet(f"{base}/out")
-    from bufr2geojson_spark.streaming.ingest import event_time
 
+    # invalid-date reports pass through (not dropped) and are deduped
+    # per-batch by the sink, so the expectation covers ALL features
     n_unique = (
-        event_time(decode_documents(docs).filter("error is null"))
-        .filter(F.col("event_ts").isNotNull())
+        decode_documents(docs).filter("error is null")
         .selectExpr("report_id", "index").distinct().count()
     )
     assert out.select("report_id", "index").distinct().count() == out.count()

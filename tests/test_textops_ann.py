@@ -179,3 +179,20 @@ def test_ivf_train_improves_quantizer_objective(spark, emb):
     init = A._ivf_centroids(base, 4, "vec_id", 64)
     trained = A.ivf_train(emb, n_centroids=4, n_iter=3)
     assert objective(trained) > objective(init)
+
+
+def test_ann_rejects_mismatched_embedding_width(spark):
+    """The unrolled kernel indexes a[0..dim-1]; a wrong-width embedding must
+    fail with the explicit width-guard message, not truncate silently."""
+    import pytest
+
+    small = spark.createDataFrame(
+        [(0, [1.0] * 32), (1, [0.5] * 32)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="embedding width"):
+        A.cosine_topk(small, [0], k=1, dim=64).collect()
+    # explicit dim matching the data works
+    assert A.cosine_topk(small, [0], k=1, dim=32).count() == 1
+    # width-agnostic fallback works too
+    assert A.cosine_topk(small, [0], k=1, dim=None).count() == 1
