@@ -727,6 +727,37 @@ def _sql_lsh_pairs():
     """
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli sample (training-mix curation): same
+    rows on any cluster/partitioning/rerun — no rand()."""
+    d = _t(spark, sf_dir, "documents")
+    return T.hash_sample(d, 0.25).select("doc_id").orderBy("doc_id")
+
+
+_SQL_HASH_SAMPLE = f"""
+    SELECT doc_id FROM documents
+    WHERE {_H32_SQL.format(x="concat('sample:', doc_id)")} % 1000000 < 250000
+    ORDER BY doc_id
+"""
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash train/val assignment: a document never migrates
+    between splits as the corpus grows (no leakage across runs)."""
+    d = _t(spark, sf_dir, "documents")
+    return (T.train_val_split(d, val_fraction=0.1)
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
+_SQL_TRAIN_VAL = f"""
+    SELECT doc_id,
+           CASE WHEN {_H32_SQL.format(x="concat('split:', doc_id)")}
+                     % 1000000 < 100000
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup GROUPS from candidate pairs: iterative min-label connected
     components over the MinHash-LSH pair graph (the step a dedup pipeline
@@ -1575,6 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "dedup_components": q_dedup_components,
+        "hash_sample": q_hash_sample,
+        "train_val_split": q_train_val_split,
         # engine-native (digest queries carry constant-result oracles over
         # the deterministic synth corpus; the rest are rows-only)
         "engine_decode": q_engine_decode,
@@ -1633,6 +1666,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP,
         "dedup_components": _sql_dedup_components(),
+        "hash_sample": _SQL_HASH_SAMPLE,
+        "train_val_split": _SQL_TRAIN_VAL,
         # engine digests vs deterministic-fixture constants
         "engine_decode_digest": _SQL_ENGINE_DECODE_DIGEST,
         "engine_cells_digest": _SQL_ENGINE_CELLS_DIGEST,

@@ -481,3 +481,37 @@ def connected_components(
         )
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component_id"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting (training-mix curation)
+# ---------------------------------------------------------------------------
+
+
+def hash_sample(docs: DataFrame, fraction: float,
+                id_col: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep a row iff
+    ``h32(salt:id) % 1_000_000 < fraction * 1e6``. No ``rand()`` — the
+    same (id, salt, fraction) always selects the same rows on any cluster,
+    any partitioning, any rerun (the reproducibility a training-data
+    pipeline needs for ablations), and the predicate is a pure codegen
+    filter with no shuffle."""
+    thresh = int(fraction * 1_000_000)
+    key = h32(F.concat(F.lit(f"{salt}:"), F.col(id_col)))
+    return docs.filter(key % 1_000_000 < thresh)
+
+
+def train_val_split(docs: DataFrame, val_fraction: float = 0.1,
+                    id_col: str = "doc_id",
+                    salt: str = "split") -> DataFrame:
+    """Deterministic train/validation assignment as a COLUMN (``split`` ∈
+    {'train','val'}): hash-derived, so a document never migrates between
+    splits as the corpus grows — appends land in the same split forever
+    (no leakage across training runs). Narrow projection, no shuffle."""
+    thresh = int(val_fraction * 1_000_000)
+    key = h32(F.concat(F.lit(f"{salt}:"), F.col(id_col)))
+    return docs.withColumn(
+        "split",
+        F.when(key % 1_000_000 < thresh, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

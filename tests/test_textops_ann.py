@@ -196,3 +196,16 @@ def test_ann_rejects_mismatched_embedding_width(spark):
     assert A.cosine_topk(small, [0], k=1, dim=32).count() == 1
     # width-agnostic fallback works too
     assert A.cosine_topk(small, [0], k=1, dim=None).count() == 1
+
+
+def test_hash_sample_deterministic_and_split_append_stable(spark, docs):
+    """hash_sample returns the same rows under any partitioning; a doc's
+    train/val assignment is unchanged when the corpus grows."""
+    s1 = {r.doc_id for r in T.hash_sample(docs, 0.25).collect()}
+    s2 = {r.doc_id for r in T.hash_sample(docs.repartition(13), 0.25).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    full = {r.doc_id: r.split
+            for r in T.train_val_split(docs).collect()}
+    half = {r.doc_id: r.split
+            for r in T.train_val_split(docs.limit(100)).collect()}
+    assert all(full[d] == sp for d, sp in half.items())
