@@ -1,0 +1,103 @@
+"""Event-stream relational operators: sessionization and as-of join.
+
+Two classic temporal operators the reference's relational surface (§2.3)
+lacks but any at-scale event pipeline needs. Both are single-window
+formulations: one shuffle keyed on the entity (user), then a sorted pass —
+the shape that scales to 100 TB because per-user event lists are small and
+the sort is within the partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap``. Returns one row per
+    (user, session): ordinal session_id (1-based per user), event count,
+    start/end timestamps, summed value.
+
+    Plan: ONE shuffle (partitionBy user), lag + running sum of
+    session-start flags inside the sorted window, then a groupBy that
+    reuses the same partitioning (no second exchange of note). The
+    equivalent Structured Streaming shape is a session window with
+    watermark; this is the batch form."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    flagged = events.withColumn(
+        "_new",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        flagged.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.round(F.sum(value_col), 2).alias("session_value"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("ts", "event_id", "value"),
+) -> DataFrame:
+    """AS-OF join: for every left row, attach the most recent right row of
+    the same key with ``right.ts <= left.ts`` (inclusive). Nearest-past
+    semantics — DuckDB's native ``ASOF JOIN`` is the oracle.
+
+    Distributed shape: the UNION-TAG algorithm, not a range join — tag both
+    sides, union, one shuffle keyed on ``on``, one sorted pass carrying the
+    last-seen right row forward (``last(..., ignorenulls=True)``). A naive
+    range join explodes to O(left × right-per-key) candidate pairs; this is
+    O(left + right) rows through one exchange, the standard at-scale as-of
+    plan (same-timestamp ties order the right row first, so 'inclusive'
+    holds)."""
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+    )
+    tagged_r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c != on and c != ts_col else F.col(c)
+          for c in lcols],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    # right rows sort BEFORE left rows at an equal timestamp → inclusive <=
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *lcols, *[f"asof_{c}" for c in right_cols]
+    )
