@@ -727,6 +727,74 @@ def _sql_lsh_pairs():
     """
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) — one window pass
+    per user, then per-session aggregates."""
+    from bufr2geojson_spark.operators.events import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        sessionize(e, gap="30 minutes")
+        .select("user_id", "session_id", "n_events",
+                "session_start", "session_end", "session_value")
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SQL_EVENT_SESSIONS = """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+
+def q_event_asof_click(spark, sf_dir):
+    """AS-OF join: each error event attached to the user's most recent
+    click at-or-before it (union-tag single-pass implementation; DuckDB's
+    native ASOF LEFT JOIN is the oracle)."""
+    from bufr2geojson_spark.operators.events import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error")
+    clicks = e.filter(F.col("event_type") == "click")
+    out = asof_join(errors, clicks, on="user_id", ts_col="ts",
+                    right_cols=("ts", "event_id", "value"))
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_value").alias("click_value"),
+    ).orderBy("event_id")
+
+
+_SQL_EVENT_ASOF = """
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS click_ts, c.event_id AS click_event_id,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+"""
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash-Bernoulli sample (training-mix curation): same
     rows on any cluster/partitioning/rerun — no rand()."""
@@ -1606,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "dedup_components": q_dedup_components,
+        "event_sessions": q_event_sessions,
+        "event_asof_click": q_event_asof_click,
         "hash_sample": q_hash_sample,
         "train_val_split": q_train_val_split,
         # engine-native (digest queries carry constant-result oracles over
@@ -1666,6 +1736,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP,
         "dedup_components": _sql_dedup_components(),
+        "event_sessions": _SQL_EVENT_SESSIONS,
+        "event_asof_click": _SQL_EVENT_ASOF,
         "hash_sample": _SQL_HASH_SAMPLE,
         "train_val_split": _SQL_TRAIN_VAL,
         # engine digests vs deterministic-fixture constants

@@ -209,3 +209,26 @@ def test_hash_sample_deterministic_and_split_append_stable(spark, docs):
     half = {r.doc_id: r.split
             for r in T.train_val_split(docs.limit(100)).collect()}
     assert all(full[d] == sp for d, sp in half.items())
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Union-tag as-of must equal the naive max-filter formulation,
+    including inclusive same-timestamp matches and unmatched lefts."""
+    from bufr2geojson_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0, "L"), (1, 20, 100.0, "L"), (2, 5, 100.0, "L")],
+        "user_id long, ts long, value double, event_type string",
+    ).withColumn("event_id", F.col("ts"))
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "R"), (1, 15, 2.0, "R"), (3, 1, 9.0, "R")],
+        "user_id long, ts long, value double, event_type string",
+    ).withColumn("event_id", F.col("ts") * 100)
+    out = {
+        (r.user_id, r.ts): (r.asof_ts, r.asof_event_id)
+        for r in asof_join(left, right, on="user_id", ts_col="ts",
+                           right_cols=("ts", "event_id")).collect()
+    }
+    assert out[(1, 10)] == (10, 1000)   # inclusive tie
+    assert out[(1, 20)] == (15, 1500)   # latest preceding
+    assert out[(2, 5)] == (None, None)  # no right rows for user 2
