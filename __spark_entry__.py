@@ -727,6 +727,33 @@ def _sql_lsh_pairs():
     """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (training-mix rebalancing):
+    long documents kept at 50%, short at 10%, by hash threshold."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket",
+        F.when(F.length("text") >= 200, F.lit("long")).otherwise("short"),
+    )
+    return (
+        T.stratified_sample(d, {"long": 0.5, "short": 0.1}, "len_bucket")
+        .select("doc_id", "len_bucket").orderBy("doc_id")
+    )
+
+
+_SQL_STRATIFIED = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 200 THEN 'long' ELSE 'short' END
+                   AS len_bucket
+        FROM documents
+    )
+    SELECT doc_id, len_bucket FROM d
+    WHERE {_H32_SQL.format(x="concat('strat:', doc_id)")} % 1000000
+          < CASE len_bucket WHEN 'long' THEN 500000 ELSE 100000 END
+    ORDER BY doc_id
+"""
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity gap) — one window pass
     per user, then per-session aggregates."""
@@ -1677,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_asof_click": q_event_asof_click,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
         # engine-native (digest queries carry constant-result oracles over
         # the deterministic synth corpus; the rest are rows-only)
@@ -1739,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "event_asof_click": _SQL_EVENT_ASOF,
         "hash_sample": _SQL_HASH_SAMPLE,
+        "stratified_sample": _SQL_STRATIFIED,
         "train_val_split": _SQL_TRAIN_VAL,
         # engine digests vs deterministic-fixture constants
         "engine_decode_digest": _SQL_ENGINE_DECODE_DIGEST,

@@ -515,3 +515,20 @@ def train_val_split(docs: DataFrame, val_fraction: float = 0.1,
         F.when(key % 1_000_000 < thresh, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(docs: DataFrame, fractions: dict,
+                      stratum_col: str, id_col: str = "doc_id",
+                      salt: str = "strat",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep-fractions (e.g.
+    ``{"en": 0.1, "other": 0.5}`` for language rebalancing — the
+    training-mix knob). Same hash-threshold mechanism as ``hash_sample``,
+    so selection is reproducible and append-stable; strata not listed fall
+    back to ``default_fraction``. Pure codegen CASE + filter, no shuffle."""
+    key = h32(F.concat(F.lit(f"{salt}:"), F.col(id_col)))
+    thresh = F.lit(int(default_fraction * 1_000_000))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(stratum_col) == stratum,
+                        F.lit(int(frac * 1_000_000))).otherwise(thresh)
+    return docs.filter(key % 1_000_000 < thresh)
