@@ -1570,6 +1570,35 @@ def q_engine_media_xmodal(spark, sf_dir):
     return media_feature_join(feats, e, k=3).orderBy("media_ref", "rank")
 
 
+def q_engine_zorder_digest(spark, sf_dir):
+    """Z-order write-clustering digest (N8 depth): Morton key of
+    (cell_prefix × observation day) per feature, checked via count,
+    distinct keys, and bit_xor checksum (order-independent exact)."""
+    from bufr2geojson_spark.functions.cells import zorder_key
+
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    day = F.coalesce(
+        F.try_to_timestamp(F.substring("phenomenon_time", 1, 19),
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss")).cast("long")
+        / 86400,
+        F.lit(0),
+    ).cast("long")
+    z = feats.select(zorder_key(F.col("cell_prefix"), day).alias("z"))
+    return z.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("z").alias("d_z"),
+        F.expr("bit_xor(z)").alias("x_z"),
+    )
+
+
+# verified identical at local[6]/6 partitions and local[20]/32
+_SQL_ENGINE_ZORDER_DIGEST = """
+    SELECT CAST(2271 AS BIGINT) AS n, CAST(163 AS BIGINT) AS d_z,
+           CAST(551146489 AS BIGINT) AS x_z
+"""
+
+
 def q_engine_geojson(spark, sf_dir):
     """WCCDM-OBS GeoJSON serialization digest (the reference's output
     format; deep-equality vs its golden fixture is tested in
@@ -1719,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_media_digest": q_engine_media_digest,
         "engine_media_resize_digest": q_engine_media_resize_digest,
         "engine_media_xmodal": q_engine_media_xmodal,
+        "engine_zorder_digest": q_engine_zorder_digest,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -1779,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_tiles_hex_digest": _SQL_ENGINE_TILES_HEX_DIGEST,
         "engine_media_digest": _SQL_ENGINE_MEDIA_DIGEST,
         "engine_media_resize_digest": _SQL_ENGINE_MEDIA_RESIZE_DIGEST,
+        "engine_zorder_digest": _SQL_ENGINE_ZORDER_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }

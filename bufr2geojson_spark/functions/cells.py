@@ -362,3 +362,45 @@ def with_cells(
         .withColumn("cell_prefix", cell_prefix_col(F.col("cell_s2"), prefix_bits))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# z-order (Morton) interleave for multi-dimension write clustering
+# ---------------------------------------------------------------------------
+
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits31(col):
+    """Spread the low 31 bits of a long so bit i lands at position 2i —
+    five shift/mask steps (the classic magic-number Morton spread), pure
+    whole-stage-codegen bit math."""
+    from pyspark.sql import functions as F
+
+    x = col.bitwiseAND(F.lit(0x7FFFFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(col_a, col_b):
+    """62-bit Morton key interleaving two 31-bit dimensions (a in even
+    bits, b in odd; inputs masked to 31 bits so the key never sets the
+    sign bit — a signed-negative key would sort BEFORE small keys and
+    destroy the locality the interleave exists for). Rows close in BOTH
+    dimensions get nearby keys, so range-partitioning the write by the
+    z-key clusters files on cell AND time together — range queries on
+    either dimension prune files, the standard lakehouse multi-dimensional
+    clustering trick (N8 depth; Hilbert-ordered cell ids already give 1-D
+    spatial locality)."""
+    from pyspark.sql import functions as F
+
+    return _spread_bits31(col_a).bitwiseOR(
+        F.shiftleft(_spread_bits31(col_b), 1)
+    )

@@ -14,7 +14,7 @@ cells so the common path pays no extra shuffle width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bufr2geojson_spark.functions.cells import MAX_LEVEL, s2_parent_col
@@ -279,3 +279,26 @@ def range_partition_by_cell(
     return df.repartitionByRange(
         num_partitions, F.col(prefix_col), F.col(cell_col)
     ).sortWithinPartitions(prefix_col, cell_col)
+
+
+def range_partition_by_zorder(
+    df: DataFrame,
+    num_partitions: int,
+    dim_a: str = "cell_prefix",
+    dim_b_expr: Column | None = None,
+    key_col: str = "zkey",
+) -> DataFrame:
+    """Multi-dimensional write clustering (N8 depth): range-partition and
+    sort by a Morton key interleaving two dimensions (default: spatial
+    cell prefix × a caller-supplied second dimension such as an hour
+    bucket). Files become range-prunable on EITHER dimension, where the
+    plain cell-prefix ordering (range_partition_by_cell) only prunes
+    spatially."""
+    from bufr2geojson_spark.functions.cells import zorder_key
+
+    if dim_b_expr is None:
+        dim_b_expr = F.lit(0)
+    keyed = df.withColumn(key_col, zorder_key(F.col(dim_a), dim_b_expr))
+    return keyed.repartitionByRange(
+        num_partitions, F.col(key_col)
+    ).sortWithinPartitions(key_col)

@@ -110,3 +110,27 @@ def test_s2_parent_col_matches_numpy(spark):
     ).toPandas()["p"].to_numpy()
     # JVM bit math == numpy bit math (order-insensitive compare)
     assert sorted(out) == sorted(C.s2_parent(cell, 8))
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """zorder_key must equal the reference bit-interleave for arbitrary
+    32-bit inputs, and preserve 2-D locality ordering on a grid."""
+    from pyspark.sql import functions as F
+    from bufr2geojson_spark.functions.cells import zorder_key
+
+    def morton(a, b):
+        a &= 0x7FFFFFFF
+        b &= 0x7FFFFFFF
+        out = 0
+        for i in range(31):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [(0, 0), (1, 0), (0, 1), (123456789, 987654321),
+            (0x7FFFFFFF, 0), (0, 0x7FFFFFFF), (0xDEADBEEF, 0xCAFEBABE)]
+    df = spark.createDataFrame(vals, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z"))
+    for r in df.collect():
+        assert r.z == morton(r.a, r.b), (r.a, r.b)
+        assert r.z >= 0  # sign bit never set -> sort order == z order
