@@ -882,6 +882,46 @@ def _sql_dedup_components():
     """
 
 
+def q_lsh_verified_jaccard(spark, sf_dir):
+    """The candidate→verify dedup pipeline end-to-end: MinHash-LSH bounds
+    the pair count, exact n-gram Jaccard confirms each candidate — the
+    100 TB shape (vs the all-pairs ngram_jaccard_pairs oracle form)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = T.lsh_candidate_pairs(d, num_hashes=4, bands=2, shingle_k=3)
+    return (
+        T.jaccard_verify_pairs(pairs, d, shingle_k=3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_lsh_verified_jaccard():
+    return f"""
+    WITH cand AS ({_sql_lsh_pairs()}),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+        FROM documents
+        WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a AS id_a, c.id_b AS id_b,
+           coalesce(i.inter, 0) AS inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(coalesce(i.inter, 0) * 1.0
+                 / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    ORDER BY 1, 2
+    """
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1716,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lsh_verified_jaccard": q_lsh_verified_jaccard,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "lang_id": q_lang_id,
@@ -1782,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _sql_minhash(),
         "lsh_candidate_pairs": _sql_lsh_pairs(),
         "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD,
+        "lsh_verified_jaccard": _sql_lsh_verified_jaccard(),
         "simhash": _sql_simhash(),
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "lang_id": _SQL_LANG_ID,

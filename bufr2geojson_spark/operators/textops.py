@@ -532,3 +532,60 @@ def stratified_sample(docs: DataFrame, fractions: dict,
         thresh = F.when(F.col(stratum_col) == stratum,
                         F.lit(int(frac * 1_000_000))).otherwise(thresh)
     return docs.filter(key % 1_000_000 < thresh)
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs —
+    the verification stage of the candidate→verify dedup pipeline (the
+    100 TB path: ``lsh_candidate_pairs`` bounds the pair count, this
+    confirms each survivor exactly; ``ngram_jaccard_pairs`` remains the
+    all-pairs small-scale oracle form).
+
+    Plan: explode each doc's distinct shingles once, semi-join to docs that
+    appear in any candidate pair (so only candidate docs pay the explode),
+    then count intersections per pair via two id-keyed joins — shuffles are
+    proportional to candidate docs' shingles, never to the corpus
+    cross-product."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, on=id_col, how="left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(
+                shingles_of(F.col(text_col), shingle_k))).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            "sz_a", "sz_b",
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce("inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
