@@ -603,6 +603,44 @@ def _sql_geo_pip():
     """
 
 
+def q_geo_range_join(spark, sf_dir):
+    """Distance-threshold (range) join: every (point, station) pair within
+    800 km — the big-big spatial join (cell-explode equi-join, no UDF, no
+    broadcast of either side)."""
+    import pandas as pd
+
+    from bufr2geojson_spark.operators.spatial import distance_join
+
+    pts = _geo_points(spark, sf_dir).select("pid", "lat", "lon")
+    st = pd.DataFrame(
+        _geo_station_rows(), columns=["station_id", "lat", "lon"]
+    )
+    stations = spark.createDataFrame(st)
+    out = distance_join(pts, stations, radius_km=800.0, grid_deg=10.0)
+    return out.select("pid", "station_id", "dist_km").orderBy(
+        "pid", "station_id"
+    )
+
+
+def _sql_geo_range_join():
+    return f"""
+    WITH pts AS ({_GEO_PTS_SQL})
+    SELECT p.pid, st.station_id,
+           round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(st.s_lat - p.lat) / 2), 2)
+               + cos(radians(p.lat)) * cos(radians(st.s_lat))
+                 * pow(sin(radians(st.s_lon - p.lon) / 2), 2)
+           )), 2) AS dist_km
+    FROM pts p CROSS JOIN {_stations_values_sql()}
+    WHERE round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(st.s_lat - p.lat) / 2), 2)
+               + cos(radians(p.lat)) * cos(radians(st.s_lat))
+                 * pow(sin(radians(st.s_lon - p.lon) / 2), 2)
+           )), 2) <= 800.0
+    ORDER BY pid, station_id
+    """
+
+
 def q_geo_tile_agg_salted(spark, sf_dir):
     pts = _geo_points(spark, sf_dir).select(
         F.col("pid").cast("string").alias("feature_id"),
@@ -1750,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": q_geo_knn,
         "geo_knn3": q_geo_knn3,
         "geo_pip": q_geo_pip,
+        "geo_range_join": q_geo_range_join,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
@@ -1818,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": _sql_geo_knn(),
         "geo_knn3": _sql_geo_knn3(),
         "geo_pip": _sql_geo_pip(),
+        "geo_range_join": _sql_geo_range_join(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signature": _sql_minhash(),

@@ -446,3 +446,112 @@ def knn_join(
     return features.withColumn(
         "_knn", _knn(F.col(lat_col), F.col(lon_col))
     ).select(*features.columns, "_knn.*")
+
+
+# ---------------------------------------------------------------------------
+# distance-threshold join (range join) — the big-big spatial join shape
+# ---------------------------------------------------------------------------
+
+#: km per degree of latitude (2·π·R / 360)
+KM_PER_DEG = 111.19492664455873
+
+
+def haversine_col(lat1, lon1, lat2, lon2):
+    """Haversine distance as a Column expression (km). Term order and
+    association mirror the SQL-oracle formula exactly so both engines
+    evaluate the identical IEEE expression."""
+    return (
+        F.lit(2.0) * F.lit(EARTH_RADIUS_KM)
+        * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+            + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+            * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+        ))
+    )
+
+
+def distance_join(
+    points: DataFrame,
+    stations: DataFrame,
+    radius_km: float,
+    grid_deg: float = 5.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    st_cols: tuple[str, str, str] = ("station_id", "lat", "lon"),
+    dist_col: str = "dist_km",
+    dist_dp: int | None = 2,
+) -> DataFrame:
+    """All (point, station) pairs within ``radius_km`` — a distance-threshold
+    range join for when BOTH sides are large (the broadcast/closure pattern
+    of ``pip_join``/``knn_join`` assumes a small dimension; at 100 TB a
+    station/sensor side can itself be billions of rows).
+
+    Plan shape: pure Column ops, no UDF. Each point lands in exactly one
+    ``grid_deg`` lat/lon cell; each station is exploded (``F.sequence`` +
+    ``posexplode``) to every cell its radius disc can touch — the lon span
+    widens with the worst (poleward) latitude of the disc, and cells wrap
+    modulo the lon cell count, so the antimeridian needs no special casing.
+    The pair candidates then meet in a plain equi-join on (ci, cj): one
+    shuffle keyed on the cell, work proportional to candidates (disc area /
+    cell area per station), never |points| × |stations|. Exact haversine
+    filters the candidates. Skewed cells fall to AQE skew-join handling, or
+    pre-salt the hot cells exactly as ``tiles.tile_aggregate`` does.
+
+    With ``dist_dp`` set, the threshold compares the ROUNDED distance on
+    both engine and oracle sides, so a cross-engine last-ulp difference can
+    only matter on an exact rounding boundary (same exposure as the hashed
+    rounded outputs of the other geo queries). ``dist_dp=None`` filters raw.
+    """
+    st_id, st_lat, st_lon = st_cols
+    g = float(grid_deg)
+    nlon = int(round(360.0 / g))
+    if abs(nlon * g - 360.0) > 1e-9:
+        raise ValueError(f"grid_deg={g} must divide 360 evenly")
+
+    p = points.withColumn(
+        "_ci", F.floor(F.col(lat_col) / g).cast("int")
+    ).withColumn(
+        "_cj",
+        F.pmod(F.floor((F.col(lon_col) + 180.0) / g).cast("int"), nlon),
+    )
+
+    s = stations.select(
+        F.col(st_id).alias("_sid"),
+        F.col(st_lat).alias("_slat"),
+        F.col(st_lon).alias("_slon"),
+    )
+    dlat_deg = F.lit(radius_km / KM_PER_DEG)
+    ci_lo = F.floor((F.col("_slat") - dlat_deg) / g).cast("int")
+    ci_hi = F.floor((F.col("_slat") + dlat_deg) / g).cast("int")
+    # worst-case |lat| anywhere in the disc governs the lon span
+    worst_lat = F.least(
+        F.greatest(F.abs(F.col("_slat")) + dlat_deg, F.lit(0.0)),
+        F.lit(89.999),
+    )
+    dlon_deg = F.lit(radius_km / KM_PER_DEG) / F.cos(F.radians(worst_lat))
+    cj_lo = F.floor((F.col("_slon") + 180.0 - dlon_deg) / g).cast("int")
+    cj_hi = F.floor((F.col("_slon") + 180.0 + dlon_deg) / g).cast("int")
+    # span >= full circle -> one copy of every lon cell (no duplicates after
+    # the modulo wrap)
+    cj_hi = F.least(cj_hi, cj_lo + F.lit(nlon - 1))
+    s = (
+        s.withColumn("_ci", F.explode(F.sequence(ci_lo, ci_hi)))
+        .withColumn("_cj_raw", F.explode(F.sequence(cj_lo, cj_hi)))
+        .withColumn("_cj", F.pmod(F.col("_cj_raw"), F.lit(nlon)))
+        .drop("_cj_raw")
+    )
+
+    d = haversine_col(
+        F.col(lat_col), F.col(lon_col), F.col("_slat"), F.col("_slon")
+    )
+    if dist_dp is not None:
+        d = F.round(d, dist_dp)
+    return (
+        p.join(s, on=["_ci", "_cj"])
+        .withColumn(dist_col, d)
+        .filter(F.col(dist_col) <= radius_km)
+        .select(*[c for c in points.columns],
+                F.col("_sid").alias(st_id if st_id not in points.columns
+                                    else f"st_{st_id}"),
+                F.col(dist_col))
+    )

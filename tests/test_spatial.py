@@ -193,3 +193,90 @@ def test_knn_termination_bound_is_true_lower_bound(spark):
     ).collect()[0]
     assert out.nearest_station_id == "true-nearest"
     assert abs(out.nearest_station_km - d_true) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# distance_join (range join)
+# ---------------------------------------------------------------------------
+
+
+class TestDistanceJoin:
+    def _points(self, spark, n=400):
+        # deterministic global scatter incl. near-pole and near-antimeridian
+        rows = [
+            (i,
+             float((i * 37) % 178 - 89 + ((i * 91) % 10) / 10.0),
+             float((i * 53) % 360 - 180 + ((i * 17) % 10) / 10.0))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "pid int, lat double, lon double")
+
+    def _stations(self, spark):
+        rows = [
+            ("S_EQ", 0.0, 0.0),
+            ("S_AM_E", 10.0, 179.5),    # antimeridian east side
+            ("S_AM_W", 12.0, -179.5),   # antimeridian west side
+            ("S_POLE", 88.5, 45.0),     # polar: lon span -> full circle
+            ("S_MID", -45.0, 100.0),
+            ("S_EDGE", 52.5, -0.1),     # sits near a cell boundary
+        ]
+        return spark.createDataFrame(
+            rows, "station_id string, lat double, lon double"
+        )
+
+    def _brute(self, spark, pts, sts, radius):
+        from bufr2geojson_spark.operators.spatial import haversine_col
+
+        d = F.round(
+            haversine_col(F.col("lat"), F.col("lon"),
+                          F.col("s_lat"), F.col("s_lon")), 2)
+        return (
+            pts.crossJoin(
+                sts.select(F.col("station_id"), F.col("lat").alias("s_lat"),
+                           F.col("lon").alias("s_lon")))
+            .withColumn("dist_km", d)
+            .filter(F.col("dist_km") <= radius)
+            .select("pid", "station_id", "dist_km")
+        )
+
+    @pytest.mark.parametrize("radius,grid", [(500.0, 5.0), (1500.0, 10.0),
+                                             (3000.0, 6.0)])
+    def test_matches_brute_force(self, spark, radius, grid):
+        from bufr2geojson_spark.operators.spatial import distance_join
+
+        pts = self._points(spark)
+        sts = self._stations(spark)
+        got = sorted(
+            map(tuple,
+                distance_join(pts, sts, radius, grid_deg=grid)
+                .select("pid", "station_id", "dist_km").collect())
+        )
+        want = sorted(map(tuple, self._brute(spark, pts, sts, radius).collect()))
+        assert got == want
+        assert len(got) > 0
+
+    def test_no_duplicate_pairs_under_wrap(self, spark):
+        from bufr2geojson_spark.operators.spatial import distance_join
+
+        pts = self._points(spark)
+        sts = self._stations(spark)
+        out = distance_join(pts, sts, 4000.0, grid_deg=5.0)
+        n = out.count()
+        nd = out.select("pid", "station_id").distinct().count()
+        assert n == nd
+
+    def test_grid_must_divide_circle(self, spark):
+        from bufr2geojson_spark.operators.spatial import distance_join
+
+        with pytest.raises(ValueError):
+            distance_join(self._points(spark, 4), self._stations(spark),
+                          100.0, grid_deg=7.0)
+
+    def test_plan_has_no_python_udf(self, spark):
+        from bufr2geojson_spark.operators.spatial import distance_join
+
+        plan = (
+            distance_join(self._points(spark, 8), self._stations(spark), 500.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
