@@ -681,6 +681,39 @@ _SQL_GEO_TILE = f"""
 """
 
 
+def q_geo_tile_percentiles(spark, sf_dir):
+    """Exact per-tile value percentiles (the oracle form of the percentile
+    family; the default operator path is the mergeable percentile_approx
+    sketch, rank-error-tested in pytest)."""
+    from bufr2geojson_spark.operators.textops import round_dp
+    from bufr2geojson_spark.operators.tiles import tile_percentiles
+
+    pts = _geo_points(spark, sf_dir).select(
+        (F.floor((F.col("lat") + 90.0) / 20.0) * 100
+         + F.floor((F.col("lon") + 180.0) / 20.0)).alias("tile"),
+        F.col("val"),
+    )
+    out = tile_percentiles(pts, cell_col="tile", value_col="val",
+                           percentiles=(0.5, 0.9), exact=True)
+    return out.select(
+        "tile", "n_obs",
+        round_dp(F.col("p50"), 4).alias("p50"),
+        round_dp(F.col("p90"), 4).alias("p90"),
+    ).orderBy("tile")
+
+
+_SQL_GEO_TILE_PCTS = f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    t AS (SELECT CAST(floor((lat + 90.0) / 20.0) * 100
+                 + floor((lon + 180.0) / 20.0) AS BIGINT) AS tile, val
+          FROM pts)
+    SELECT tile, count(val) AS n_obs,
+           floor(quantile_cont(val, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(val, 0.9) * 10000 + 0.5) / 10000 AS p90
+    FROM t GROUP BY tile ORDER BY tile
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / text analysis / similarity (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1790,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip": q_geo_pip,
         "geo_range_join": q_geo_range_join,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
+        "geo_tile_percentiles": q_geo_tile_percentiles,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
@@ -1859,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip": _sql_geo_pip(),
         "geo_range_join": _sql_geo_range_join(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
+        "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signature": _sql_minhash(),
         "lsh_candidate_pairs": _sql_lsh_pairs(),

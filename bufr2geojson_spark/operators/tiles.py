@@ -184,6 +184,40 @@ def tile_cardinality(
     )
 
 
+def tile_percentiles(
+    features: DataFrame,
+    cell_col: str = "cell_s2",
+    value_col: str = "result_value",
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-cell value percentiles.
+
+    Default is ``percentile_approx`` — a mergeable rank sketch
+    (Greenwald–Khanna style): partial sketches combine map-side, so the
+    shuffle carries one bounded sketch per (cell, partition) regardless of
+    row count, and the rank error is ≤ 1/``accuracy``. That is the 100 TB
+    path: exact per-group quantiles are NOT algebraic (they need the whole
+    group's values in one place — a full sort-by-group shuffle, and they
+    cannot ride the two-phase salted aggregation ``tile_aggregate`` uses).
+
+    ``exact=True`` selects ``F.percentile`` (true interpolated quantiles) —
+    the small-scale oracle form, and the yardstick the sketch is tested
+    against (rank-error bound in tests/test_tiles.py).
+    """
+    v = F.col(value_col)
+    pcts = F.lit(list(percentiles))
+    fn = (F.percentile(v, pcts) if exact
+          else F.percentile_approx(v, pcts, F.lit(accuracy)))
+    out = features.groupBy(cell_col).agg(
+        F.count(v).alias("n_obs"), fn.alias("_pcts")
+    )
+    cols = [F.col("_pcts")[i].alias(f"p{int(p * 100):02d}")
+            for i, p in enumerate(percentiles)]
+    return out.select(cell_col, "n_obs", *cols)
+
+
 # ---------------------------------------------------------------------------
 # N6: vector -> raster and raster -> vector
 # ---------------------------------------------------------------------------

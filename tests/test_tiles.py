@@ -223,3 +223,49 @@ def test_zorder_partitioning_clusters_both_dimensions(spark):
     bounds.sort()
     for (lo1, hi1, _), (lo2, hi2, _) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2
+
+
+class TestTilePercentiles:
+    def test_exact_matches_numpy(self, spark):
+        import numpy as np
+        from bufr2geojson_spark.operators.tiles import tile_percentiles
+
+        rows = [(i % 7, float((i * 37) % 101) - 50.0) for i in range(700)]
+        df = spark.createDataFrame(rows, "cell int, v double")
+        out = tile_percentiles(df, cell_col="cell", value_col="v",
+                               percentiles=(0.5, 0.9), exact=True).collect()
+        by_cell = {}
+        for c, v in rows:
+            by_cell.setdefault(c, []).append(v)
+        for r in out:
+            want50 = np.percentile(by_cell[r["cell"]], 50)
+            want90 = np.percentile(by_cell[r["cell"]], 90)
+            assert abs(r["p50"] - want50) < 1e-9
+            assert abs(r["p90"] - want90) < 1e-9
+
+    def test_sketch_rank_error_bounded(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_percentiles
+
+        # one group, 10k values; accuracy=100 -> rank error <= 1% of n
+        df = spark.range(10000).selectExpr(
+            "0 AS cell", "CAST(pmod(id * 7919, 10000) AS DOUBLE) AS v")
+        approx = tile_percentiles(df, cell_col="cell", value_col="v",
+                                  percentiles=(0.5,), accuracy=100).collect()[0]
+        # values are a permutation of 0..9999: true p50 rank = 5000
+        assert abs(approx["p50"] - 5000.0) <= 100 + 1
+
+    def test_sketch_is_partition_count_invariant_in_bounds(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_percentiles
+
+        df = spark.range(5000).selectExpr(
+            "pmod(id, 3) AS cell", "CAST(pmod(id * 31, 997) AS DOUBLE) AS v")
+        a = tile_percentiles(df.repartition(2), cell_col="cell",
+                             value_col="v", accuracy=2000)
+        b = tile_percentiles(df.repartition(16), cell_col="cell",
+                             value_col="v", accuracy=2000)
+        fa = {r["cell"]: r for r in a.collect()}
+        fb = {r["cell"]: r for r in b.collect()}
+        for c in fa:
+            # merged sketches keep the rank-error bound regardless of layout
+            assert abs(fa[c]["p50"] - fb[c]["p50"]) <= 997 / 2000 * 2 + 1
+            assert fa[c]["n_obs"] == fb[c]["n_obs"]
