@@ -893,6 +893,50 @@ _SQL_EVENT_ASOF = """
 """
 
 
+_MERGE_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_event_merge_upsert(spark, sf_dir):
+    """CDC merge/upsert: the standing per-user state (latest event at the
+    cutoff) merged with the post-cutoff update stream; error events act as
+    tombstones (a user whose winning record is an error is deleted). The
+    result must equal the direct latest-per-user computation — proving the
+    incremental path converges to the batch answer."""
+    from bufr2geojson_spark.operators.maintenance import merge_upsert
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = (
+        e.filter(F.col("ts") < F.lit(_MERGE_CUTOFF))
+        .withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        .drop("_rn")
+    )
+    updates = e.filter(F.col("ts") >= F.lit(_MERGE_CUTOFF))
+    merged = merge_upsert(
+        base, updates,
+        keys=["user_id"], order_cols=["ts", "event_id"],
+        tombstone=F.col("event_type") == "error",
+    )
+    return merged.select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    ).orderBy("user_id")
+
+
+_SQL_EVENT_MERGE = """
+    SELECT user_id, event_id, event_type, ts, round(value, 4) AS value
+    FROM (
+        SELECT event_id, ts, user_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+"""
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash-Bernoulli sample (training-mix curation): same
     rows on any cluster/partitioning/rerun — no rand()."""
@@ -1846,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "event_sessions": q_event_sessions,
         "event_asof_click": q_event_asof_click,
+        "event_merge_upsert": q_event_merge_upsert,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
@@ -1913,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "event_sessions": _SQL_EVENT_SESSIONS,
         "event_asof_click": _SQL_EVENT_ASOF,
+        "event_merge_upsert": _SQL_EVENT_MERGE,
         "hash_sample": _SQL_HASH_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED,
         "train_val_split": _SQL_TRAIN_VAL,
