@@ -603,6 +603,39 @@ def _sql_geo_pip():
     """
 
 
+def q_geo_pip_distributed(spark, sf_dir):
+    """PIP as a distributed equi-join (no broadcast, no UDF) — same rows as
+    geo_pip, same DuckDB edge oracle; the polygon-side-too-big-to-broadcast
+    plan shape."""
+    import pandas as pd
+
+    from bufr2geojson_spark.operators.spatial import pip_join_distributed
+    from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
+
+    pts = _geo_points(spark, sf_dir).select("pid", "lat", "lon")
+    shapes = []
+    for rid, ring, anti in _polygon_shapes():
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        shapes.append(
+            {
+                "region_id": rid,
+                "region_name": rid,
+                "ring": [{"lon": float(x), "lat": float(y)} for x, y in ring],
+                "bbox": {
+                    "minx": float(min(xs)), "miny": float(min(ys)),
+                    "maxx": float(max(xs)), "maxy": float(max(ys)),
+                },
+            }
+        )
+    polys = spark.createDataFrame(pd.DataFrame(shapes), REGION_POLYGON_SCHEMA)
+    return (
+        pip_join_distributed(pts, polys, grid_deg=10.0)
+        .select("pid", "region_id")
+        .orderBy("pid", "region_id")
+    )
+
+
 def q_geo_range_join(spark, sf_dir):
     """Distance-threshold (range) join: every (point, station) pair within
     800 km — the big-big spatial join (cell-explode equi-join, no UDF, no
@@ -1866,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn3": q_geo_knn3,
         "geo_pip": q_geo_pip,
         "geo_range_join": q_geo_range_join,
+        "geo_pip_distributed": q_geo_pip_distributed,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "geo_tile_percentiles": q_geo_tile_percentiles,
         # dedup / text analysis
@@ -1937,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn3": _sql_geo_knn3(),
         "geo_pip": _sql_geo_pip(),
         "geo_range_join": _sql_geo_range_join(),
+        "geo_pip_distributed": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,
         "dedup_exact": _SQL_DEDUP_EXACT,

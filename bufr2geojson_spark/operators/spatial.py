@@ -555,3 +555,101 @@ def distance_join(
                                     else f"st_{st_id}"),
                 F.col(dist_col))
     )
+
+
+def pip_join_distributed(
+    points: DataFrame,
+    polygons: DataFrame,
+    grid_deg: float = 5.0,
+    id_cols: tuple[str, ...] | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Point-in-polygon as a distributed equi-join — for when the polygon
+    set itself is too large to broadcast (``pip_join`` ships the whole set
+    in the UDF closure; fine for WMO regions, not for, say, a parcel or
+    watershed layer with 10^8 rings).
+
+    Shape: every polygon edge is replicated to each ``grid_deg`` cell of the
+    polygon's bbox cover (lon cells wrap modulo the circle, so antimeridian-
+    unwrapped rings — maxx > 180, the ``_collect_polygons`` convention —
+    need no special case); points land in exactly one cell; candidates meet
+    in an equi-join on the cell key. The crossing-number test is then a
+    groupBy parity count over the joined (point, edge) rows — identical
+    term-for-term to the DuckDB edge oracle (``_sql_geo_pip``), entirely
+    whole-stage codegen, no UDF, no driver collect.
+
+    A point left/right/outside the cover meets zero or an even number of
+    crossing edges, so no bbox prefilter is needed for correctness; the
+    cell join IS the prefilter. Edge replication is per polygon-bbox cell —
+    the right trade for region-scale rings (a few hundred cells × few edges);
+    for continent-sized multi-thousand-vertex rings, split the ring into
+    sub-polygons first (parity is additive over a partition of the ring).
+
+    Returns ``id_cols + (region_id, region_name)``, one row per (point,
+    containing polygon) — the ``how='inner'`` contract of ``pip_join``.
+    """
+    g = float(grid_deg)
+    nlon = int(round(360.0 / g))
+    if abs(nlon * g - 360.0) > 1e-9:
+        raise ValueError(f"grid_deg={g} must divide 360 evenly")
+    ids = list(id_cols) if id_cols else [points.columns[0]]
+
+    p = points.select(
+        *ids, lat_col, lon_col
+    ).withColumn(
+        "_ci", F.floor(F.col(lat_col) / g).cast("int")
+    ).withColumn(
+        "_cj",
+        F.pmod(F.floor((F.col(lon_col) + 180.0) / g).cast("int"), nlon),
+    )
+
+    # ring -> edge structs (x1,y1,x2,y2), JVM-side transform
+    edges = polygons.select(
+        "region_id", "region_name",
+        (F.col("bbox.maxx") > 180.0).alias("_anti"),
+        F.col("bbox.minx").alias("_minx"), F.col("bbox.maxx").alias("_maxx"),
+        F.col("bbox.miny").alias("_miny"), F.col("bbox.maxy").alias("_maxy"),
+        F.explode(F.expr(
+            "transform(slice(ring, 1, size(ring) - 1), (s, i) -> "
+            "struct(s.lon AS x1, s.lat AS y1, "
+            "ring[i + 1].lon AS x2, ring[i + 1].lat AS y2))"
+        )).alias("_e"),
+    ).select(
+        "region_id", "region_name", "_anti",
+        "_minx", "_maxx", "_miny", "_maxy",
+        F.col("_e.x1").alias("x1"), F.col("_e.y1").alias("y1"),
+        F.col("_e.x2").alias("x2"), F.col("_e.y2").alias("y2"),
+    )
+
+    ci_lo = F.floor(F.col("_miny") / g).cast("int")
+    ci_hi = F.floor(F.col("_maxy") / g).cast("int")
+    cj_lo = F.floor((F.col("_minx") + 180.0) / g).cast("int")
+    cj_hi = F.least(
+        F.floor((F.col("_maxx") + 180.0) / g).cast("int"),
+        cj_lo + F.lit(nlon - 1),
+    )
+    edges = (
+        edges.withColumn("_ci", F.explode(F.sequence(ci_lo, ci_hi)))
+        .withColumn("_cj_raw", F.explode(F.sequence(cj_lo, cj_hi)))
+        .withColumn("_cj", F.pmod(F.col("_cj_raw"), F.lit(nlon)))
+        .drop("_cj_raw", "_minx", "_maxx", "_miny", "_maxy")
+    )
+
+    px = F.when(
+        F.col("_anti") & (F.col(lon_col) < 0), F.col(lon_col) + 360.0
+    ).otherwise(F.col(lon_col))
+    py = F.col(lat_col)
+    crossing = (
+        ((F.col("y1") > py) != (F.col("y2") > py))
+        & (px < (F.col("x2") - F.col("x1")) * (py - F.col("y1"))
+           / (F.col("y2") - F.col("y1")) + F.col("x1"))
+    )
+    return (
+        p.join(edges, on=["_ci", "_cj"])
+        .filter(crossing)
+        .groupBy(*ids, "region_id", "region_name")
+        .agg(F.count(F.lit(1)).alias("_n_cross"))
+        .filter(F.col("_n_cross") % 2 == 1)
+        .select(*ids, "region_id", "region_name")
+    )

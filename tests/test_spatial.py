@@ -280,3 +280,38 @@ class TestDistanceJoin:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestPipJoinDistributed:
+    def _points(self, spark, n=600):
+        rows = [
+            (i,
+             float((i * 37) % 178 - 89 + ((i * 91) % 10) / 10.0),
+             float((i * 53) % 360 - 180 + ((i * 17) % 10) / 10.0))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "pid int, lat double, lon double")
+
+    @pytest.mark.parametrize("grid", [5.0, 12.0])
+    def test_matches_broadcast_pip(self, spark, grid):
+        from bufr2geojson_spark.operators.spatial import (
+            pip_join, pip_join_distributed)
+
+        polys = synth_region_polygons(spark)   # includes antimeridian R5
+        pts = self._points(spark)
+        got = sorted(map(tuple,
+                         pip_join_distributed(pts, polys, grid_deg=grid)
+                         .select("pid", "region_id").collect()))
+        want = sorted(map(tuple,
+                          pip_join(pts, polys, how="inner")
+                          .select("pid", "region_id").collect()))
+        assert got == want
+        assert len(got) > 0
+
+    def test_plan_is_pure_jvm(self, spark):
+        from bufr2geojson_spark.operators.spatial import pip_join_distributed
+
+        polys = synth_region_polygons(spark)
+        plan = (pip_join_distributed(self._points(spark, 8), polys)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
