@@ -1100,6 +1100,52 @@ _SQL_NGRAM_JACCARD = f"""
 """
 
 
+def q_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: top-20 tokens by document frequency."""
+    d = _t(spark, sf_dir, "documents")
+    return T.top_tokens(d, n=20)
+
+
+_SQL_TOP_TOKENS = """
+    SELECT token, count(*) AS df FROM (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ) GROUP BY token ORDER BY df DESC, token ASC LIMIT 20
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 TF-IDF terms."""
+    d = _t(spark, sf_dir, "documents")
+    return T.tf_idf_top_terms(d, top_per_doc=3).orderBy("doc_id", "rnk")
+
+
+_SQL_TFIDF = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tc) AS dl FROM tf GROUP BY 1),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tc, df.df,
+               floor((tf.tc * 1.0 / dl.dl) * ln(n.n_docs * 1.0 / df.df) * 1e6
+                     + 0.5) / 1e6 AS tfidf
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN df ON tf.term = df.term
+        CROSS JOIN n
+    )
+    SELECT doc_id, term, tc, df, tfidf, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.simhash(d).orderBy("doc_id")
@@ -1913,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
+        "top_tokens": q_top_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprint": q_fingerprint,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1984,6 +2032,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "quality_score": _SQL_QUALITY,
         "token_counts": _SQL_TOKENS,
+        "top_tokens": _SQL_TOP_TOKENS,
+        "tfidf_top_terms": _SQL_TFIDF,
         "fingerprint": _sql_fingerprint(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),

@@ -17,7 +17,7 @@ These are the large-scale-pipeline operators layered on top of the engine
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -588,4 +588,76 @@ def jaccard_verify_pairs(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: heavy hitters + TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def top_tokens(docs: DataFrame, n: int = 20, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus heavy hitters: top-``n`` tokens by document frequency (ties →
+    lexicographic). explode → two map-side-combined aggregations; the
+    shuffle carries one (token, partial df) row per partition per distinct
+    token, never the token stream. The final top-n is a
+    TakeOrderedAndProject — no global sort materializes.
+
+    At 100 TB the same plan holds; if the distinct-token set itself is
+    huge, put a frequency floor (HAVING df >= t) before the top-n, or swap
+    in a count-min sketch per partition — the groupBy here is already the
+    exact mergeable form."""
+    tok = docs.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("token")
+    ).distinct()  # document frequency: one (doc, token) pair counts once
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(n)
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame,
+    top_per_doc: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top TF-IDF terms per document (the keyword-extraction primitive).
+
+    tf = term count in doc / doc length; idf = ln(N / df) with N and df
+    exact counts. Three stages, all map-side combinable: token counts per
+    (doc, term); document frequency per term; a per-doc window top-k. The
+    df table is a per-term aggregate (small relative to the corpus) joined
+    back broadcast-or-shuffle as Catalyst/AQE decides. Scores are
+    floor-form rounded at 6 dp (``round_dp``) so a SQL oracle matches
+    bit-for-bit; ties break lexicographically for determinism."""
+    tok = docs.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tc").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    scored = (
+        tf.join(doclen, id_col)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "term", "tc", "df",
+            round_dp(
+                (F.col("tc") / F.col("dl"))
+                * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_per_doc)
+        .select(id_col, "term", "tc", "df", "tfidf", "rnk")
     )

@@ -232,3 +232,33 @@ def test_asof_join_matches_bruteforce(spark):
     assert out[(1, 10)] == (10, 1000)   # inclusive tie
     assert out[(1, 20)] == (15, 1500)   # latest preceding
     assert out[(2, 5)] == (None, None)  # no right rows for user 2
+
+
+class TestCorpusStats:
+    def test_top_tokens_df_semantics(self, spark):
+        from bufr2geojson_spark.operators.textops import top_tokens
+
+        docs = spark.createDataFrame(
+            [("d1", "a a a b"), ("d2", "a b c"), ("d3", "b c c")],
+            "doc_id string, text string",
+        )
+        out = {r["token"]: r["df"] for r in top_tokens(docs, n=10).collect()}
+        # document frequency, not term frequency: 'a' appears in 2 docs
+        assert out == {"a": 2, "b": 3, "c": 2}
+
+    def test_tfidf_ranks_distinctive_terms(self, spark):
+        from bufr2geojson_spark.operators.textops import tf_idf_top_terms
+
+        docs = spark.createDataFrame(
+            [("d1", "common rare1 common common"),
+             ("d2", "common rare2 common"),
+             ("d3", "common common common")],
+            "doc_id string, text string",
+        )
+        out = tf_idf_top_terms(docs, top_per_doc=1).collect()
+        top = {r["doc_id"]: r["term"] for r in out}
+        # the ubiquitous term has idf = ln(1) = 0; rare terms win
+        assert top["d1"] == "rare1" and top["d2"] == "rare2"
+        # d3 has only the zero-idf term; it still gets a (zero-score) row
+        assert top["d3"] == "common"
+        assert all(r["tfidf"] == 0.0 for r in out if r["doc_id"] == "d3")
