@@ -426,6 +426,81 @@ _SQL_ORDERS_ROLLUP = """
 """
 
 
+def q_orders_cube(spark, sf_dir):
+    """CUBE over (year, priority): all four grouping-set combinations in one
+    pass (partial aggregates expand map-side; no re-scan per set)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .cube("order_year", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .orderBy("order_year", "o_orderpriority")
+    )
+
+
+_SQL_ORDERS_CUBE = """
+    SELECT year(o_orderdate) AS order_year, o_orderpriority,
+           count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (order_year, o_orderpriority)
+    ORDER BY order_year, o_orderpriority
+"""
+
+
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot: per-user event counts spread across event-type columns (the
+    wide-feature matrix a training pipeline feeds to a model)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    return out.select("user_id", *cols).orderBy("user_id")
+
+
+_SQL_EVENT_PIVOT = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'error') AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'view') AS n_view
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_customer_balance_deciles(spark, sf_dir):
+    """Rank-window gallery: ntile deciles + percent_rank + cumulative
+    distribution of customer balances within each market segment."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+_SQL_BALANCE_DECILES = """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    ORDER BY c_custkey
+"""
+
+
 def q_event_hourly_windows(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -1938,6 +2013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_never_ordered": q_parts_never_ordered,
         "scalar_function_gallery": q_scalar_function_gallery,
         "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
+        "event_type_pivot": q_event_type_pivot,
+        "customer_balance_deciles": q_customer_balance_deciles,
         "event_hourly_windows": q_event_hourly_windows,
         "distinct_customers_per_segment": q_distinct_customers_per_segment,
         # geo operator semantics vs SQL oracles (N3/N4/N5/N7)
@@ -2013,6 +2091,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered": _SQL_PARTS_NEVER,
         "scalar_function_gallery": _SQL_SCALAR_GALLERY,
         "orders_rollup": _SQL_ORDERS_ROLLUP,
+        "orders_cube": _SQL_ORDERS_CUBE,
+        "event_type_pivot": _SQL_EVENT_PIVOT,
+        "customer_balance_deciles": _SQL_BALANCE_DECILES,
         "event_hourly_windows": _SQL_EVENT_HOURLY,
         "distinct_customers_per_segment": _SQL_DISTINCT_SEGMENT,
         "geo_knn": _sql_geo_knn(),
