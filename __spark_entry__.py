@@ -1001,6 +1001,64 @@ _SQL_EVENT_ASOF = """
 """
 
 
+def q_event_resample(spark, sf_dir):
+    """Regular-grid resampling with linear interpolation of each user's
+    value series (6-hour grid) — the observation gap-filling primitive."""
+    from bufr2geojson_spark.operators.events import resample_interpolate
+    from bufr2geojson_spark.operators.textops import round_dp
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = resample_interpolate(e, step="6 hours")
+    return out.select(
+        "user_id", "ts",
+        round_dp(F.col("value_interp"), 6).alias("value_interp"),
+        "prev_ts", "next_ts",
+    ).orderBy("user_id", "ts")
+
+
+_SQL_EVENT_RESAMPLE = """
+    WITH bounds AS (
+        SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(
+                   to_timestamp(floor(epoch(t0) / 21600) * 21600)::TIMESTAMP,
+                   t1, INTERVAL 6 HOUR)) AS ts
+        FROM bounds
+    ),
+    u AS (
+        SELECT user_id, ts, value AS v, 0 AS is_grid FROM events
+        UNION ALL
+        SELECT user_id, ts, NULL, 1 FROM grid
+    ),
+    c AS (
+        SELECT user_id, ts, is_grid,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER wp AS pt,
+               last_value(v IGNORE NULLS) OVER wn AS nv,
+               last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER wn AS nt
+        FROM u
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts ASC, is_grid ASC
+                      ROWS UNBOUNDED PRECEDING),
+               wn AS (PARTITION BY user_id ORDER BY ts DESC, is_grid DESC
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, ts,
+           floor(CASE WHEN pt IS NULL THEN nv
+                      WHEN nt IS NULL THEN pv
+                      WHEN pt = nt THEN pv
+                      ELSE pv + (nv - pv) * (epoch(ts) - epoch(pt))
+                                / (epoch(nt) - epoch(pt))
+                 END * 1e6 + 0.5) / 1e6 AS value_interp,
+           pt AS prev_ts, nt AS next_ts
+    FROM c WHERE is_grid = 1
+    ORDER BY user_id, ts
+"""
+
+
 _MERGE_CUTOFF = "2024-01-16 00:00:00"
 
 
@@ -2051,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_asof_click": q_event_asof_click,
         "event_merge_upsert": q_event_merge_upsert,
+        "event_resample": q_event_resample,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
@@ -2125,6 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "event_asof_click": _SQL_EVENT_ASOF,
         "event_merge_upsert": _SQL_EVENT_MERGE,
+        "event_resample": _SQL_EVENT_RESAMPLE,
         "hash_sample": _SQL_HASH_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED,
         "train_val_split": _SQL_TRAIN_VAL,

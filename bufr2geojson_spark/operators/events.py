@@ -101,3 +101,103 @@ def asof_join(
     return carried.filter(F.col("_is_left") == 1).select(
         *lcols, *[f"asof_{c}" for c in right_cols]
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    step: str = "6 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Resample each key's irregular series onto a regular ``step`` grid
+    with linear interpolation (the gap-filling primitive for observation
+    series — station pressure every 6 h from whenever bulletins arrived).
+
+    Grid: per key, from the key's first observation rounded down to a
+    ``step`` boundary (epoch-aligned) through its last observation. Each
+    grid instant takes the linear interpolation between the nearest
+    observation at-or-before and at-or-after; a grid point that coincides
+    with an observation returns that value exactly (both neighbors equal).
+
+    Distributed shape: the union-tag pattern of ``asof_join`` doubled — one
+    shuffle keyed on the entity, one sorted window pass carrying the
+    previous observation forward and (reversed frame) the next observation
+    backward; grid rows are generated with ``F.sequence``/``explode`` from
+    a per-key min/max aggregate, never on the driver. O(grid + events)
+    rows through one exchange."""
+    step_expr = F.expr(f"INTERVAL {step}")
+    # step length in seconds, timezone-free: epoch + interval, read back as
+    # unix seconds (a string→timestamp cast here would shift with the
+    # session timezone — the ingest.py round-1 lesson)
+    step_sec = F.unix_timestamp(F.timestamp_seconds(F.lit(0)) + step_expr)
+    bounds = events.groupBy(key_col).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    grid_start = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("_t0") / step_sec) * step_sec
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(grid_start, F.col("_t1"), step_expr)
+        ).alias(ts_col),
+    )
+    obs = events.select(
+        key_col,
+        F.col(ts_col),
+        F.col(value_col).alias("_v"),
+        F.lit(0).alias("_is_grid"),
+    )
+    g = grid.select(
+        key_col, ts_col,
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_is_grid"),
+    )
+    unioned = obs.unionByName(g)
+    # observations sort before grid rows at the same instant → an exactly
+    # coincident observation is its own prev AND next neighbor
+    order = [F.col(ts_col).asc(), F.col("_is_grid").asc()]
+    wprev = (
+        Window.partitionBy(key_col).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).desc(), F.col("_is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        unioned
+        .withColumn("_pv", F.last("_v", ignorenulls=True).over(wprev))
+        .withColumn("_pt", F.last(
+            F.when(F.col("_is_grid") == 0, F.col(ts_col)),
+            ignorenulls=True).over(wprev))
+        .withColumn("_nv", F.last("_v", ignorenulls=True).over(wnext))
+        .withColumn("_nt", F.last(
+            F.when(F.col("_is_grid") == 0, F.col(ts_col)),
+            ignorenulls=True).over(wnext))
+    )
+    # fractional epoch seconds (timestamp→double keeps microseconds;
+    # unix_timestamp would truncate and diverge from a SQL oracle's epoch())
+    pt = F.col("_pt").cast("double")
+    nt = F.col("_nt").cast("double")
+    t = F.col(ts_col).cast("double")
+    interp = (
+        F.when(F.col("_pt").isNull(), F.col("_nv"))   # before first obs
+        .when(F.col("_nt").isNull(), F.col("_pv"))    # after last obs
+        .when(F.col("_pt") == F.col("_nt"), F.col("_pv"))  # exact hit
+        .otherwise(
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv")) * (t - pt) / (nt - pt)
+        )
+    )
+    return (
+        carried.filter(F.col("_is_grid") == 1)
+        .select(
+            key_col, ts_col,
+            interp.alias("value_interp"),
+            F.col("_pt").alias("prev_ts"),
+            F.col("_nt").alias("next_ts"),
+        )
+    )

@@ -262,3 +262,38 @@ class TestCorpusStats:
         # d3 has only the zero-idf term; it still gets a (zero-score) row
         assert top["d3"] == "common"
         assert all(r["tfidf"] == 0.0 for r in out if r["doc_id"] == "d3")
+
+
+class TestResampleInterpolate:
+    def test_linear_interpolation_exact(self, spark):
+        from bufr2geojson_spark.operators.events import resample_interpolate
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 12:00:00", 34.0),   # grid hits 06:00 -> 22.0
+            (2, "2024-01-01 03:00:00", 5.0),
+            (2, "2024-01-01 09:00:00", 11.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts string, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {(r["user_id"], str(r["ts"])): r["value_interp"]
+               for r in resample_interpolate(df, step="6 hours").collect()}
+        assert out[(1, "2024-01-01 00:00:00")] == 10.0   # exact hit
+        assert out[(1, "2024-01-01 06:00:00")] == 22.0   # midpoint
+        assert out[(1, "2024-01-01 12:00:00")] == 34.0
+        # key 2: grid floor-aligns to 00:00 (before first obs -> clamp to next)
+        assert out[(2, "2024-01-01 00:00:00")] == 5.0
+        assert out[(2, "2024-01-01 06:00:00")] == 8.0    # halfway 03->09
+        # no grid point past the last observation
+        assert (2, "2024-01-01 12:00:00") not in out
+
+    def test_single_observation_key(self, spark):
+        from bufr2geojson_spark.operators.events import resample_interpolate
+
+        df = spark.createDataFrame(
+            [(7, "2024-01-01 05:30:00", 3.5)],
+            "user_id int, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = resample_interpolate(df, step="6 hours").collect()
+        # grid = [00:00] only (05:30 not aligned); clamped to the lone obs
+        assert len(out) == 1 and out[0]["value_interp"] == 3.5
