@@ -501,6 +501,103 @@ _SQL_BALANCE_DECILES = """
 """
 
 
+def q_events_profile(spark, sf_dir):
+    """One-pass data-quality profile of the events table (every column's
+    null/distinct/min/max/mean from a single aggregation)."""
+    from bufr2geojson_spark.operators.profile import profile_table
+    from bufr2geojson_spark.operators.textops import round_dp
+
+    e = _t(spark, sf_dir, "events")
+    out = profile_table(e)
+    return out.select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str",
+        round_dp(F.col("mean"), 6).alias("mean"),
+    ).orderBy("col_name")
+
+
+def _sql_events_profile():
+    cols = {
+        "event_id": ("num", None), "ts": ("str", None),
+        "user_id": ("num", None), "event_type": ("str", None),
+        "value": ("num", None), "props": ("str", None),
+    }
+    legs = []
+    for c, (kind, _) in cols.items():
+        mean = (f"floor(avg({c}) * 1e6 + 0.5) / 1e6" if kind == "num"
+                else "NULL::DOUBLE")
+        legs.append(f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str,
+               {mean} AS mean
+        FROM events""")
+    return " UNION ALL ".join(legs) + " ORDER BY col_name"
+
+
+def q_geo_tile_outliers(spark, sf_dir):
+    """Per-tile z-score outliers over the derived geo points (explicit
+    moment arithmetic — sum/sumsq — written identically on both sides so
+    the filter boundary and outputs agree bit-for-bit; the stddev_samp
+    operator form is pytest-verified against numpy)."""
+    from bufr2geojson_spark.operators.textops import round_dp
+
+    pts = _geo_points(spark, sf_dir).select(
+        "pid",
+        (F.floor((F.col("lat") + 90.0) / 20.0) * 100
+         + F.floor((F.col("lon") + 180.0) / 20.0)).alias("tile"),
+        F.col("val"),
+    )
+    stats = (
+        pts.groupBy("tile")
+        .agg(F.count("val").alias("n"),
+             round_dp(F.sum("val"), 6).alias("s"),
+             round_dp(F.sum(F.col("val") * F.col("val")), 6).alias("ss"))
+        .filter(F.col("n") >= 5)
+    )
+    mu = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) \
+        / (F.col("n") - 1)
+    enriched = stats.select(
+        "tile", "n", mu.alias("mu"), F.sqrt(var).alias("sd")
+    ).filter(F.col("sd") > 0)
+    z = (F.col("val") - F.col("mu")) / F.col("sd")
+    return (
+        pts.join(F.broadcast(enriched), "tile")
+        .withColumn("z", round_dp(z, 4))
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("pid", "tile", F.round("val", 2).alias("val"), "z")
+        .orderBy("pid", "tile")
+    )
+
+
+_SQL_GEO_TILE_OUTLIERS = f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    t AS (SELECT pid,
+                 CAST(floor((lat + 90.0) / 20.0) * 100
+                 + floor((lon + 180.0) / 20.0) AS BIGINT) AS tile, val
+          FROM pts),
+    stats AS (
+        SELECT tile, count(val) AS n,
+               floor(sum(val) * 1e6 + 0.5) / 1e6 AS s,
+               floor(sum(val * val) * 1e6 + 0.5) / 1e6 AS ss
+        FROM t GROUP BY tile HAVING count(val) >= 5
+    ),
+    enriched AS (
+        SELECT tile, n, s / n AS mu,
+               sqrt((ss - s * s / n) / (n - 1)) AS sd
+        FROM stats WHERE sqrt((ss - s * s / n) / (n - 1)) > 0
+    )
+    SELECT pid, t.tile, round(val, 2) AS val,
+           floor((val - mu) / sd * 1e4 + 0.5) / 1e4 AS z
+    FROM t JOIN enriched ON t.tile = enriched.tile
+    WHERE abs(floor((val - mu) / sd * 1e4 + 0.5) / 1e4) >= 2.0
+    ORDER BY pid, t.tile
+"""
+
+
 def q_event_hourly_windows(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -2073,6 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
         "event_type_pivot": q_event_type_pivot,
+        "events_profile": q_events_profile,
+        "geo_tile_outliers": q_geo_tile_outliers,
         "customer_balance_deciles": q_customer_balance_deciles,
         "event_hourly_windows": q_event_hourly_windows,
         "distinct_customers_per_segment": q_distinct_customers_per_segment,
@@ -2152,6 +2251,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": _SQL_ORDERS_ROLLUP,
         "orders_cube": _SQL_ORDERS_CUBE,
         "event_type_pivot": _SQL_EVENT_PIVOT,
+        "events_profile": _sql_events_profile(),
+        "geo_tile_outliers": _SQL_GEO_TILE_OUTLIERS,
         "customer_balance_deciles": _SQL_BALANCE_DECILES,
         "event_hourly_windows": _SQL_EVENT_HOURLY,
         "distinct_customers_per_segment": _SQL_DISTINCT_SEGMENT,
