@@ -173,9 +173,12 @@ def headline_queries() -> list[str]:
         "geo_knn",
         "geo_pip",
         "geo_tile_agg_salted",
+        "geo_range_join",
+        "geo_pip_distributed",
         "lsh_candidate_pairs",
         "simhash",
         "token_counts",
+        "tfidf_top_terms",
         "fingerprint",
         "ann_cosine_topk",
         "embedding_near_dup_lsh",
