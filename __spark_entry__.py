@@ -2063,6 +2063,31 @@ _SQL_ENGINE_ZORDER_DIGEST = """
 """
 
 
+def q_engine_geohash_digest(spark, sf_dir):
+    """Geohash-encode digest (interop cell index, pure Column bit math):
+    feature count, distinct cells at 6 and 3 chars, order-independent
+    xxhash64 checksum — constant oracle over the deterministic corpus."""
+    from bufr2geojson_spark.functions.cells import geohash_col
+
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = decode_documents(docs).filter("error is null")
+    gh = feats.select(geohash_col(F.col("lat"), F.col("lon"), 6).alias("gh"))
+    return gh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("gh").alias("d_gh"),
+        F.countDistinct(F.substring("gh", 1, 3)).alias("d_gh3"),
+        F.expr("bit_xor(xxhash64(gh))").alias("x_gh"),
+    )
+
+
+# verified identical at local[6]/7 partitions and local[20]/32
+_SQL_ENGINE_GEOHASH_DIGEST = """
+    SELECT CAST(2271 AS BIGINT) AS n, CAST(278 AS BIGINT) AS d_gh,
+           CAST(65 AS BIGINT) AS d_gh3,
+           CAST(-6587831793166765037 AS BIGINT) AS x_gh
+"""
+
+
 def q_engine_geojson(spark, sf_dir):
     """WCCDM-OBS GeoJSON serialization digest (the reference's output
     format; deep-equality vs its golden fixture is tested in
@@ -2226,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_media_resize_digest": q_engine_media_resize_digest,
         "engine_media_xmodal": q_engine_media_xmodal,
         "engine_zorder_digest": q_engine_zorder_digest,
+        "engine_geohash_digest": q_engine_geohash_digest,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -2300,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_media_digest": _SQL_ENGINE_MEDIA_DIGEST,
         "engine_media_resize_digest": _SQL_ENGINE_MEDIA_RESIZE_DIGEST,
         "engine_zorder_digest": _SQL_ENGINE_ZORDER_DIGEST,
+        "engine_geohash_digest": _SQL_ENGINE_GEOHASH_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }

@@ -404,3 +404,52 @@ def zorder_key(col_a, col_b):
     return _spread_bits31(col_a).bitwiseOR(
         F.shiftleft(_spread_bits31(col_b), 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash (base32) — interop cell index
+# ---------------------------------------------------------------------------
+
+#: standard geohash base32 alphabet (public spec; no i, l, o)
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lat, lon, precision: int = 7):
+    """Standard geohash of (lat, lon) at ``precision`` chars — pure Column
+    bit arithmetic (no UDF): quantize both axes, Morton-interleave with the
+    existing 31-bit spreader (lon takes the MSB, per the public spec), then
+    base32 the 5-bit groups. Because it is closed-form JVM codegen, the
+    encode rides the same narrow projection as the S2/hex encodes.
+
+    ``precision`` ≤ 12 (60 bits). Geohash's defining property — a parent
+    cell is a string prefix — holds by construction: truncating the output
+    equals encoding at lower precision (tested)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be 1..12")
+    n = 5 * precision
+    lon_bits = (n + 1) // 2
+    lat_bits = n // 2
+    lon_q = F.least(
+        F.floor((lon + 180.0) / 360.0 * (1 << lon_bits)),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    lat_q = F.least(
+        F.floor((lat + 90.0) / 180.0 * (1 << lat_bits)),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    # odd total bits -> the MSB (bit n-1, an even LSB-position) is lon's, so
+    # lon spreads to even positions; even total -> lon sits at odd positions
+    key = (zorder_key(lon_q, lat_q) if n % 2 == 1
+           else zorder_key(lat_q, lon_q))
+    alph = F.array(*[F.lit(c) for c in GEOHASH32])
+    chars = [
+        F.element_at(
+            alph,
+            (F.shiftrightunsigned(key, n - 5 * (i + 1))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)

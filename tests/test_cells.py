@@ -2,6 +2,7 @@
 locality, and the Spark UDF surface."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from bufr2geojson_spark.functions import cells as C
@@ -134,3 +135,54 @@ def test_zorder_key_matches_python_interleave(spark):
     for r in df.collect():
         assert r.z == morton(r.a, r.b), (r.a, r.b)
         assert r.z >= 0  # sign bit never set -> sort order == z order
+
+
+class TestGeohash:
+    def test_published_vectors(self, spark):
+        from bufr2geojson_spark.functions.cells import geohash_col
+
+        df = spark.createDataFrame(
+            [(42.605, -5.603), (57.64911, 10.40744)], "lat double, lon double")
+        out = df.select(
+            F.col("lat"),
+            geohash_col(F.col("lat"), F.col("lon"), 5).alias("g5"),
+            geohash_col(F.col("lat"), F.col("lon"), 11).alias("g11"),
+        ).collect()
+        by_lat = {r["lat"]: r for r in out}
+        assert by_lat[42.605]["g5"] == "ezs42"
+        assert by_lat[57.64911]["g11"] == "u4pruydqqvj"
+
+    def test_prefix_property(self, spark):
+        from bufr2geojson_spark.functions.cells import geohash_col
+
+        rows = [(float((i * 37) % 170 - 85 + 0.3), float((i * 53) % 350 - 175 + 0.7))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "lat double, lon double")
+        bad = df.select(
+            (F.substring(geohash_col(F.col("lat"), F.col("lon"), 9), 1, 4)
+             != geohash_col(F.col("lat"), F.col("lon"), 4)).alias("mismatch")
+        ).filter("mismatch").count()
+        assert bad == 0
+
+    def test_domain_edges_clamp(self, spark):
+        from bufr2geojson_spark.functions.cells import geohash_col
+
+        df = spark.createDataFrame(
+            [(90.0, 180.0), (-90.0, -180.0)], "lat double, lon double")
+        out = [r[0] for r in df.select(
+            geohash_col(F.col("lat"), F.col("lon"), 6)).collect()]
+        assert sorted(out) == ["000000", "zzzzzz"]
+
+    def test_pure_jvm_plan(self, spark):
+        from bufr2geojson_spark.functions.cells import geohash_col
+
+        df = spark.createDataFrame([(1.0, 2.0)], "lat double, lon double")
+        plan = (df.select(geohash_col(F.col("lat"), F.col("lon"), 7))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_bad_precision_raises(self, spark):
+        from bufr2geojson_spark.functions.cells import geohash_col
+
+        with pytest.raises(ValueError):
+            geohash_col(F.lit(0.0), F.lit(0.0), 13)
