@@ -919,6 +919,35 @@ _SQL_GEO_TILE_PCTS = f"""
 """
 
 
+def q_geo_tile_merge(spark, sf_dir):
+    """Incremental tile maintenance: aggregate two halves of the corpus
+    separately, fold the delta into the standing table with tile_merge —
+    must equal the one-shot aggregate (same oracle as geo_tile_agg_salted's
+    shape, unsalted)."""
+    from bufr2geojson_spark.operators.textops import round_dp
+    from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_merge
+
+    pts = _geo_points(spark, sf_dir).select(
+        F.col("pid").cast("string").alias("feature_id"),
+        F.col("pid"),
+        (F.floor((F.col("lat") + 90.0) / 5.0) * 100
+         + F.floor((F.col("lon") + 180.0) / 5.0)).alias("tile"),
+        F.col("val").alias("result_value"),
+    )
+    hist = tile_aggregate(pts.filter(F.col("pid") % 2 == 0),
+                          cell_col="tile", value_col="result_value")
+    delta = tile_aggregate(pts.filter(F.col("pid") % 2 == 1),
+                           cell_col="tile", value_col="result_value")
+    out = tile_merge(hist, delta, cell_col="tile")
+    return out.select(
+        "tile", "n_obs",
+        round_dp(F.col("sum_val"), 2).alias("sum_val"),
+        round_dp(F.col("min_val"), 2).alias("min_val"),
+        round_dp(F.col("max_val"), 2).alias("max_val"),
+        round_dp(F.col("avg_val"), 4).alias("avg_val"),
+    ).orderBy("tile")
+
+
 # ---------------------------------------------------------------------------
 # dedup / text analysis / similarity (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -2208,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_distributed": q_geo_pip_distributed,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "geo_tile_percentiles": q_geo_tile_percentiles,
+        "geo_tile_merge": q_geo_tile_merge,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
@@ -2289,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_distributed": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,
+        "geo_tile_merge": _SQL_GEO_TILE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signature": _sql_minhash(),
         "lsh_candidate_pairs": _sql_lsh_pairs(),

@@ -184,6 +184,37 @@ def tile_cardinality(
     )
 
 
+def tile_merge(
+    existing: DataFrame,
+    delta: DataFrame,
+    cell_col: str = "cell_s2",
+) -> DataFrame:
+    """Incrementally fold a delta batch's tile aggregates into a standing
+    tile table (the continuous-aggregate / hypertable-rollup maintenance
+    step): every stat in the tile schema is decomposable — counts and sums
+    add, min/max combine, avg is re-derived from the merged sum/count
+    (never avg-of-avgs) — so the standing table is updated from the DELTA's
+    aggregates alone, without rescanning history.
+
+    Both inputs are ``tile_aggregate`` outputs. One union + one groupBy on
+    the cell; at scale the standing table is stored range-partitioned by
+    cell prefix (N8), so the union's shuffle moves mostly the (small) delta.
+    ``tile_merge(agg(a), agg(b)) == agg(a ∪ b)`` exactly for n/sum/min/max
+    (doubles: up to reassociation of the sum — same caveat as any partial
+    aggregation), which pytest asserts."""
+    cols = [cell_col, "n_obs", "sum_val", "min_val", "max_val"]
+    u = existing.select(*cols).unionByName(delta.select(*cols))
+    merged = u.groupBy(cell_col).agg(
+        F.sum("n_obs").alias("n_obs"),
+        F.sum("sum_val").alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+    return merged.withColumn(
+        "avg_val", F.when(F.col("n_obs") > 0, F.col("sum_val") / F.col("n_obs"))
+    )
+
+
 def tile_percentiles(
     features: DataFrame,
     cell_col: str = "cell_s2",

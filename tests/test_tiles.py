@@ -269,3 +269,45 @@ class TestTilePercentiles:
             # merged sketches keep the rank-error bound regardless of layout
             assert abs(fa[c]["p50"] - fb[c]["p50"]) <= 997 / 2000 * 2 + 1
             assert fa[c]["n_obs"] == fb[c]["n_obs"]
+
+
+class TestTileMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_merge
+
+        rows = [(f"f{i}", (i * 7) % 13, float((i * 31) % 97) - 40.0)
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "feature_id string, cell int, v double")
+        a = df.filter("cell < 7")        # standing history
+        b = df.filter("cell >= 7")       # fully new cells
+        c = df.filter("v > 0")           # overlapping-cell delta
+        base = df.exceptAll(c)
+
+        for hist, delta in [(a, b), (base, c)]:
+            merged = tile_merge(
+                tile_aggregate(hist, cell_col="cell", value_col="v"),
+                tile_aggregate(delta, cell_col="cell", value_col="v"),
+                cell_col="cell",
+            )
+            full = tile_aggregate(df, cell_col="cell", value_col="v")
+            m = {r["cell"]: r for r in merged.collect()}
+            f = {r["cell"]: r for r in full.collect()}
+            assert set(m) == set(f)
+            for cell in f:
+                assert m[cell]["n_obs"] == f[cell]["n_obs"]
+                assert abs(m[cell]["sum_val"] - f[cell]["sum_val"]) < 1e-9
+                assert m[cell]["min_val"] == f[cell]["min_val"]
+                assert m[cell]["max_val"] == f[cell]["max_val"]
+                assert abs(m[cell]["avg_val"] - f[cell]["avg_val"]) < 1e-9
+
+    def test_merge_idempotent_on_empty_delta(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_merge
+
+        df = spark.createDataFrame(
+            [("f1", 1, 2.0), ("f2", 1, 4.0)],
+            "feature_id string, cell int, v double")
+        tiles = tile_aggregate(df, cell_col="cell", value_col="v")
+        empty = tiles.filter("1 = 0")
+        out = tile_merge(tiles, empty, cell_col="cell").collect()
+        assert len(out) == 1 and out[0]["n_obs"] == 2 \
+            and out[0]["avg_val"] == 3.0
