@@ -919,6 +919,53 @@ _SQL_GEO_TILE_PCTS = f"""
 """
 
 
+def q_region_measures(spark, sf_dir):
+    """Spherical area + perimeter of the test region polygons (geodesic
+    measures as Column expressions; identical edge arithmetic on the DuckDB
+    side over the same VALUES edge list)."""
+    import pandas as pd
+
+    from bufr2geojson_spark.operators.spatial import polygon_measures
+    from bufr2geojson_spark.operators.textops import round_dp
+    from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
+
+    shapes = []
+    for rid, ring, anti in _polygon_shapes():
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        shapes.append(
+            {
+                "region_id": rid, "region_name": rid,
+                "ring": [{"lon": float(x), "lat": float(y)} for x, y in ring],
+                "bbox": {"minx": float(min(xs)), "miny": float(min(ys)),
+                         "maxx": float(max(xs)), "maxy": float(max(ys))},
+            }
+        )
+    polys = spark.createDataFrame(pd.DataFrame(shapes), REGION_POLYGON_SCHEMA)
+    out = polygon_measures(polys)
+    return out.select(
+        "region_id",
+        round_dp(F.col("area_km2"), 2).alias("area_km2"),
+        round_dp(F.col("perimeter_km"), 2).alias("perimeter_km"),
+    ).orderBy("region_id")
+
+
+def _sql_region_measures():
+    return f"""
+    SELECT region_id,
+           floor(abs(sum((radians(x2) - radians(x1))
+                         * (2 + sin(radians(y1)) + sin(radians(y2)))))
+                 * 6371.0 * 6371.0 / 2 * 100 + 0.5) / 100 AS area_km2,
+           floor(sum(2 * 6371.0 * asin(sqrt(
+                    pow(sin(radians(y2 - y1) / 2), 2)
+                    + cos(radians(y1)) * cos(radians(y2))
+                      * pow(sin(radians(x2 - x1) / 2), 2)
+                 ))) * 100 + 0.5) / 100 AS perimeter_km
+    FROM {_edges_values_sql()}
+    GROUP BY region_id ORDER BY region_id
+    """
+
+
 def q_geo_tile_merge(spark, sf_dir):
     """Incremental tile maintenance: aggregate two halves of the corpus
     separately, fold the delta into the standing table with tile_merge —
@@ -2238,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "geo_tile_percentiles": q_geo_tile_percentiles,
         "geo_tile_merge": q_geo_tile_merge,
+        "region_measures": q_region_measures,
         # dedup / text analysis
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
@@ -2320,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,
         "geo_tile_merge": _SQL_GEO_TILE,
+        "region_measures": _sql_region_measures(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signature": _sql_minhash(),
         "lsh_candidate_pairs": _sql_lsh_pairs(),

@@ -653,3 +653,43 @@ def pip_join_distributed(
         .filter(F.col("_n_cross") % 2 == 1)
         .select(*ids, "region_id", "region_name")
     )
+
+
+def polygon_measures(polygons: DataFrame) -> DataFrame:
+    """Spherical area (km²) and perimeter (km) per polygon — pure Column
+    expressions over the exploded edge list (one narrow pass + a groupBy on
+    region_id; no UDF, no collect).
+
+    Area uses the published spherical shoelace approximation
+    ``R²/2 · |Σ (λ₂−λ₁)(2 + sin φ₁ + sin φ₂)|`` (λ, φ in radians) — exact
+    for the infinitesimal limit and standard for region-scale rings;
+    antimeridian-unwrapped rings (lon beyond 180, the repo convention) work
+    unchanged since only longitude *differences* enter. Perimeter is the
+    haversine sum over edges (same expression as ``haversine_col``)."""
+    edges = polygons.select(
+        "region_id", "region_name",
+        F.explode(F.expr(
+            "transform(slice(ring, 1, size(ring) - 1), (s, i) -> "
+            "struct(s.lon AS x1, s.lat AS y1, "
+            "ring[i + 1].lon AS x2, ring[i + 1].lat AS y2))"
+        )).alias("_e"),
+    ).select(
+        "region_id", "region_name",
+        F.col("_e.x1").alias("x1"), F.col("_e.y1").alias("y1"),
+        F.col("_e.x2").alias("x2"), F.col("_e.y2").alias("y2"),
+    )
+    term = (F.radians(F.col("x2")) - F.radians(F.col("x1"))) * (
+        F.lit(2.0) + F.sin(F.radians(F.col("y1")))
+        + F.sin(F.radians(F.col("y2")))
+    )
+    seg = haversine_col(
+        F.col("y1"), F.col("x1"), F.col("y2"), F.col("x2")
+    )
+    return (
+        edges.groupBy("region_id", "region_name")
+        .agg(
+            (F.abs(F.sum(term)) * (EARTH_RADIUS_KM ** 2) / 2.0)
+            .alias("area_km2"),
+            F.sum(seg).alias("perimeter_km"),
+        )
+    )

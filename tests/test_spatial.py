@@ -315,3 +315,59 @@ class TestPipJoinDistributed:
         plan = (pip_join_distributed(self._points(spark, 8), polys)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestPolygonMeasures:
+    def test_known_areas(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.spatial import polygon_measures
+
+        # a full lat band from the equator to the pole: area = 2πR² (a
+        # hemisphere), via an unwrapped 0..360 ring at φ=0
+        ring = [(0.0, 0.0), (360.0, 0.0), (360.0, 90.0), (0.0, 90.0),
+                (0.0, 0.0)]
+        import pandas as pd
+
+        from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        polys = spark.createDataFrame(pd.DataFrame([{
+            "region_id": "HEMI", "region_name": "HEMI",
+            "ring": [{"lon": x, "lat": y} for x, y in ring],
+            "bbox": {"minx": min(xs), "miny": min(ys),
+                     "maxx": max(xs), "maxy": max(ys)},
+        }]), REGION_POLYGON_SCHEMA)
+        out = polygon_measures(polys).collect()[0]
+        hemi = 2 * math.pi * 6371.0 ** 2
+        assert abs(out["area_km2"] - hemi) / hemi < 1e-9
+        # perimeter: equator (2πR·cosφ at φ=0 → full circle) + two meridian
+        # quarters; haversine of the 360° span is 0 (same point), so the
+        # measured perimeter is equator-segment-free: 2 × quarter meridian
+        quarter = math.pi * 6371.0 / 2
+        assert abs(out["perimeter_km"] - 2 * quarter) / quarter < 0.01
+
+    def test_antimeridian_band_consistent(self, spark):
+        import pandas as pd
+
+        from bufr2geojson_spark.operators.spatial import polygon_measures
+        from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
+
+        def mk(rid, ring):
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
+            return {
+                "region_id": rid, "region_name": rid,
+                "ring": [{"lon": float(x), "lat": float(y)} for x, y in ring],
+                "bbox": {"minx": float(min(xs)), "miny": float(min(ys)),
+                         "maxx": float(max(xs)), "maxy": float(max(ys))},
+            }
+
+        # same 20°×20° box at the prime meridian and across the antimeridian
+        a = mk("A", [(-10, 10), (10, 10), (10, 30), (-10, 30), (-10, 10)])
+        b = mk("B", [(170, 10), (190, 10), (190, 30), (170, 30), (170, 10)])
+        polys = spark.createDataFrame(pd.DataFrame([a, b]),
+                                      REGION_POLYGON_SCHEMA)
+        out = {r["region_id"]: r for r in polygon_measures(polys).collect()}
+        assert abs(out["A"]["area_km2"] - out["B"]["area_km2"]) < 1e-6
+        assert abs(out["A"]["perimeter_km"] - out["B"]["perimeter_km"]) < 1e-6
