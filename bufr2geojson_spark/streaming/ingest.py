@@ -230,3 +230,78 @@ def run_dedup_ingest_once(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def run_tile_maintenance_once(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    **decode_kw,
+) -> int:
+    """Continuous-aggregate maintenance: drain new documents (AvailableNow),
+    and per micro-batch fold the batch's tile aggregates into the standing
+    tile table with ``tile_merge`` — history is never rescanned.
+
+    The standing table is versioned by batch id
+    (``{table_path}/v=<batch_id>``): each batch writes
+    ``merge(latest version < batch_id, agg(batch))``, so a replayed batch
+    (foreachBatch is at-least-once between append and offset commit)
+    recomputes from the SAME predecessor and overwrites the SAME version —
+    idempotent, the exactly-once contract of ``run_ingest_once`` extended
+    to cumulative state. Readers take the max version. Returns batches
+    committed this run."""
+    import os
+    import re
+
+    from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_merge
+
+    stream = read_document_stream(spark, input_path)
+    feats = decode_stream(stream, **decode_kw)
+    n_batches = {"n": 0}
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(table_path):
+            return []
+        out = []
+        for d in os.listdir(table_path):
+            m = re.fullmatch(r"v=(\d+)", d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = tile_aggregate(batch_df, cell_col="cell_s2",
+                               value_col="result_value")
+        prev = [v for v in _versions() if v < batch_id]
+        if prev:
+            standing = spark.read.parquet(f"{table_path}/v={prev[-1]}")
+            merged = tile_merge(standing, delta, cell_col="cell_s2")
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{table_path}/v={batch_id}")
+        n_batches["n"] += 1
+
+    q = (
+        feats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def read_standing_tiles(spark: SparkSession, table_path: str) -> DataFrame:
+    """Latest version of the maintained tile table."""
+    import os
+    import re
+
+    vs = []
+    for d in os.listdir(table_path):
+        m = re.fullmatch(r"v=(\d+)", d)
+        if m:
+            vs.append(int(m.group(1)))
+    if not vs:
+        raise FileNotFoundError(f"no tile versions under {table_path}")
+    return spark.read.parquet(f"{table_path}/v={max(vs)}")

@@ -143,3 +143,60 @@ def test_stream_dedup_drops_retransmitted_reports(spark, tmp_path):
     assert out.select("report_id", "index").distinct().count() == out.count()
     assert out.count() == n_unique
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_tile_maintenance_matches_batch(spark, tmp_path):
+    """Two waves of documents folded incrementally into the standing tile
+    table must equal the one-shot batch aggregate over everything."""
+    from bufr2geojson_spark.operators.tiles import tile_aggregate
+    from bufr2geojson_spark.streaming.ingest import (
+        read_standing_tiles,
+        run_tile_maintenance_once,
+    )
+
+    base = str(tmp_path)
+    docs = synth_documents(spark, 80, partitions=4)
+    wave1 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    wave2 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+    wave1.write.mode("overwrite").parquet(f"{base}/in")
+    n1 = run_tile_maintenance_once(
+        spark, f"{base}/in", f"{base}/tiles", f"{base}/ckpt")
+    assert n1 >= 1
+    wave2.write.mode("append").parquet(f"{base}/in")
+    n2 = run_tile_maintenance_once(
+        spark, f"{base}/in", f"{base}/tiles", f"{base}/ckpt")
+    assert n2 >= 1
+
+    standing = {r["cell_s2"]: r
+                for r in read_standing_tiles(spark, f"{base}/tiles").collect()}
+    full = tile_aggregate(
+        with_cells(decode_documents(docs).filter("error is null"))
+    )
+    want = {r["cell_s2"]: r for r in full.collect()}
+    assert set(standing) == set(want)
+    for c in want:
+        assert standing[c]["n_obs"] == want[c]["n_obs"]
+        assert abs(standing[c]["sum_val"] - want[c]["sum_val"]) < 1e-6
+        assert standing[c]["min_val"] == want[c]["min_val"]
+        assert standing[c]["max_val"] == want[c]["max_val"]
+
+
+def test_stream_tile_maintenance_rerun_noop(spark, tmp_path):
+    from bufr2geojson_spark.streaming.ingest import (
+        read_standing_tiles,
+        run_tile_maintenance_once,
+    )
+
+    base = str(tmp_path)
+    synth_documents(spark, 40, partitions=2).write.parquet(f"{base}/in")
+    run_tile_maintenance_once(spark, f"{base}/in", f"{base}/tiles",
+                              f"{base}/ckpt")
+    before = sorted(map(tuple,
+                        read_standing_tiles(spark, f"{base}/tiles").collect()))
+    # nothing new -> no batch fires, standing table unchanged
+    n = run_tile_maintenance_once(spark, f"{base}/in", f"{base}/tiles",
+                                  f"{base}/ckpt")
+    assert n == 0
+    after = sorted(map(tuple,
+                       read_standing_tiles(spark, f"{base}/tiles").collect()))
+    assert before == after
