@@ -429,19 +429,22 @@ _SQL_ORDERS_ROLLUP = """
 def q_orders_cube(spark, sf_dir):
     """CUBE over (year, priority): all four grouping-set combinations in one
     pass (partial aggregates expand map-side; no re-scan per set)."""
+    from bufr2geojson_spark.operators.textops import round_dp
+
     o = _t(spark, sf_dir, "orders")
     return (
         o.withColumn("order_year", F.year("o_orderdate"))
         .cube("order_year", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+             round_dp(F.avg("o_totalprice"), 4).alias("avg_price"))
         .orderBy("order_year", "o_orderpriority")
     )
 
 
 _SQL_ORDERS_CUBE = """
     SELECT year(o_orderdate) AS order_year, o_orderpriority,
-           count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+           count(*) AS n_orders,
+           floor(avg(o_totalprice) * 1e4 + 0.5) / 1e4 AS avg_price
     FROM orders
     GROUP BY CUBE (order_year, o_orderpriority)
     ORDER BY order_year, o_orderpriority
@@ -480,20 +483,22 @@ def q_customer_balance_deciles(spark, sf_dir):
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
+    from bufr2geojson_spark.operators.textops import round_dp
+
     return c.select(
         "c_custkey", "c_mktsegment",
         F.round("c_acctbal", 2).alias("acctbal"),
         F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        round_dp(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_dp(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("c_custkey")
 
 
 _SQL_BALANCE_DECILES = """
     SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
            ntile(10) OVER w AS decile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment
                  ORDER BY c_acctbal ASC, c_custkey ASC)
@@ -558,8 +563,14 @@ def q_geo_tile_outliers(spark, sf_dir):
         .filter(F.col("n") >= 5)
     )
     mu = F.col("s") / F.col("n")
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) \
-        / (F.col("n") - 1)
+    # greatest(.., 0): the independently-rounded s/ss can make the moment
+    # residual slightly negative on near-constant tiles; Spark's sqrt would
+    # quietly yield NaN while DuckDB ABORTS on sqrt(<0) — clamp both sides
+    var = F.greatest(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
     enriched = stats.select(
         "tile", "n", mu.alias("mu"), F.sqrt(var).alias("sd")
     ).filter(F.col("sd") > 0)
@@ -587,8 +598,8 @@ _SQL_GEO_TILE_OUTLIERS = f"""
     ),
     enriched AS (
         SELECT tile, n, s / n AS mu,
-               sqrt((ss - s * s / n) / (n - 1)) AS sd
-        FROM stats WHERE sqrt((ss - s * s / n) / (n - 1)) > 0
+               sqrt(greatest((ss - s * s / n) / (n - 1), 0)) AS sd
+        FROM stats WHERE greatest((ss - s * s / n) / (n - 1), 0) > 0
     )
     SELECT pid, t.tile, round(val, 2) AS val,
            floor((val - mu) / sd * 1e4 + 0.5) / 1e4 AS z
@@ -635,6 +646,31 @@ _SQL_DISTINCT_SEGMENT = """
 # ---------------------------------------------------------------------------
 # geo operators over derived points (oracle-checked: N3/N4/N5/N7 semantics)
 # ---------------------------------------------------------------------------
+
+
+def _region_polys(spark: SparkSession):
+    """The test region polygons as a DataFrame (shared by every polygon
+    query so the ring/bbox convention lives in one place)."""
+    import pandas as pd
+
+    from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
+
+    shapes = []
+    for rid, ring, anti in _polygon_shapes():
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        shapes.append(
+            {
+                "region_id": rid,
+                "region_name": rid,
+                "ring": [{"lon": float(x), "lat": float(y)} for x, y in ring],
+                "bbox": {
+                    "minx": float(min(xs)), "miny": float(min(ys)),
+                    "maxx": float(max(xs)), "maxy": float(max(ys)),
+                },
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(shapes), REGION_POLYGON_SCHEMA)
 
 
 def q_geo_knn(spark, sf_dir):
@@ -728,27 +764,8 @@ def _sql_geo_knn3():
 
 
 def q_geo_pip(spark, sf_dir):
-    import pandas as pd
-
     pts = _geo_points(spark, sf_dir)
-    shapes = []
-    for rid, ring, anti in _polygon_shapes():
-        xs = [p[0] for p in ring]
-        ys = [p[1] for p in ring]
-        shapes.append(
-            {
-                "region_id": rid,
-                "region_name": rid,
-                "ring": [{"lon": float(x), "lat": float(y)} for x, y in ring],
-                "bbox": {
-                    "minx": float(min(xs)), "miny": float(min(ys)),
-                    "maxx": float(max(xs)), "maxy": float(max(ys)),
-                },
-            }
-        )
-    from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
-
-    polys = spark.createDataFrame(pd.DataFrame(shapes), REGION_POLYGON_SCHEMA)
+    polys = _region_polys(spark)
     return (
         pip_join(pts, polys, how="inner")
         .select("pid", "region_id")
@@ -779,28 +796,10 @@ def q_geo_pip_distributed(spark, sf_dir):
     """PIP as a distributed equi-join (no broadcast, no UDF) — same rows as
     geo_pip, same DuckDB edge oracle; the polygon-side-too-big-to-broadcast
     plan shape."""
-    import pandas as pd
-
     from bufr2geojson_spark.operators.spatial import pip_join_distributed
-    from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
 
     pts = _geo_points(spark, sf_dir).select("pid", "lat", "lon")
-    shapes = []
-    for rid, ring, anti in _polygon_shapes():
-        xs = [p[0] for p in ring]
-        ys = [p[1] for p in ring]
-        shapes.append(
-            {
-                "region_id": rid,
-                "region_name": rid,
-                "ring": [{"lon": float(x), "lat": float(y)} for x, y in ring],
-                "bbox": {
-                    "minx": float(min(xs)), "miny": float(min(ys)),
-                    "maxx": float(max(xs)), "maxy": float(max(ys)),
-                },
-            }
-        )
-    polys = spark.createDataFrame(pd.DataFrame(shapes), REGION_POLYGON_SCHEMA)
+    polys = _region_polys(spark)
     return (
         pip_join_distributed(pts, polys, grid_deg=10.0)
         .select("pid", "region_id")
@@ -923,26 +922,10 @@ def q_region_measures(spark, sf_dir):
     """Spherical area + perimeter of the test region polygons (geodesic
     measures as Column expressions; identical edge arithmetic on the DuckDB
     side over the same VALUES edge list)."""
-    import pandas as pd
-
     from bufr2geojson_spark.operators.spatial import polygon_measures
     from bufr2geojson_spark.operators.textops import round_dp
-    from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
 
-    shapes = []
-    for rid, ring, anti in _polygon_shapes():
-        xs = [p[0] for p in ring]
-        ys = [p[1] for p in ring]
-        shapes.append(
-            {
-                "region_id": rid, "region_name": rid,
-                "ring": [{"lon": float(x), "lat": float(y)} for x, y in ring],
-                "bbox": {"minx": float(min(xs)), "miny": float(min(ys)),
-                         "maxx": float(max(xs)), "maxy": float(max(ys))},
-            }
-        )
-    polys = spark.createDataFrame(pd.DataFrame(shapes), REGION_POLYGON_SCHEMA)
-    out = polygon_measures(polys)
+    out = polygon_measures(_region_polys(spark))
     return out.select(
         "region_id",
         round_dp(F.col("area_km2"), 2).alias("area_km2"),
@@ -1208,10 +1191,10 @@ _SQL_EVENT_RESAMPLE = """
     c AS (
         SELECT user_id, ts, is_grid,
                last_value(v IGNORE NULLS) OVER wp AS pv,
-               last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+               last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
                    OVER wp AS pt,
                last_value(v IGNORE NULLS) OVER wn AS nv,
-               last_value(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+               last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
                    OVER wn AS nt
         FROM u
         WINDOW wp AS (PARTITION BY user_id ORDER BY ts ASC, is_grid ASC

@@ -170,12 +170,15 @@ def resample_interpolate(
     carried = (
         unioned
         .withColumn("_pv", F.last("_v", ignorenulls=True).over(wprev))
+        # neighbor timestamps must track the same rows as the neighbor
+        # VALUES: a null-valued observation contributes neither, or _pt/_pv
+        # would come from different rows and skew the interpolation weight
         .withColumn("_pt", F.last(
-            F.when(F.col("_is_grid") == 0, F.col(ts_col)),
+            F.when(F.col("_v").isNotNull(), F.col(ts_col)),
             ignorenulls=True).over(wprev))
         .withColumn("_nv", F.last("_v", ignorenulls=True).over(wnext))
         .withColumn("_nt", F.last(
-            F.when(F.col("_is_grid") == 0, F.col(ts_col)),
+            F.when(F.col("_v").isNotNull(), F.col(ts_col)),
             ignorenulls=True).over(wnext))
     )
     # fractional epoch seconds (timestamp→double keeps microseconds;

@@ -27,46 +27,51 @@ def profile_table(df: DataFrame, approx_rsd: float | None = None) -> DataFrame:
     mean is null for non-numeric columns.
     """
     cols = df.columns
+    # metric aliases are POSITIONAL (_null_0, _dist_0, ...) so arbitrary
+    # source column names (spaces, quotes, backticks — exactly what raw
+    # ingested tables a profiler targets contain) never enter an identifier;
+    # the display name rides only as an escaped string literal in stack()
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        col = F.col(c)
+    for i, c in enumerate(cols):
+        col = df[c]
         aggs.append(
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{i}")
         )
         if approx_rsd is None:
-            aggs.append(F.countDistinct(col).alias(f"_dist_{c}"))
+            aggs.append(F.countDistinct(col).alias(f"_dist_{i}"))
         else:
             aggs.append(
-                F.approx_count_distinct(col, approx_rsd).alias(f"_dist_{c}")
+                F.approx_count_distinct(col, approx_rsd).alias(f"_dist_{i}")
             )
         is_num = isinstance(df.schema[c].dataType, NumericType)
         if is_num:
-            aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
-            aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
-            aggs.append(F.avg(col).alias(f"_mean_{c}"))
+            aggs.append(F.min(col).cast("string").alias(f"_min_{i}"))
+            aggs.append(F.max(col).cast("string").alias(f"_max_{i}"))
+            aggs.append(F.avg(col).alias(f"_mean_{i}"))
         else:
             # min/max of complex types (arrays/structs) are not orderable in
             # every engine; profile only atomic non-numerics
             orderable = df.schema[c].dataType.typeName() in (
                 "string", "date", "timestamp", "timestamp_ntz", "boolean")
             if orderable:
-                aggs.append(F.min(col).cast("string").alias(f"_min_{c}"))
-                aggs.append(F.max(col).cast("string").alias(f"_max_{c}"))
+                aggs.append(F.min(col).cast("string").alias(f"_min_{i}"))
+                aggs.append(F.max(col).cast("string").alias(f"_max_{i}"))
             else:
-                aggs.append(F.lit(None).cast("string").alias(f"_min_{c}"))
-                aggs.append(F.lit(None).cast("string").alias(f"_max_{c}"))
-            aggs.append(F.lit(None).cast("double").alias(f"_mean_{c}"))
+                aggs.append(F.lit(None).cast("string").alias(f"_min_{i}"))
+                aggs.append(F.lit(None).cast("string").alias(f"_max_{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"_mean_{i}"))
     one = df.agg(*aggs)
     # unpivot the single wide row into (column, metrics) rows — stack() is
     # a generator projection over the one-row aggregate, driver-free
     stack_args = []
-    for c in cols:
-        stack_args.append(f"'{c}'")
-        stack_args.append(f"_null_{c}")
-        stack_args.append(f"_dist_{c}")
-        stack_args.append(f"_min_{c}")
-        stack_args.append(f"_max_{c}")
-        stack_args.append(f"_mean_{c}")
+    for i, c in enumerate(cols):
+        label = c.replace("\\", "\\\\").replace("'", "\\'")
+        stack_args.append(f"'{label}'")
+        stack_args.append(f"_null_{i}")
+        stack_args.append(f"_dist_{i}")
+        stack_args.append(f"_min_{i}")
+        stack_args.append(f"_max_{i}")
+        stack_args.append(f"_mean_{i}")
     expr = (
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
         "(col_name, n_null, n_distinct, min_str, max_str, mean)"
@@ -105,7 +110,10 @@ def tile_outliers(
         )
         .filter((F.col("_n") >= min_obs) & (F.col("_sd") > 0))
     )
-    joined = features.join(F.broadcast(stats), on=cell_col)
+    # no broadcast hint: AQE broadcasts when the moments table is small
+    # and degrades to a shuffle join when a fine cell granularity makes it
+    # large — a forced hint would OOM exactly at the scale this targets
+    joined = features.join(stats, on=cell_col)
     z = (v - F.col("_mu")) / F.col("_sd")
     return (
         joined.withColumn("z", z)

@@ -557,6 +557,17 @@ def distance_join(
     )
 
 
+def _ring_edges_expr():
+    """ring array -> exploded (x1,y1,x2,y2) edge structs, JVM-side (shared
+    by the distributed PIP join and the geodesic measures so the closed-ring
+    convention lives in one place)."""
+    return F.explode(F.expr(
+        "transform(slice(ring, 1, size(ring) - 1), (s, i) -> "
+        "struct(s.lon AS x1, s.lat AS y1, "
+        "ring[i + 1].lon AS x2, ring[i + 1].lat AS y2))"
+    )).alias("_e")
+
+
 def pip_join_distributed(
     points: DataFrame,
     polygons: DataFrame,
@@ -610,11 +621,7 @@ def pip_join_distributed(
         (F.col("bbox.maxx") > 180.0).alias("_anti"),
         F.col("bbox.minx").alias("_minx"), F.col("bbox.maxx").alias("_maxx"),
         F.col("bbox.miny").alias("_miny"), F.col("bbox.maxy").alias("_maxy"),
-        F.explode(F.expr(
-            "transform(slice(ring, 1, size(ring) - 1), (s, i) -> "
-            "struct(s.lon AS x1, s.lat AS y1, "
-            "ring[i + 1].lon AS x2, ring[i + 1].lat AS y2))"
-        )).alias("_e"),
+        _ring_edges_expr(),
     ).select(
         "region_id", "region_name", "_anti",
         "_minx", "_maxx", "_miny", "_maxy",
@@ -668,11 +675,7 @@ def polygon_measures(polygons: DataFrame) -> DataFrame:
     haversine sum over edges (same expression as ``haversine_col``)."""
     edges = polygons.select(
         "region_id", "region_name",
-        F.explode(F.expr(
-            "transform(slice(ring, 1, size(ring) - 1), (s, i) -> "
-            "struct(s.lon AS x1, s.lat AS y1, "
-            "ring[i + 1].lon AS x2, ring[i + 1].lat AS y2))"
-        )).alias("_e"),
+        _ring_edges_expr(),
     ).select(
         "region_id", "region_name",
         F.col("_e.x1").alias("x1"), F.col("_e.y1").alias("y1"),

@@ -215,6 +215,16 @@ def tile_merge(
     )
 
 
+def _pct_label(p: float) -> str:
+    """Collision-safe column label for a percentile: p50, p05, p99_9 —
+    float-noise-proof (0.29*100 is 28.999...996 in IEEE; int() would
+    mislabel it p28) and distinct above p99 (0.999 -> p99_9, not p99)."""
+    pct = format(p * 100, ".10g")
+    if "." not in pct:
+        return f"p{int(pct):02d}"
+    return "p" + pct.replace(".", "_")
+
+
 def tile_percentiles(
     features: DataFrame,
     cell_col: str = "cell_s2",
@@ -244,7 +254,7 @@ def tile_percentiles(
     out = features.groupBy(cell_col).agg(
         F.count(v).alias("n_obs"), fn.alias("_pcts")
     )
-    cols = [F.col("_pcts")[i].alias(f"p{int(p * 100):02d}")
+    cols = [F.col("_pcts")[i].alias(_pct_label(p))
             for i, p in enumerate(percentiles)]
     return out.select(cell_col, "n_obs", *cols)
 

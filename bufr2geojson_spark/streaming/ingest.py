@@ -251,29 +251,16 @@ def run_tile_maintenance_once(
     idempotent, the exactly-once contract of ``run_ingest_once`` extended
     to cumulative state. Readers take the max version. Returns batches
     committed this run."""
-    import os
-    import re
-
     from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_merge
 
     stream = read_document_stream(spark, input_path)
     feats = decode_stream(stream, **decode_kw)
     n_batches = {"n": 0}
 
-    def _versions() -> list[int]:
-        if not os.path.isdir(table_path):
-            return []
-        out = []
-        for d in os.listdir(table_path):
-            m = re.fullmatch(r"v=(\d+)", d)
-            if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         delta = tile_aggregate(batch_df, cell_col="cell_s2",
                                value_col="result_value")
-        prev = [v for v in _versions() if v < batch_id]
+        prev = [v for v in _tile_versions(table_path) if v < batch_id]
         if prev:
             standing = spark.read.parquet(f"{table_path}/v={prev[-1]}")
             merged = tile_merge(standing, delta, cell_col="cell_s2")
@@ -292,16 +279,26 @@ def run_tile_maintenance_once(
     return n_batches["n"]
 
 
-def read_standing_tiles(spark: SparkSession, table_path: str) -> DataFrame:
-    """Latest version of the maintained tile table."""
+def _tile_versions(table_path: str) -> list[int]:
+    """Sorted batch-id versions of a maintained tile table (one listing
+    routine shared by writer and reader so they can never disagree on the
+    version layout)."""
     import os
     import re
 
-    vs = []
+    if not os.path.isdir(table_path):
+        return []
+    out = []
     for d in os.listdir(table_path):
         m = re.fullmatch(r"v=(\d+)", d)
         if m:
-            vs.append(int(m.group(1)))
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_standing_tiles(spark: SparkSession, table_path: str) -> DataFrame:
+    """Latest version of the maintained tile table."""
+    vs = _tile_versions(table_path)
     if not vs:
         raise FileNotFoundError(f"no tile versions under {table_path}")
-    return spark.read.parquet(f"{table_path}/v={max(vs)}")
+    return spark.read.parquet(f"{table_path}/v={vs[-1]}")

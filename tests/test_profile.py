@@ -61,3 +61,12 @@ class TestTileOutliers:
         df = spark.createDataFrame(
             [(i, 1, 2.0) for i in range(10)], "fid int, cell int, v double")
         assert tile_outliers(df, cell_col="cell", value_col="v").count() == 0
+
+
+class TestProfileWeirdNames:
+    def test_hostile_column_names(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None)], ["event type", "o'clock"])
+        out = {r["col_name"]: r for r in profile_table(df).collect()}
+        assert out["event type"]["n_null"] == 0
+        assert out["o'clock"]["n_null"] == 1

@@ -297,3 +297,19 @@ class TestResampleInterpolate:
         out = resample_interpolate(df, step="6 hours").collect()
         # grid = [00:00] only (05:30 not aligned); clamped to the lone obs
         assert len(out) == 1 and out[0]["value_interp"] == 3.5
+
+    def test_null_valued_observations_skipped_as_neighbors(self, spark):
+        from bufr2geojson_spark.operators.events import resample_interpolate
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 10:00:00", None),   # must not anchor neighbors
+            (1, "2024-01-01 20:00:00", 30.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts string, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {str(r["ts"]): r["value_interp"]
+               for r in resample_interpolate(df, step="4 hours").collect()}
+        # linear 0h->20h: value at 12h = 10 + 20*(12/20) = 22 (a buggy
+        # neighbor pairing that anchors _pt at the null obs gives 12.0)
+        assert out["2024-01-01 12:00:00"] == 22.0
