@@ -56,3 +56,40 @@ def read_snapshot(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     """Read a table and pin the snapshot id the read observed."""
     snap = snapshot_id_for(spark, path)
     return spark.read.parquet(path), snap
+
+
+def table_manifest(spark: SparkSession, path: str) -> dict[str, int]:
+    """The table's current file manifest (file → length) — the state a
+    consumer persists to resume incrementally (the parquet stand-in for an
+    Iceberg snapshot's manifest list; a real catalog replaces this with the
+    snapshot id alone)."""
+    return dict(list_data_files(spark, path))
+
+
+def incremental_read(
+    spark: SparkSession,
+    path: str,
+    prev_manifest: dict[str, int] | None,
+) -> tuple[DataFrame | None, dict[str, int]]:
+    """Incremental scan: only the rows in data files ADDED since
+    ``prev_manifest`` (Iceberg's incremental append scan between two
+    snapshots). Returns (delta_df | None, new_manifest); None when nothing
+    new. Feed the delta to ``decode_documents`` → ``tiles.tile_merge`` and
+    a consumer processes each appended batch exactly once without ever
+    rescanning history — the batch-side mirror of the streaming
+    maintenance path.
+
+    A file whose LENGTH changed (parquet files are immutable in any sane
+    writer; this guards misuse) is treated as new. Deletes/compactions are
+    out of scope for an append-only observation log — detect them
+    (missing/renamed files) upstream and fall back to a full re-read."""
+    cur = table_manifest(spark, path)
+    if prev_manifest is None:
+        new_files = sorted(cur)
+    else:
+        new_files = sorted(
+            f for f, ln in cur.items() if prev_manifest.get(f) != ln
+        )
+    if not new_files:
+        return None, cur
+    return spark.read.parquet(*new_files), cur

@@ -204,3 +204,54 @@ def test_missing_final_write_warns(spark, dims, workdir):
             resume=False, conf=conf,
         )
     assert any("final" in str(c.message).lower() for c in caught)
+
+
+class TestIncrementalRead:
+    def test_reads_only_appended_files(self, spark, tmp_path):
+        from bufr2geojson_spark.sources.io import incremental_read
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        path = str(tmp_path / "docs")
+        docs = synth_documents(spark, 60, partitions=3)
+        wave1 = docs.filter(F.crc32("doc_id") % 2 == 0)
+        wave2 = docs.filter(F.crc32("doc_id") % 2 == 1)
+        wave1.write.parquet(path)
+        d1, m1 = incremental_read(spark, path, None)
+        assert sorted(r["doc_id"] for r in d1.select("doc_id").collect()) == \
+            sorted(r["doc_id"] for r in wave1.select("doc_id").collect())
+        # nothing new -> None, manifest unchanged
+        d_none, m_same = incremental_read(spark, path, m1)
+        assert d_none is None and m_same == m1
+        wave2.write.mode("append").parquet(path)
+        d2, m2 = incremental_read(spark, path, m1)
+        assert sorted(r["doc_id"] for r in d2.select("doc_id").collect()) == \
+            sorted(r["doc_id"] for r in wave2.select("doc_id").collect())
+        assert len(m2) > len(m1)
+
+    def test_incremental_decode_merge_equals_batch(self, spark, tmp_path):
+        from bufr2geojson_spark.functions.cells import with_cells
+        from bufr2geojson_spark.operators.decode import decode_documents
+        from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_merge
+        from bufr2geojson_spark.sources.io import incremental_read
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        path = str(tmp_path / "docs")
+        docs = synth_documents(spark, 60, partitions=3)
+        docs.filter(F.crc32("doc_id") % 2 == 0).write.parquet(path)
+        d1, m1 = incremental_read(spark, path, None)
+        tiles = tile_aggregate(
+            with_cells(decode_documents(d1).filter("error is null")))
+        docs.filter(F.crc32("doc_id") % 2 == 1) \
+            .write.mode("append").parquet(path)
+        d2, _ = incremental_read(spark, path, m1)
+        delta = tile_aggregate(
+            with_cells(decode_documents(d2).filter("error is null")))
+        merged = {r["cell_s2"]: r
+                  for r in tile_merge(tiles, delta).collect()}
+        full = {r["cell_s2"]: r for r in tile_aggregate(
+            with_cells(decode_documents(docs).filter("error is null"))
+        ).collect()}
+        assert set(merged) == set(full)
+        for c in full:
+            assert merged[c]["n_obs"] == full[c]["n_obs"]
+            assert abs(merged[c]["sum_val"] - full[c]["sum_val"]) < 1e-6
