@@ -255,3 +255,60 @@ class TestIncrementalRead:
         for c in full:
             assert merged[c]["n_obs"] == full[c]["n_obs"]
             assert abs(merged[c]["sum_val"] - full[c]["sum_val"]) < 1e-6
+
+
+class TestMaintenancePlan:
+    def test_incremental_runs_converge_to_batch(self, spark, tmp_path):
+        from bufr2geojson_spark.functions.cells import with_cells
+        from bufr2geojson_spark.operators.decode import decode_documents
+        from bufr2geojson_spark.operators.tiles import tile_aggregate
+        from bufr2geojson_spark.plans.maintenance import (
+            run_maintenance, standing_tiles)
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        docs_path = str(tmp_path / "docs")
+        work = str(tmp_path / "work")
+        docs = synth_documents(spark, 60, partitions=3)
+        docs.filter(F.crc32("doc_id") % 2 == 0).write.parquet(docs_path)
+        r1 = run_maintenance(spark, docs_path, work)
+        assert not r1["no_op"] and r1["version"] == 0
+        # no-op when nothing new
+        assert run_maintenance(spark, docs_path, work)["no_op"]
+        docs.filter(F.crc32("doc_id") % 2 == 1) \
+            .write.mode("append").parquet(docs_path)
+        r2 = run_maintenance(spark, docs_path, work)
+        assert r2["version"] == 1
+        got = {r["cell_s2"]: r
+               for r in standing_tiles(spark, work).collect()}
+        want = {r["cell_s2"]: r for r in tile_aggregate(
+            with_cells(decode_documents(docs).filter("error is null"))
+        ).collect()}
+        assert set(got) == set(want)
+        for c in want:
+            assert got[c]["n_obs"] == want[c]["n_obs"]
+
+    def test_crash_before_commit_does_not_double_merge(self, spark, tmp_path):
+        import json as _json
+
+        from bufr2geojson_spark.plans.maintenance import (
+            load_state, run_maintenance, standing_tiles)
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        docs_path = str(tmp_path / "docs")
+        work = str(tmp_path / "work")
+        docs = synth_documents(spark, 40, partitions=2)
+        docs.filter(F.crc32("doc_id") % 2 == 0).write.parquet(docs_path)
+        run_maintenance(spark, docs_path, work)
+        state_v0 = load_state(work)
+        docs.filter(F.crc32("doc_id") % 2 == 1) \
+            .write.mode("append").parquet(docs_path)
+        run_maintenance(spark, docs_path, work)
+        final = sorted(map(tuple, standing_tiles(spark, work).collect()))
+        # simulate a crash between the tile write and the manifest commit:
+        # roll the manifest back to v0 (tiles/v=1 already exists on disk)
+        with open(f"{work}/manifest.json", "w") as f:
+            _json.dump(state_v0, f)
+        rerun = run_maintenance(spark, docs_path, work)
+        assert rerun["version"] == 1   # overwrote the same version
+        after = sorted(map(tuple, standing_tiles(spark, work).collect()))
+        assert after == final          # identical, not double-merged
