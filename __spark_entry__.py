@@ -2122,6 +2122,73 @@ _SQL_ENGINE_ZORDER_DIGEST = """
 """
 
 
+def q_engine_quarantine_digest(spark, sf_dir):
+    """Error-containment digest (R27): three deterministic failure probes
+    (garbage header JSON, missing header span, delayed-replication
+    element) plus the golden control, decoded together. Checks the
+    containment contract as constants: bad docs quarantine with one error
+    row each, features emitted BEFORE a mid-document failure survive, and
+    the control decodes clean."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from bufr2geojson_spark.schemas import DOCUMENT_SCHEMA
+
+    g = golden_documents(spark).collect()[0]
+    spans = [s.asDict() for s in g.spans]
+    s_bad = [dict(s) for s in spans]
+    h = next(i for i, s in enumerate(s_bad) if s["kind"] == "header")
+    s_bad[h]["text"] = "{not json"
+    s_nohdr = [dict(s) for s in spans if s["kind"] != "header"]
+    s_delay = [dict(s) for s in spans]
+    s_delay.append({"kind": "element",
+                    "text": "031012|delayedReplication|1.0||0|8",
+                    "media_ref": None,
+                    "offset": s_delay[-1]["offset"] + 1})
+    probes = spark.createDataFrame(
+        [Row(doc_id="ok", spans=spans),
+         Row(doc_id="bad_header", spans=s_bad),
+         Row(doc_id="no_header", spans=s_nohdr),
+         Row(doc_id="delayed", spans=s_delay)],
+        DOCUMENT_SCHEMA,
+    )
+    out = decode_documents(probes)
+    kind = (
+        F.when(F.col("error").isNull(), F.lit(None))
+        .when(F.col("error").contains("delayed replication"),
+              F.lit("delayed_replication"))
+        .when(F.col("error") == "missing header span",
+              F.lit("missing_header"))
+        .otherwise(F.lit("decode_error"))
+    )
+    return (
+        out.withColumn("error_kind", kind)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0))
+            .alias("n_features"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .alias("n_errors"),
+            F.max("error_kind").alias("error_kind"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_ENGINE_QUARANTINE_DIGEST = """
+    SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+           CAST(n_errors AS BIGINT) AS n_errors, error_kind
+    FROM (VALUES
+        ('bad_header', 0, 1, 'decode_error'),
+        ('delayed',    1, 1, 'delayed_replication'),
+        ('no_header',  0, 1, 'missing_header'),
+        ('ok',         1, 0, NULL)
+    ) AS t(doc_id, n_features, n_errors, error_kind)
+    ORDER BY doc_id
+"""
+
+
 def q_engine_geohash_digest(spark, sf_dir):
     """Geohash-encode digest (interop cell index, pure Column bit math):
     feature count, distinct cells at 6 and 3 chars, order-independent
@@ -2313,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_media_xmodal": q_engine_media_xmodal,
         "engine_zorder_digest": q_engine_zorder_digest,
         "engine_geohash_digest": q_engine_geohash_digest,
+        "engine_quarantine_digest": q_engine_quarantine_digest,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -2390,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_media_resize_digest": _SQL_ENGINE_MEDIA_RESIZE_DIGEST,
         "engine_zorder_digest": _SQL_ENGINE_ZORDER_DIGEST,
         "engine_geohash_digest": _SQL_ENGINE_GEOHASH_DIGEST,
+        "engine_quarantine_digest": _SQL_ENGINE_QUARANTINE_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }
