@@ -302,3 +302,67 @@ def read_standing_tiles(spark: SparkSession, table_path: str) -> DataFrame:
     if not vs:
         raise FileNotFoundError(f"no tile versions under {table_path}")
     return spark.read.parquet(f"{table_path}/v={vs[-1]}")
+
+
+def session_windowed_station_activity(
+    features: DataFrame,
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Event-time SESSION windows per station: contiguous observation
+    activity separated by ≥ ``gap`` of silence collapses into one session
+    row (window start/end, observation count, mean value). Unlike fixed
+    tumbling windows, session windows have data-dependent extents — Spark
+    keeps per-(station, open-session) state and merges windows that new
+    events bridge; the watermark closes sessions and bounds state to
+    stations × open sessions inside the horizon.
+
+    This is the streaming twin of the batch ``events.sessionize`` (gap
+    semantics identical); use ``output_mode='append'`` in production so
+    only watermark-finalized sessions emit."""
+    return (
+        event_time(features)
+        .withWatermark("event_ts", watermark)
+        .groupBy(
+            F.session_window("event_ts", gap).alias("session"),
+            F.col("wsi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("result_value"), 4).alias("avg_value"),
+        )
+        .select(
+            "wsi",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_obs", "avg_value",
+        )
+    )
+
+
+def run_session_windows_once(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    query_name: str = "station_sessions",
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """AvailableNow drain of the session-window aggregation into a memory
+    sink (complete mode re-emits all sessions — the bounded-drain shape;
+    see run_windowed_counts_once for the append-mode production notes)."""
+    stream = read_document_stream(spark, input_path)
+    sessions = session_windowed_station_activity(
+        decode_stream(stream), gap=gap, watermark=watermark
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -312,3 +312,40 @@ class TestMaintenancePlan:
         assert rerun["version"] == 1   # overwrote the same version
         after = sorted(map(tuple, standing_tiles(spark, work).collect()))
         assert after == final          # identical, not double-merged
+
+
+class TestCompaction:
+    def test_compacts_preserving_rows(self, spark, tmp_path):
+        from bufr2geojson_spark.sources.io import compact_table
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        docs = synth_documents(spark, 60, partitions=24)  # 24 tiny files
+        docs.write.parquet(src)
+        summary = compact_table(spark, src, dst, target_bytes=1 << 30)
+        assert summary["n_files_in"] >= 24
+        assert summary["n_files_out"] == 1
+        a = sorted(r["doc_id"] for r in spark.read.parquet(src).collect())
+        b = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+        assert a == b
+
+    def test_order_cols_restore_clustering(self, spark, tmp_path):
+        from bufr2geojson_spark.sources.io import compact_table
+
+        src = str(tmp_path / "s2")
+        dst = str(tmp_path / "d2")
+        df = spark.range(4000).selectExpr(
+            "id", "CAST(pmod(id * 131, 97) AS INT) AS cell")
+        df.repartition(16).write.parquet(src)
+        compact_table(spark, src, dst, target_bytes=12_000,
+                      order_cols=("cell",))
+        # range-partitioned output: per-file cell ranges must not overlap
+        import pyspark.sql.functions as F
+        out = spark.read.parquet(dst).withColumn(
+            "f", F.input_file_name()
+        ).groupBy("f").agg(F.min("cell").alias("lo"), F.max("cell").alias("hi"))
+        rows = sorted(map(tuple, out.select("lo", "hi").collect()))
+        assert len(rows) > 1
+        for (lo1, hi1), (lo2, hi2) in zip(rows, rows[1:]):
+            assert hi1 <= lo2

@@ -200,3 +200,34 @@ def test_stream_tile_maintenance_rerun_noop(spark, tmp_path):
     after = sorted(map(tuple,
                        read_standing_tiles(spark, f"{base}/tiles").collect()))
     assert before == after
+
+
+def test_stream_session_windows_match_batch_sessionize(spark, tmp_path):
+    """Streaming session windows must carve the same per-station sessions
+    as the batch gap-sessionizer over the same decoded features."""
+    from bufr2geojson_spark.operators.events import sessionize
+    from bufr2geojson_spark.streaming.ingest import run_session_windows_once
+
+    base = str(tmp_path)
+    docs = synth_documents(spark, 80, partitions=4)
+    docs.write.parquet(f"{base}/in")
+    got = run_session_windows_once(
+        spark, f"{base}/in", f"{base}/ckpt",
+        query_name="sess_test", gap="2 hours")
+    stream_rows = {
+        (r["wsi"], str(r["session_start"]), r["n_obs"])
+        for r in got.collect()
+    }
+    # batch oracle: identical gap semantics over the same features
+    from bufr2geojson_spark.operators.decode import decode_documents
+    from bufr2geojson_spark.streaming.ingest import event_time
+
+    feats = event_time(decode_documents(docs).filter("error is null")) \
+        .filter(F.col("event_ts").isNotNull())
+    batch = sessionize(feats, gap="2 hours", user_col="wsi",
+                       ts_col="event_ts", value_col="result_value")
+    batch_rows = {
+        (r["wsi"], str(r["session_start"]), r["n_events"])
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
