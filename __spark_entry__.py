@@ -1757,6 +1757,19 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: compressed-domain ADC scan (8-byte codes
+    instead of 512-byte vectors — the memory story at 100 TB) shortlists
+    k×5 candidates, exact L2 re-ranks only those. Deterministic codebook
+    (hash-ordered sample, driver-side Lloyd, no RNG) — rows-only like the
+    other trained-quantizer query; recall bounds are pytest-verified."""
+    e = _t(spark, sf_dir, "embeddings")
+    book = A.pq_train(e, m=16, nbits=6, n_iter=3)
+    return A.pq_topk(
+        e, _ANN_QUERY_IDS, k=5, m=16, nbits=6, codebook=book, rerank=5
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # n_planes=0 = the exact all-pairs ORACLE form (never the operator
     # default); the default bucketed path is exercised by
@@ -2355,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "dedup_components": q_dedup_components,

@@ -581,3 +581,223 @@ def embedding_near_dup(
                 _cos_pdf(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): compressed-domain ANN scan
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 0,
+) -> list:
+    """Train a product quantizer: the vector is split into ``m`` subspaces
+    of ``dim/m`` dims; each subspace gets its own ``2**nbits``-entry
+    codebook. Returns a numpy array (m, k, dsub) collected to the driver —
+    the codebook is tiny (m·k·dsub floats, e.g. 8·16·8 = 1 KB here) and is
+    broadcast into the encode/scan UDFs, exactly like the reference's
+    broadcast code tables.
+
+    Codebook entries are k-means centroids per subspace, initialized from
+    evenly-spaced corpus vectors (the ``ivf_centroid_ids`` rule, so
+    ``n_iter=0`` is fully deterministic and reproducible); ``n_iter`` > 0
+    runs numpy Lloyd iterations driver-side on a bounded sample — the
+    codebook is the model, not the data, so this is not a driver-side scan
+    of the corpus (sample_n caps the pull)."""
+    import numpy as np
+
+    k = 1 << nbits
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
+    )
+    # deterministic, bounded sample for training (hash-ordered, no rand())
+    sample_n = max(64, 64 * k)
+    sample = np.stack([
+        np.asarray(r["v"])
+        for r in base.orderBy(F.xxhash64(F.col(id_col))).limit(sample_n)
+        .collect()
+    ])
+    books = []
+    for s in range(m):
+        sub = sample[:, s * dsub:(s + 1) * dsub]
+        step = max(1, sub.shape[0] // k)
+        cents = sub[::step][:k].copy()
+        while cents.shape[0] < k:   # corpus smaller than k: pad by repeat
+            cents = np.vstack([cents, cents[: k - cents.shape[0]]])
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books.append(cents)
+    return np.stack(books)  # (m, k, dsub)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Encode every vector to ``m`` codebook indices (one tinyint-sized
+    code per subspace): the 100 TB compression step — a 64-dim float64
+    vector (512 B) becomes m=8 codes (8 B), so the compressed corpus scans
+    from memory instead of disk. Narrow Arrow UDF: vector in, code array
+    out."""
+    import numpy as np
+
+    B = np.asarray(codebook, dtype=np.float64)   # (m, k, dsub)
+    m, k, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy())               # (n, dim)
+        codes = np.empty((V.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = V[:, s * dsub:(s + 1) * dsub]  # (n, dsub)
+            # ||x - c||² per centroid, vectorized over rows
+            d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col),
+        enc(_as_double(F.col(vec_col), dim)).alias("pq_codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook=None,
+    codes: DataFrame | None = None,
+    rerank: int = 1,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query builds an (m, k) lookup
+    table of sub-distances to every codebook entry; a corpus vector's
+    approximate squared L2 distance is then m table gathers summed — the
+    compressed-domain scan never touches the original vectors. Plan:
+    broadcast(queries × LUTs) against the codes table; one narrow UDF pass
+    and a per-query window top-k, same shape as ``cosine_topk`` but over
+    8-byte codes instead of 512-byte vectors.
+
+    Approximate by construction (quantization error) — recall against the
+    exact scan is pytest-bounded, not oracle-exact. ``rerank`` > 1 adds the
+    standard production second stage: the ADC scan shortlists
+    ``k × rerank`` candidates per query, and only THOSE rows join back
+    their original vectors for an exact squared-L2 re-rank — the corpus
+    scan stays compressed-domain, the exact arithmetic touches a bounded
+    candidate set, and recall approaches exact while the scan cost stays
+    ~m bytes/vector."""
+    import numpy as np
+
+    if codebook is None:
+        codebook = pq_train(embeddings, m=m, nbits=nbits, dim=dim,
+                            id_col=id_col, vec_col=vec_col)
+    B = np.asarray(codebook, dtype=np.float64)
+    m_, kk, dsub = B.shape
+    if codes is None:
+        codes = pq_encode(embeddings, B, id_col=id_col, vec_col=vec_col,
+                          dim=dim)
+
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                _as_double(F.col(vec_col), dim).alias("qv"))
+        .collect()
+    )
+    # per-query LUT: lut[q][s][c] = ||q_sub - B[s][c]||²  (m × k doubles)
+    luts = {}
+    for r in q_rows:
+        qv = np.asarray(r["qv"])
+        lut = np.empty((m_, kk), dtype=np.float64)
+        for s in range(m_):
+            lut[s] = ((B[s] - qv[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)
+        luts[r["query_id"]] = lut
+
+    qids = sorted(luts)
+    lut_stack = np.stack([luts[q] for q in qids])  # (nq, m, k)
+
+    @pandas_udf("array<double>")
+    def adc(codes_s: pd.Series) -> pd.Series:
+        if len(codes_s) == 0:
+            return pd.Series([], dtype=object)
+        C = np.stack(codes_s.to_numpy())            # (n, m)
+        n = C.shape[0]
+        out = np.empty((n, len(qids)), dtype=np.float64)
+        rows = np.arange(m_)
+        for qi in range(len(qids)):
+            # gather per subspace then sum: lut[s, code] summed over s
+            out[:, qi] = lut_stack[qi][rows[None, :], C].sum(axis=1)
+        return pd.Series(list(out))
+
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(adc(F.col("pq_codes"))).alias("_qi", "adc_dist"),
+    ).withColumn(
+        "query_id",
+        F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("_qi") + 1),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * max(1, rerank))
+    )
+    if rerank <= 1:
+        return shortlist.select(
+            "query_id", "neighbor_id",
+            F.round("adc_dist", 6).alias("adc_dist"), "rank")
+
+    # exact second stage over the bounded shortlist only: ||q−v||² =
+    # q·q + v·v − 2·q·v with the unrolled codegen dot (one dot per
+    # candidate row — the shape where codegen beats the Arrow kernel)
+    qdf = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col), dim).alias("qv"),
+    ).withColumn("qq", _dot(F.col("qv"), F.col("qv"), dim))
+    vdf = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col), dim).alias("nv"),
+    ).withColumn("vv", _dot(F.col("nv"), F.col("nv"), dim))
+    exact = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .join(vdf, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("qq") + F.col("vv")
+                - 2.0 * _dot(F.col("qv"), F.col("nv"), dim), 6
+            ).alias("l2sq"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2sq", "rank")
+    )

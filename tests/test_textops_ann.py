@@ -313,3 +313,59 @@ class TestResampleInterpolate:
         # linear 0h->20h: value at 12h = 10 + 20*(12/20) = 22 (a buggy
         # neighbor pairing that anchors _pt at the null obs gives 12.0)
         assert out["2024-01-01 12:00:00"] == 22.0
+
+
+class TestProductQuantization:
+    def test_encode_decode_shapes_and_determinism(self, spark):
+        from bufr2geojson_spark.operators import ann as A
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        book = A.pq_train(e, m=8, nbits=4)
+        assert book.shape == (8, 16, 8)
+        c1 = sorted(map(tuple, A.pq_encode(e, book).select(
+            "vec_id", F.col("pq_codes").cast("string")).collect()))
+        c2 = sorted(map(tuple, A.pq_encode(e.repartition(7), book).select(
+            "vec_id", F.col("pq_codes").cast("string")).collect()))
+        assert c1 == c2 and len(c1) > 0
+
+    def test_adc_recall_against_exact(self, spark):
+        from bufr2geojson_spark.operators import ann as A
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qids = [0, 7, 21]
+        # exact L2 top-10 (numpy)
+        import numpy as np
+        rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in e.collect()}
+        def recall(**kw):
+            pq = A.pq_topk(e, qids, k=10, **kw)
+            got = {}
+            for r in pq.collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = 0
+            for q in qids:
+                qv = rows[q]
+                d = {i: float(((v - qv) ** 2).sum())
+                     for i, v in rows.items() if i != q}
+                exact = {i for i, _ in sorted(
+                    d.items(), key=lambda kv: (kv[1], kv[0]))[:10]}
+                hits += len(exact & got[q])
+            return hits / (10 * len(qids))
+
+        # pure ADC on near-uniform 64-dim synthetic data is PQ's worst
+        # case — demand far-above-random (random recall@10 ≈ 0.005), not
+        # perfection (measured 0.13 at m=8/nbits=4/iter=0)
+        assert recall(m=8, nbits=4) >= 0.05
+        # the production shape: trained codebook + exact re-rank of the
+        # ADC shortlist (measured 0.97 at this config)
+        book = A.pq_train(e, m=16, nbits=6, n_iter=3)
+        assert recall(m=16, nbits=6, codebook=book, rerank=5) >= 0.8
+
+    def test_codes_compress(self, spark):
+        from bufr2geojson_spark.operators import ann as A
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        book = A.pq_train(e, m=8, nbits=4)
+        row = A.pq_encode(e, book).first()
+        assert len(row["pq_codes"]) == 8
+        assert all(0 <= c < 16 for c in row["pq_codes"])
