@@ -2142,8 +2142,6 @@ def q_engine_quarantine_digest(spark, sf_dir):
     containment contract as constants: bad docs quarantine with one error
     row each, features emitted BEFORE a mid-document failure survive, and
     the control decodes clean."""
-    import json as _json
-
     from pyspark.sql import Row
 
     from bufr2geojson_spark.schemas import DOCUMENT_SCHEMA

@@ -726,6 +726,10 @@ def pq_topk(
                 _as_double(F.col(vec_col), dim).alias("qv"))
         .collect()
     )
+    if not q_rows:
+        raise ValueError(
+            f"none of query_ids {query_ids!r} present in the embeddings "
+            "table")
     # per-query LUT: lut[q][s][c] = ||q_sub - B[s][c]||²  (m × k doubles)
     luts = {}
     for r in q_rows:
@@ -773,9 +777,12 @@ def pq_topk(
     # exact second stage over the bounded shortlist only: ||q−v||² =
     # q·q + v·v − 2·q·v with the unrolled codegen dot (one dot per
     # candidate row — the shape where codegen beats the Arrow kernel)
-    qdf = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col), dim).alias("qv"),
+    # query vectors are already on the driver (q_rows) — build the tiny
+    # broadcast side from them instead of re-scanning the corpus
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(r["query_id"], list(r["qv"])) for r in q_rows],
+        "query_id long, qv array<double>",
     ).withColumn("qq", _dot(F.col("qv"), F.col("qv"), dim))
     vdf = embeddings.select(
         F.col(id_col).alias("neighbor_id"),

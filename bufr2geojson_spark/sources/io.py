@@ -80,17 +80,27 @@ def incremental_read(
     rescanning history — the batch-side mirror of the streaming
     maintenance path.
 
-    A file whose LENGTH changed (parquet files are immutable in any sane
-    writer; this guards misuse) is treated as new. Deletes/compactions are
-    out of scope for an append-only observation log — detect them
-    (missing/renamed files) upstream and fall back to a full re-read."""
+    The contract is APPEND-ONLY: a file that shrank/grew in place or
+    disappeared since ``prev_manifest`` raises ``ValueError`` — treating a
+    mutated file as "new" would silently re-merge its already-consumed
+    rows (data corruption), and silently skipping a delete would hide a
+    compaction. After a compaction/rewrite, reset the consumer with a full
+    re-read (``prev_manifest=None``)."""
     cur = table_manifest(spark, path)
     if prev_manifest is None:
         new_files = sorted(cur)
     else:
-        new_files = sorted(
-            f for f, ln in cur.items() if prev_manifest.get(f) != ln
+        changed = sorted(
+            f for f, ln in prev_manifest.items() if cur.get(f, ln) != ln
         )
+        removed = sorted(f for f in prev_manifest if f not in cur)
+        if changed or removed:
+            raise ValueError(
+                "append-only contract violated (files changed: "
+                f"{changed[:3]}, removed: {removed[:3]}); re-baseline with "
+                "prev_manifest=None after a compaction/rewrite"
+            )
+        new_files = sorted(f for f in cur if f not in prev_manifest)
     if not new_files:
         return None, cur
     return spark.read.parquet(*new_files), cur

@@ -317,9 +317,14 @@ def session_windowed_station_activity(
     events bridge; the watermark closes sessions and bounds state to
     stations × open sessions inside the horizon.
 
-    This is the streaming twin of the batch ``events.sessionize`` (gap
-    semantics identical); use ``output_mode='append'`` in production so
-    only watermark-finalized sessions emit."""
+    This is the streaming twin of the batch ``events.sessionize``; gap
+    semantics are identical INCLUDING the exact-gap boundary — Spark
+    merges session windows that touch, so two events exactly ``gap``
+    apart share a session, matching the batch form's strict
+    ``ts > prev + gap`` test (verified empirically in
+    test_session_window_exact_gap_merges; gap+1µs splits). Use
+    ``output_mode='append'`` in production so only watermark-finalized
+    sessions emit."""
     return (
         event_time(features)
         .withWatermark("event_ts", watermark)

@@ -228,6 +228,25 @@ class TestIncrementalRead:
             sorted(r["doc_id"] for r in wave2.select("doc_id").collect())
         assert len(m2) > len(m1)
 
+    def test_mutated_file_raises_not_remerges(self, spark, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from bufr2geojson_spark.sources.io import incremental_read
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        path = str(tmp_path / "docs")
+        synth_documents(spark, 20, partitions=1).write.parquet(path)
+        _, m1 = incremental_read(spark, path, None)
+        # mutate a data file in place (append-only contract violation):
+        # silently treating it as new would re-merge consumed rows
+        victim = next(f for f in os.listdir(path) if f.endswith(".parquet"))
+        with open(os.path.join(path, victim), "ab") as f:
+            f.write(b"xx")
+        with _pytest.raises(ValueError, match="append-only"):
+            incremental_read(spark, path, m1)
+
     def test_incremental_decode_merge_equals_batch(self, spark, tmp_path):
         from bufr2geojson_spark.functions.cells import with_cells
         from bufr2geojson_spark.operators.decode import decode_documents

@@ -231,3 +231,21 @@ def test_stream_session_windows_match_batch_sessionize(spark, tmp_path):
         for r in batch.collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary semantics pin: Spark merges session windows that TOUCH, so
+    an exact-gap pair shares one session — identical to the batch
+    sessionizer's strict `ts > prev + gap` test — while gap+1µs splits.
+    (The parity test above exercises a real exact-2h pair in the corpus;
+    this makes the boundary behavior explicit.)"""
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 12:00:00")],
+        "k string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    one = df.groupBy(F.session_window("ts", "2 hours"), "k").count().collect()
+    assert len(one) == 1 and one[0]["count"] == 2
+    df2 = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 12:00:00.000001")],
+        "k string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    two = df2.groupBy(F.session_window("ts", "2 hours"), "k").count().collect()
+    assert len(two) == 2

@@ -316,10 +316,8 @@ class TestResampleInterpolate:
 
 
 class TestProductQuantization:
-    def test_encode_decode_shapes_and_determinism(self, spark):
-        from bufr2geojson_spark.operators import ann as A
-
-        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def test_encode_decode_shapes_and_determinism(self, spark, emb):
+        e = emb
         book = A.pq_train(e, m=8, nbits=4)
         assert book.shape == (8, 16, 8)
         c1 = sorted(map(tuple, A.pq_encode(e, book).select(
@@ -328,10 +326,8 @@ class TestProductQuantization:
             "vec_id", F.col("pq_codes").cast("string")).collect()))
         assert c1 == c2 and len(c1) > 0
 
-    def test_adc_recall_against_exact(self, spark):
-        from bufr2geojson_spark.operators import ann as A
-
-        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def test_adc_recall_against_exact(self, spark, emb):
+        e = emb
         qids = [0, 7, 21]
         # exact L2 top-10 (numpy)
         import numpy as np
@@ -361,10 +357,8 @@ class TestProductQuantization:
         book = A.pq_train(e, m=16, nbits=6, n_iter=3)
         assert recall(m=16, nbits=6, codebook=book, rerank=5) >= 0.8
 
-    def test_codes_compress(self, spark):
-        from bufr2geojson_spark.operators import ann as A
-
-        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def test_codes_compress(self, spark, emb):
+        e = emb
         book = A.pq_train(e, m=8, nbits=4)
         row = A.pq_encode(e, book).first()
         assert len(row["pq_codes"]) == 8
