@@ -70,3 +70,34 @@ class TestMergeUpsert:
         # one hash-partitioning exchange on the merge key, no Python stages
         assert plan.count("Exchange hashpartitioning") == 1
         assert "ArrowEvalPython" not in plan
+
+
+class TestMergeSequenceProperties:
+    def test_delta_sequence_equals_one_shot(self, spark):
+        """Applying CDC deltas one at a time must converge to the same
+        table as merging everything at once (order of arrival respected
+        via the version column)."""
+        rows = [(i % 17, (i * 7) % 50, f"p{i}", float(i % 13))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "k int, v int, payload string, x double")
+        d1 = df.filter("v < 15")
+        d2 = df.filter("v >= 15 AND v < 35")
+        d3 = df.filter("v >= 35")
+        empty = df.filter("1 = 0")
+        stepwise = merge_upsert(
+            merge_upsert(merge_upsert(empty, d1, ["k"], ["v"]),
+                         d2, ["k"], ["v"]),
+            d3, ["k"], ["v"])
+        oneshot = merge_upsert(empty, df, ["k"], ["v"])
+        assert sorted(map(tuple, stepwise.collect())) == \
+            sorted(map(tuple, oneshot.collect()))
+
+    def test_out_of_order_stale_deltas_ignored(self, spark):
+        """A late-arriving delta carrying only older versions must be a
+        no-op regardless of when it lands."""
+        base = spark.createDataFrame(
+            [(1, 10, "new", 0.0)], "k int, v int, payload string, x double")
+        stale = spark.createDataFrame(
+            [(1, 3, "old", 0.0)], "k int, v int, payload string, x double")
+        out = merge_upsert(base, stale, ["k"], ["v"]).collect()
+        assert len(out) == 1 and out[0]["payload"] == "new"

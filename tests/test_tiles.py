@@ -311,3 +311,29 @@ class TestTileMerge:
         out = tile_merge(tiles, empty, cell_col="cell").collect()
         assert len(out) == 1 and out[0]["n_obs"] == 2 \
             and out[0]["avg_val"] == 3.0
+
+
+class TestTileMergeAssociativity:
+    def test_merge_is_associative_and_order_free(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_aggregate, tile_merge
+
+        rows = [(f"f{i}", (i * 11) % 19, float((i * 29) % 83) - 40.0)
+                for i in range(600)]
+        df = spark.createDataFrame(rows, "feature_id string, cell int, v double")
+        parts = [df.filter(f"pmod(crc32(feature_id), 3) = {i}")
+                 for i in range(3)]
+        aggs = [tile_aggregate(p, cell_col="cell", value_col="v")
+                for p in parts]
+
+        def canon(t):
+            return sorted(
+                (r["cell"], r["n_obs"],
+                 round(r["sum_val"], 6), r["min_val"], r["max_val"])
+                for r in t.collect())
+
+        left = tile_merge(tile_merge(aggs[0], aggs[1], "cell"),
+                          aggs[2], "cell")
+        right = tile_merge(aggs[0], tile_merge(aggs[1], aggs[2], "cell"),
+                           "cell")
+        full = tile_aggregate(df, cell_col="cell", value_col="v")
+        assert canon(left) == canon(right) == canon(full)
