@@ -2135,6 +2135,34 @@ _SQL_ENGINE_ZORDER_DIGEST = """
 """
 
 
+def q_engine_audio_digest(spark, sf_dir):
+    """Audio-modality plumbing digest (stub decode + fixed-window
+    segmentation): segment count, clip count, distinct sample rates, exact
+    sample/end-ms checksums — constant oracle over the deterministic
+    corpus."""
+    from bufr2geojson_spark.operators.media import audio_segments, media_table
+
+    docs, _, _ = _synth_engine_inputs(spark)
+    segs = audio_segments(media_table(docs))
+    return segs.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.countDistinct("media_ref").alias("n_clips"),
+        F.countDistinct("sample_rate").alias("d_rates"),
+        F.sum("n_seg_samples").alias("samples_sum"),
+        F.sum(F.floor(F.col("end_s") * 1000 + 0.5).cast("long"))
+        .alias("end_ms_sum"),
+    )
+
+
+# verified identical at local[5]/7 partitions and local[20]/32
+_SQL_ENGINE_AUDIO_DIGEST = """
+    SELECT CAST(160 AS BIGINT) AS n_segments, CAST(82 AS BIGINT) AS n_clips,
+           CAST(4 AS BIGINT) AS d_rates,
+           CAST(20201492 AS BIGINT) AS samples_sum,
+           CAST(2429351 AS BIGINT) AS end_ms_sum
+"""
+
+
 def q_engine_quarantine_digest(spark, sf_dir):
     """Error-containment digest (R27): three deterministic failure probes
     (garbage header JSON, missing header span, delayed-replication
@@ -2393,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_zorder_digest": q_engine_zorder_digest,
         "engine_geohash_digest": q_engine_geohash_digest,
         "engine_quarantine_digest": q_engine_quarantine_digest,
+        "engine_audio_digest": q_engine_audio_digest,
         "engine_cells": q_engine_cells,
         "engine_knn": q_engine_knn,
         "engine_pip": q_engine_pip,
@@ -2471,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_zorder_digest": _SQL_ENGINE_ZORDER_DIGEST,
         "engine_geohash_digest": _SQL_ENGINE_GEOHASH_DIGEST,
         "engine_quarantine_digest": _SQL_ENGINE_QUARANTINE_DIGEST,
+        "engine_audio_digest": _SQL_ENGINE_AUDIO_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
     }

@@ -205,3 +205,74 @@ def media_feature_join(media_features: DataFrame,
         .filter(F.col("rank") <= k)
         .select("media_ref", "vec_id", "cos", "rank")
     )
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("is_stub", BooleanType()),
+])
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio metadata decode — the third modality's plumbing. No audio
+    library ships in this container, so the decode is a clearly-marked
+    deterministic fake (md5-derived sample rate / length per ref, flagged
+    ``is_stub``); a real soundfile/ffprobe call drops into the same
+    mapInPandas batch shape. Schema: sample_rate, n_samples, duration_s."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = np.array([8000, 16000, 22050, 44100])
+        for pdf in batches:
+            h = pdf["media_ref"].map(
+                lambda r: int(hashlib.md5(
+                    f"audio:{r}".encode()).hexdigest()[:8], 16)
+            )
+            sr = rates[(h % 4).to_numpy()]
+            n = (h % 400_000 + 8_000).to_numpy()
+            out = pdf[["doc_id", "media_ref"]].copy()
+            out["sample_rate"] = sr.astype("int32")
+            out["n_samples"] = n.astype("int64")
+            out["duration_s"] = n / sr
+            out["is_stub"] = True
+            yield out
+
+    schema = StructType(
+        [media.schema["doc_id"], media.schema["media_ref"]]
+        + list(AUDIO_META_SCHEMA.fields)
+    )
+    return media.select("doc_id", "media_ref").mapInPandas(gen, schema)
+
+
+def audio_segments(
+    media: DataFrame,
+    segment_s: float = 10.0,
+    min_tail_s: float = 1.0,
+) -> DataFrame:
+    """Fixed-window audio segmentation (the chunking step an audio training
+    pipeline runs before feature extraction): each clip splits into
+    ``segment_s``-second windows; a final tail shorter than ``min_tail_s``
+    is dropped. Pure Column ops over the decoded metadata — the segment
+    table is (doc_id, media_ref, seg_idx, start_s, end_s, n_seg_samples);
+    the (stubbed) waveform read happens downstream per segment, so the
+    shuffle carries bounded metadata, never audio bytes."""
+    meta = decode_audio(media)
+    n_seg = F.greatest(
+        F.floor(
+            (F.col("duration_s") - F.lit(float(min_tail_s)))
+            / F.lit(float(segment_s))
+        ).cast("int") + 1,
+        F.lit(0),
+    )
+    segs = meta.withColumn(
+        "seg_idx", F.explode(F.sequence(F.lit(0), n_seg - 1))
+    )
+    start = F.col("seg_idx") * F.lit(float(segment_s))
+    end = F.least(start + F.lit(float(segment_s)), F.col("duration_s"))
+    return segs.select(
+        "doc_id", "media_ref", "sample_rate", "seg_idx",
+        start.alias("start_s"), end.alias("end_s"),
+        ((end - start) * F.col("sample_rate")).cast("long")
+        .alias("n_seg_samples"),
+    )

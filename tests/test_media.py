@@ -72,3 +72,47 @@ def test_media_feature_join_topk(spark):
         rs = sorted(rs, key=lambda r: r.rank)
         assert [r.rank for r in rs] == [1, 2, 3]
         assert rs[0].cos >= rs[1].cos >= rs[2].cos
+
+
+class TestAudio:
+    def test_metadata_deterministic_and_typed(self, spark):
+        from bufr2geojson_spark.operators.media import decode_audio
+
+        media = _media(spark)
+        a = decode_audio(media)
+        r1 = sorted(map(tuple, a.collect()))
+        r2 = sorted(map(tuple, decode_audio(media.repartition(5)).collect()))
+        assert r1 == r2 and len(r1) > 0
+        row = r1[0]
+        assert a.schema["sample_rate"].dataType.typeName() == "integer"
+        for r in r1:
+            d = dict(zip(a.columns, r))
+            assert d["sample_rate"] in (8000, 16000, 22050, 44100)
+            assert abs(d["duration_s"] - d["n_samples"] / d["sample_rate"]) \
+                < 1e-9
+            assert d["is_stub"] is True
+
+    def test_segments_tile_the_clip(self, spark):
+        from bufr2geojson_spark.operators.media import (
+            audio_segments, decode_audio)
+
+        media = _media(spark)
+        meta = {(r["doc_id"], r["media_ref"]): r
+                for r in decode_audio(media).collect()}
+        segs = audio_segments(media, segment_s=10.0, min_tail_s=1.0)
+        by_clip = {}
+        for r in segs.collect():
+            by_clip.setdefault((r["doc_id"], r["media_ref"]), []).append(r)
+        assert by_clip
+        for key, rows in by_clip.items():
+            rows.sort(key=lambda r: r["seg_idx"])
+            dur = meta[key]["duration_s"]
+            # contiguous tiling from 0, no overlap, last end <= duration
+            assert rows[0]["start_s"] == 0.0
+            for a, b in zip(rows, rows[1:]):
+                assert b["start_s"] == a["end_s"]
+            assert rows[-1]["end_s"] <= dur + 1e-9
+            # dropped tail is shorter than min_tail_s
+            assert dur - rows[-1]["end_s"] < 10.0
+            for r in rows[:-1]:
+                assert r["end_s"] - r["start_s"] == 10.0
