@@ -2156,10 +2156,10 @@ def q_engine_audio_digest(spark, sf_dir):
 
 # verified identical at local[5]/7 partitions and local[20]/32
 _SQL_ENGINE_AUDIO_DIGEST = """
-    SELECT CAST(160 AS BIGINT) AS n_segments, CAST(82 AS BIGINT) AS n_clips,
+    SELECT CAST(148 AS BIGINT) AS n_segments, CAST(76 AS BIGINT) AS n_clips,
            CAST(4 AS BIGINT) AS d_rates,
-           CAST(20201492 AS BIGINT) AS samples_sum,
-           CAST(2429351 AS BIGINT) AS end_ms_sum
+           CAST(18149924 AS BIGINT) AS samples_sum,
+           CAST(2425323 AS BIGINT) AS end_ms_sum
 """
 
 

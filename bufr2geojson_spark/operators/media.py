@@ -246,18 +246,27 @@ def decode_audio(media: DataFrame) -> DataFrame:
 
 
 def audio_segments(
-    media: DataFrame,
+    media_or_meta: DataFrame,
     segment_s: float = 10.0,
     min_tail_s: float = 1.0,
 ) -> DataFrame:
     """Fixed-window audio segmentation (the chunking step an audio training
     pipeline runs before feature extraction): each clip splits into
     ``segment_s``-second windows; a final tail shorter than ``min_tail_s``
-    is dropped. Pure Column ops over the decoded metadata — the segment
-    table is (doc_id, media_ref, seg_idx, start_s, end_s, n_seg_samples);
-    the (stubbed) waveform read happens downstream per segment, so the
-    shuffle carries bounded metadata, never audio bytes."""
-    meta = decode_audio(media)
+    is dropped — a clip shorter than ``min_tail_s`` yields NO segments.
+    Pure Column ops over the decoded metadata — the segment table is
+    (doc_id, media_ref, seg_idx, start_s, end_s, n_seg_samples); the
+    (stubbed) waveform read happens downstream per segment, so the shuffle
+    carries bounded metadata, never audio bytes.
+
+    Accepts either a raw media table or an already-decoded metadata frame
+    (a ``decode_audio`` output — detected by its columns), so callers that
+    also need the metadata decode once, like ``frame_sample`` composing
+    over ``decode_media``."""
+    if "duration_s" in media_or_meta.columns:
+        meta = media_or_meta
+    else:
+        meta = decode_audio(media_or_meta)
     n_seg = F.greatest(
         F.floor(
             (F.col("duration_s") - F.lit(float(min_tail_s)))
@@ -265,14 +274,20 @@ def audio_segments(
         ).cast("int") + 1,
         F.lit(0),
     )
-    segs = meta.withColumn(
-        "seg_idx", F.explode(F.sequence(F.lit(0), n_seg - 1))
-    )
+    # sequence(0, n-1) with n=0 yields the DESCENDING [0, -1], not an empty
+    # array — guard with an explicit empty (live-verified failure mode)
+    idxs = F.when(
+        n_seg > 0, F.sequence(F.lit(0), n_seg - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    segs = meta.withColumn("seg_idx", F.explode(idxs))
     start = F.col("seg_idx") * F.lit(float(segment_s))
     end = F.least(start + F.lit(float(segment_s)), F.col("duration_s"))
+    # half-up rounding, not truncation: duration_s*sr can compute to
+    # n-0.000...1 in binary floating point and a cast would undercount the
+    # tail by one sample (breaking per-clip sample conservation)
     return segs.select(
         "doc_id", "media_ref", "sample_rate", "seg_idx",
         start.alias("start_s"), end.alias("end_s"),
-        ((end - start) * F.col("sample_rate")).cast("long")
+        F.floor((end - start) * F.col("sample_rate") + 0.5).cast("long")
         .alias("n_seg_samples"),
     )

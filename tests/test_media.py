@@ -97,11 +97,14 @@ class TestAudio:
             audio_segments, decode_audio)
 
         media = _media(spark)
-        meta = {(r["doc_id"], r["media_ref"]): r
-                for r in decode_audio(media).collect()}
-        segs = audio_segments(media, segment_s=10.0, min_tail_s=1.0)
+        meta_df = decode_audio(media)
+        meta = {(r["doc_id"], r["media_ref"]): r for r in meta_df.collect()}
+        # compose over the decoded metadata (decode runs ONCE)
+        segs = audio_segments(meta_df, segment_s=10.0, min_tail_s=1.0)
+        rows_all = segs.collect()
+        assert all(r["seg_idx"] >= 0 for r in rows_all)
         by_clip = {}
-        for r in segs.collect():
+        for r in rows_all:
             by_clip.setdefault((r["doc_id"], r["media_ref"]), []).append(r)
         assert by_clip
         for key, rows in by_clip.items():
@@ -112,7 +115,31 @@ class TestAudio:
             for a, b in zip(rows, rows[1:]):
                 assert b["start_s"] == a["end_s"]
             assert rows[-1]["end_s"] <= dur + 1e-9
-            # dropped tail is shorter than min_tail_s
-            assert dur - rows[-1]["end_s"] < 10.0
+            # the tail is either KEPT (end == duration) or DROPPED and then
+            # strictly shorter than segment boundary + min_tail_s in total
+            tail = dur - rows[-1]["end_s"]
+            assert tail == 0.0 or 0.0 < tail < 1.0, (key, tail)
             for r in rows[:-1]:
                 assert r["end_s"] - r["start_s"] == 10.0
+            # per-clip sample conservation on fully-kept clips: segment
+            # samples sum back to n_samples (half-up rounding, not cast)
+            if tail == 0.0:
+                assert sum(r["n_seg_samples"] for r in rows) ==                     meta[key]["n_samples"]
+
+    def test_sub_min_tail_clip_yields_no_segments(self, spark):
+        """A clip shorter than min_tail_s must yield ZERO segments — the
+        sequence(0, n-1) n=0 case that silently produced a seg_idx=-1 row
+        (sequence yields DESCENDING [0,-1]) before the guard."""
+        from bufr2geojson_spark.operators.media import audio_segments
+
+        meta = spark.createDataFrame(
+            [("d1", "clip://short", 44100, 22050, 0.5, True),
+             ("d1", "clip://long", 16000, 320000, 20.0, True)],
+            "doc_id string, media_ref string, sample_rate int, "
+            "n_samples long, duration_s double, is_stub boolean",
+        )
+        rows = audio_segments(meta, segment_s=10.0, min_tail_s=1.0).collect()
+        refs = {r["media_ref"] for r in rows}
+        assert "clip://short" not in refs
+        assert len([r for r in rows if r["media_ref"] == "clip://long"]) == 2
+        assert all(r["seg_idx"] >= 0 for r in rows)
