@@ -1157,6 +1157,105 @@ _SQL_EVENT_ASOF = """
 """
 
 
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel analysis: users who signed up, then clicked AFTER
+    signing up, then purchased AFTER that click — per-step user counts.
+    One pass per step via min-timestamp-after-previous-step; joins are on
+    user_id (broadcast-able step frames shrink monotonically)."""
+    e = _t(spark, sf_dir, "events")
+    prev = None
+    counts = []
+    for step in _FUNNEL_STEPS:
+        cur = e.filter(F.col("event_type") == step)
+        if prev is None:
+            reached = cur.groupBy("user_id").agg(F.min("ts").alias("ts"))
+        else:
+            reached = (
+                cur.join(prev.select("user_id",
+                                     F.col("ts").alias("_prev_ts")),
+                         "user_id")
+                .filter(F.col("ts") > F.col("_prev_ts"))
+                .groupBy("user_id").agg(F.min("ts").alias("ts"))
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(step).alias("step"), "n_users")
+        )
+        prev = reached
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("step")
+
+
+_SQL_EVENT_FUNNEL = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS ts
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.ts
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS ts
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.ts
+        GROUP BY e.user_id
+    )
+    SELECT 'click' AS step, (SELECT count(*) FROM s2) AS n_users
+    UNION ALL
+    SELECT 'purchase', (SELECT count(*) FROM s3)
+    UNION ALL
+    SELECT 'signup', (SELECT count(*) FROM s1)
+    ORDER BY step
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted per
+    subsequent activity week — the (cohort_week, week_offset) retention
+    matrix every growth pipeline computes."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(first, "user_id")
+        .withColumn("activity_week", F.date_trunc("week", "ts"))
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.col("activity_week").cast("long")
+                 - F.col("cohort_week").cast("long")) / (7 * 86400)
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_SQL_COHORT_RETENTION = """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor((epoch(date_trunc('week', e.ts))
+                       - epoch(f.cohort_week)) / (7 * 86400)) AS INTEGER)
+               AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
 def q_event_resample(spark, sf_dir):
     """Regular-grid resampling with linear interpolation of each user's
     value series (6-hour grid) — the observation gap-filling primitive."""
@@ -1316,6 +1415,78 @@ def _sql_dedup_components():
     )
     SELECT id AS doc_id, min(r) AS component_id
     FROM reach GROUP BY id ORDER BY doc_id
+    """
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """End of the dedup pipeline: pick ONE survivor per near-dup cluster —
+    the highest-quality member (ties → lowest doc_id) — and keep every
+    unclustered doc. Composes connected_components over the LSH pair graph
+    with the quality scorer; the output is the cleaned corpus id list."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = T.lsh_candidate_pairs(d, num_hashes=4, bands=2, shingle_k=3)
+    comp = T.connected_components(pairs)           # (doc_id, component_id)
+    q = T.quality_score(d).select("doc_id", "quality")
+    clustered = comp.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    survivors_in_clusters = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("doc_id", "component_id", "quality")
+    )
+    unclustered = (
+        d.join(comp.select("doc_id"), "doc_id", "left_anti")
+        .join(q, "doc_id")
+        .select("doc_id", F.lit(None).cast("string").alias("component_id"),
+                "quality")
+    )
+    return survivors_in_clusters.unionByName(unclustered).orderBy("doc_id")
+
+
+def _sql_dedup_survivors():
+    comp_sql = _sql_dedup_components()
+    # quality: reuse the scorer's SQL shape, reduced to the quality column
+    return f"""
+    WITH comp AS ({comp_sql}),
+    feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS n_digits,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','a','of','and','to','in','is')))
+                   AS stop_hits
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               floor((least(n_words / 100.0, 1.0) * 0.4
+                      + (1.0 - floor(n_digits * 1.0 / n_chars_calc * 1e6
+                                     + 0.5) / 1e6) * 0.3
+                      + least(floor(stop_hits * 1.0 / n_words * 1e6 + 0.5)
+                              / 1e6 * 5.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6
+                   AS quality
+        FROM feats
+    ),
+    in_clusters AS (
+        SELECT doc_id, component_id, quality FROM (
+            SELECT c.doc_id, c.component_id, q.quality,
+                   row_number() OVER (
+                       PARTITION BY c.component_id
+                       ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+            FROM comp c JOIN q ON c.doc_id = q.doc_id
+        ) WHERE rn = 1
+    ),
+    loners AS (
+        SELECT d.doc_id, NULL AS component_id, q.quality
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+    )
+    SELECT * FROM in_clusters UNION ALL SELECT * FROM loners
+    ORDER BY doc_id
     """
 
 
@@ -2398,10 +2569,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
         "event_sessions": q_event_sessions,
         "event_asof_click": q_event_asof_click,
         "event_merge_upsert": q_event_merge_upsert,
         "event_resample": q_event_resample,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
@@ -2480,10 +2654,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP,
         "dedup_components": _sql_dedup_components(),
+        "dedup_survivors": _sql_dedup_survivors(),
         "event_sessions": _SQL_EVENT_SESSIONS,
         "event_asof_click": _SQL_EVENT_ASOF,
         "event_merge_upsert": _SQL_EVENT_MERGE,
         "event_resample": _SQL_EVENT_RESAMPLE,
+        "event_funnel": _SQL_EVENT_FUNNEL,
+        "cohort_retention": _SQL_COHORT_RETENTION,
         "hash_sample": _SQL_HASH_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED,
         "train_val_split": _SQL_TRAIN_VAL,
