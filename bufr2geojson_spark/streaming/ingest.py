@@ -371,3 +371,60 @@ def run_session_windows_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_stream_join_once(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    query_name: str = "obs_media_join",
+    join_window: str = "3 days",
+    watermark: str = "7 days",
+) -> DataFrame:
+    """Stream-stream inner join with watermarks: the observation feature
+    stream joined to the (stubbed) media-metadata stream of the SAME
+    document corpus on doc_id, constrained to media rows whose synthetic
+    capture time falls within ``join_window`` of the observation's event
+    time. Both sides carry watermarks, so Spark bounds each side's join
+    state to the watermark horizon and can drop matched/expired rows —
+    without the time bound and watermarks a stream-stream join's state
+    grows forever. AvailableNow drain into a memory sink (bounded-drain
+    test shape; production uses append mode to a real sink)."""
+    from bufr2geojson_spark.operators.media import decode_media, media_table
+
+    docs1 = read_document_stream(spark, input_path)
+    docs2 = read_document_stream(spark, input_path)
+    feats = event_time(decode_stream(docs1)).filter(
+        F.col("event_ts").isNotNull()
+    ).select(
+        "doc_id", F.col("feature_id"), F.col("event_ts"),
+    ).withWatermark("event_ts", watermark)
+    media = decode_media(media_table(docs2)).select(
+        "doc_id", "media_ref",
+        # synthetic deterministic capture time derived from the stub sha:
+        # a real pipeline reads EXIF/container metadata here
+        F.timestamp_seconds(
+            F.lit(1646092800)  # 2022-03-01, the synth corpus's month
+            + F.pmod(F.xxhash64("sha"), F.lit(28 * 86400))
+        ).alias("capture_ts"),
+    ).withWatermark("capture_ts", watermark)
+    joined = feats.join(
+        media,
+        (feats["doc_id"] == media["doc_id"])
+        & (media["capture_ts"] >= feats["event_ts"]
+           - F.expr(f"INTERVAL {join_window}"))
+        & (media["capture_ts"] <= feats["event_ts"]
+           + F.expr(f"INTERVAL {join_window}")),
+        "inner",
+    ).select(feats["doc_id"], "feature_id", "media_ref",
+             "event_ts", "capture_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

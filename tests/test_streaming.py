@@ -249,3 +249,40 @@ def test_session_window_exact_gap_merges(spark):
         "k string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
     two = df2.groupBy(F.session_window("ts", "2 hours"), "k").count().collect()
     assert len(two) == 2
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream join must produce exactly the rows the
+    equivalent batch join produces over the same drained input."""
+    from bufr2geojson_spark.operators.decode import decode_documents
+    from bufr2geojson_spark.operators.media import decode_media, media_table
+    from bufr2geojson_spark.streaming.ingest import (
+        event_time, run_stream_stream_join_once)
+
+    base = str(tmp_path)
+    docs = synth_documents(spark, 60, partitions=3)
+    docs.write.parquet(f"{base}/in")
+    got = run_stream_stream_join_once(
+        spark, f"{base}/in", f"{base}/ckpt", query_name="ssj_test")
+    got_rows = sorted(
+        (r["doc_id"], r["feature_id"], r["media_ref"]) for r in got.collect())
+
+    feats = event_time(decode_documents(docs).filter("error is null")) \
+        .filter(F.col("event_ts").isNotNull()) \
+        .select("doc_id", "feature_id", "event_ts")
+    media = decode_media(media_table(docs)).select(
+        "doc_id", "media_ref",
+        (F.timestamp_seconds(
+            F.lit(1646092800)
+            + F.pmod(F.xxhash64("sha"), F.lit(28 * 86400))))
+        .alias("capture_ts"),
+    )
+    batch = feats.join(
+        media,
+        (feats["doc_id"] == media["doc_id"])
+        & (media["capture_ts"] >= feats["event_ts"] - F.expr("INTERVAL 3 DAYS"))
+        & (media["capture_ts"] <= feats["event_ts"] + F.expr("INTERVAL 3 DAYS")),
+        "inner",
+    ).select(feats["doc_id"], "feature_id", "media_ref")
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert got_rows == batch_rows and len(got_rows) > 0
