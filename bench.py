@@ -169,6 +169,7 @@ def headline_queries() -> list[str]:
         "top_revenue_orders",
         "region_revenue",
         "latest_event_per_user",
+        "event_resample",
         "orders_rollup",
         "geo_knn",
         "geo_pip",
@@ -179,6 +180,7 @@ def headline_queries() -> list[str]:
         "simhash",
         "token_counts",
         "tfidf_top_terms",
+        "dedup_survivors",
         "fingerprint",
         "ann_cosine_topk",
         "embedding_near_dup_lsh",
