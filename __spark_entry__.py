@@ -1941,6 +1941,17 @@ def q_ann_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed index: coarse quantizer prunes which lists are
+    scanned, PQ codes compress how, exact re-rank repairs both — the
+    production ANN stack. Deterministic throughout; rows-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    return A.ivf_pq_topk(
+        e, _ANN_QUERY_IDS, k=5, n_centroids=_IVF_N_CENTROIDS,
+        nprobe=_IVF_NPROBE, m=16, nbits=6, rerank=4,
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     # n_planes=0 = the exact all-pairs ORACLE form (never the operator
     # default); the default bucketed path is exercised by
@@ -2566,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "dedup_components": q_dedup_components,

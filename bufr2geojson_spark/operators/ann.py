@@ -808,3 +808,109 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2sq", "rank")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    nbits: int = 4,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the two approximations composed the way a production index
+    stacks them — the IVF coarse quantizer prunes WHICH vectors are
+    scanned (only the query's ``nprobe`` inverted lists), PQ compresses
+    HOW they are scanned (8–16-byte codes through the ADC lookup), and the
+    exact re-rank stage repairs both approximations over the bounded
+    shortlist. At 100 TB: the corpus is shuffled once onto centroid keys,
+    only codes travel at scan time, and full vectors are fetched for
+    k×rerank rows per query.
+
+    Plan: ivf_assign (broadcast centroids, narrow argmax) → pq codes for
+    the probed lists only → ADC scan → exact re-rank via the codegen dot.
+    """
+    import numpy as np
+
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
+    )
+    cents = _ivf_centroids(base, n_centroids, id_col, dim)
+    assigned = ivf_assign(embeddings, cents, id_col, vec_col, dim)
+
+    # query probes: nprobe nearest centroids per query (broadcast x broadcast)
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col), dim).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv"), dim))
+    qprobe_scored = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
+        "query_id", "centroid_id",
+        _cos_pre(_dot(F.col("qv"), F.col("centv"), dim),
+                 F.col("qn"), F.col("centn")).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probes = (
+        qprobe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    probed_lists = probes.select("centroid_id").distinct()
+
+    # PQ-encode ONLY the probed lists' vectors; codebook from the corpus
+    codebook = pq_train(embeddings, m=m, nbits=nbits, dim=dim,
+                        id_col=id_col, vec_col=vec_col)
+    probed_vecs = assigned.join(
+        F.broadcast(probed_lists), "centroid_id"
+    ).select(F.col(id_col), F.col("v").alias(vec_col), "centroid_id")
+    codes = pq_encode(probed_vecs, codebook, id_col=id_col,
+                      vec_col=vec_col, dim=dim).join(
+        probed_vecs.select(id_col, "centroid_id"), id_col
+    )
+
+    # ADC scan per (query, probed list): reuse pq_topk's kernel by scoring
+    # all probed codes per query then restricting to the query's own lists
+    adc = pq_topk(
+        embeddings, query_ids, k=k * max(1, rerank), m=m, nbits=nbits,
+        dim=dim, id_col=id_col, vec_col=vec_col,
+        codebook=codebook,
+        codes=codes.select(id_col, "pq_codes"),
+        rerank=1,
+    ).withColumnRenamed("rank", "_adc_rank")
+    # keep only neighbors in one of the query's probed lists
+    neigh_lists = codes.select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id")
+    in_probe = adc.join(neigh_lists, "neighbor_id").join(
+        probes, ["query_id", "centroid_id"], "left_semi")
+
+    qdf = q.select("query_id", "qv").withColumn(
+        "qq", _dot(F.col("qv"), F.col("qv"), dim))
+    vdf = base.select(F.col(id_col).alias("neighbor_id"),
+                      F.col("v").alias("nv")).withColumn(
+        "vv", _dot(F.col("nv"), F.col("nv"), dim))
+    exact = (
+        in_probe.select("query_id", "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .join(vdf, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("qq") + F.col("vv")
+                - 2.0 * _dot(F.col("qv"), F.col("nv"), dim), 6
+            ).alias("l2sq"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2sq", "rank")
+    )

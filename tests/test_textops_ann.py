@@ -363,3 +363,47 @@ class TestProductQuantization:
         row = A.pq_encode(e, book).first()
         assert len(row["pq_codes"]) == 8
         assert all(0 <= c < 16 for c in row["pq_codes"])
+
+
+class TestIvfPq:
+    def test_results_within_probed_lists_and_ranked(self, spark, emb):
+        from bufr2geojson_spark.operators import ann as A
+
+        qids = [0, 7, 21]
+        out = A.ivf_pq_topk(emb, qids, k=5, n_centroids=8, nprobe=8,
+                            m=8, nbits=4, rerank=4)
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == set(qids)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            l2 = [r["l2sq"] for r in rs]
+            assert l2 == sorted(l2)
+            assert all(r["neighbor_id"] != q for r in rs)
+
+    def test_full_probe_with_rerank_matches_exact(self, spark, emb):
+        """Probing ALL lists with a generous re-rank must recover the exact
+        nearest neighbor for most queries (the approximations collapse to
+        shortlist truncation only)."""
+        import numpy as np
+
+        from bufr2geojson_spark.operators import ann as A
+
+        qids = [0, 7, 21]
+        rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        out = A.ivf_pq_topk(emb, qids, k=1, n_centroids=4, nprobe=4,
+                            m=16, nbits=6, rerank=20)
+        got = {r["query_id"]: r["neighbor_id"] for r in out.collect()
+               if r["rank"] == 1}
+        hit = 0
+        for q in qids:
+            qv = rows[q]
+            d = {i: float(((v - qv) ** 2).sum())
+                 for i, v in rows.items() if i != q}
+            best = min(d.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            hit += int(got[q] == best)
+        assert hit >= 2, got
