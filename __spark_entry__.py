@@ -1560,6 +1560,15 @@ _SQL_NGRAM_JACCARD = f"""
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (distributed FFD within deterministic
+    shards): greedy bin assembly is not SQL-expressible, so rows-only;
+    the invariants (caps, determinism, fill efficiency) are pytest-pinned."""
+    d = _t(spark, sf_dir, "documents")
+    return (T.pack_sequences(d, max_tokens=200, n_shards=16)
+            .orderBy("doc_id"))
+
+
 def q_top_tokens(spark, sf_dir):
     """Corpus heavy hitters: top-20 tokens by document frequency."""
     d = _t(spark, sf_dir, "documents")
@@ -2570,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "top_tokens": q_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "pack_sequences": q_pack_sequences,
         "fingerprint": q_fingerprint,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,

@@ -661,3 +661,74 @@ def tf_idf_top_terms(
         .filter(F.col("rnk") <= top_per_doc)
         .select(id_col, "term", "tc", "df", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into training sequences of ≤ ``max_tokens``
+    (whitespace tokens) — the batch-assembly step an LLM data pipeline runs
+    last. Exact first-fit-decreasing is inherently sequential, so the
+    distributed form shards documents by ``xxhash64(doc_id) % n_shards``
+    (deterministic: independent of input partitioning) and runs FFD per
+    shard in ``applyInPandas``; pack ids are (shard, local index). FFD's
+    11/9·OPT+1 bound holds per shard, and shards pack in parallel — the
+    price of parallelism is at most one under-filled bin per shard.
+
+    A document longer than ``max_tokens`` gets its own pack with
+    ``overflow=true`` (the caller decides to truncate or split upstream).
+
+    Output: (doc_id, n_tokens, shard, pack_id, overflow); per-pack totals
+    are a groupBy away and every pack total ≤ max_tokens is a tested
+    invariant."""
+    import pandas as pd
+
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+        .alias("shard"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []
+        pack_of = []
+        overflow = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > max_tokens:
+                remaining.append(-1)          # closed: oversize own pack
+                pack_of.append(len(remaining) - 1)
+                overflow.append(True)
+                continue
+            for i, r in enumerate(remaining):
+                if r >= n:
+                    remaining[i] = r - n
+                    pack_of.append(i)
+                    break
+            else:
+                remaining.append(max_tokens - n)
+                pack_of.append(len(remaining) - 1)
+            overflow.append(False)
+        shard = int(pdf["shard"].iloc[0])
+        out = pdf[[id_col, "n_tokens", "shard"]].copy()
+        out["pack_id"] = [f"{shard}-{p}" for p in pack_of]
+        out["overflow"] = overflow
+        return out
+
+    id_type = toks.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, n_tokens int, shard int, "
+              "pack_id string, overflow boolean")
+    return toks.groupBy("shard").applyInPandas(ffd, schema)

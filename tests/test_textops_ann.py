@@ -407,3 +407,46 @@ class TestIvfPq:
             best = min(d.items(), key=lambda kv: (kv[1], kv[0]))[0]
             hit += int(got[q] == best)
         assert hit >= 2, got
+
+
+class TestSequencePacking:
+    def test_invariants(self, spark, docs):
+        from bufr2geojson_spark.operators.textops import pack_sequences
+
+        out = pack_sequences(docs, max_tokens=120, n_shards=8)
+        rows = out.collect()
+        assert {r["doc_id"] for r in rows} == \
+            {r["doc_id"] for r in docs.select("doc_id").collect()}
+        packs = {}
+        for r in rows:
+            packs.setdefault(r["pack_id"], []).append(r)
+        for pid, members in packs.items():
+            total = sum(r["n_tokens"] for r in members)
+            if any(r["overflow"] for r in members):
+                assert len(members) == 1       # oversize docs pack alone
+            else:
+                assert total <= 120, (pid, total)
+
+    def test_deterministic_across_partitioning(self, spark, docs):
+        from bufr2geojson_spark.operators.textops import pack_sequences
+
+        a = sorted(map(tuple,
+                       pack_sequences(docs, 120, 8).collect()))
+        b = sorted(map(tuple,
+                       pack_sequences(docs.repartition(13), 120, 8).collect()))
+        assert a == b
+
+    def test_fill_efficiency_beats_naive(self, spark, docs):
+        """FFD should fill packs well: average fill of non-overflow packs
+        with >=2 members must clear 60% (naive one-doc-per-pack is the
+        degenerate floor)."""
+        from bufr2geojson_spark.operators.textops import pack_sequences
+
+        out = pack_sequences(docs, max_tokens=200, n_shards=4).collect()
+        packs = {}
+        for r in out:
+            if not r["overflow"]:
+                packs.setdefault(r["pack_id"], 0)
+                packs[r["pack_id"]] += r["n_tokens"]
+        fills = [t / 200.0 for t in packs.values()]
+        assert sum(fills) / len(fills) > 0.6
