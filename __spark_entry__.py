@@ -1447,30 +1447,11 @@ def q_dedup_survivors(spark, sf_dir):
 
 def _sql_dedup_survivors():
     comp_sql = _sql_dedup_components()
-    # quality: reuse the scorer's SQL shape, reduced to the quality column
+    # quality composes the canonical scorer SQL (one bit-exact formula to
+    # maintain, not two)
     return f"""
     WITH comp AS ({comp_sql}),
-    feats AS (
-        SELECT doc_id,
-               length(text) AS n_chars_calc,
-               len(string_split(text, ' ')) AS n_words,
-               length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-                   AS n_digits,
-               len(list_filter(string_split(text, ' '),
-                   w -> w IN ('the','a','of','and','to','in','is')))
-                   AS stop_hits
-        FROM documents
-    ),
-    q AS (
-        SELECT doc_id,
-               floor((least(n_words / 100.0, 1.0) * 0.4
-                      + (1.0 - floor(n_digits * 1.0 / n_chars_calc * 1e6
-                                     + 0.5) / 1e6) * 0.3
-                      + least(floor(stop_hits * 1.0 / n_words * 1e6 + 0.5)
-                              / 1e6 * 5.0, 1.0) * 0.3) * 1e6 + 0.5) / 1e6
-                   AS quality
-        FROM feats
-    ),
+    q AS (SELECT doc_id, quality FROM ({_SQL_QUALITY})),
     in_clusters AS (
         SELECT doc_id, component_id, quality FROM (
             SELECT c.doc_id, c.component_id, q.quality,

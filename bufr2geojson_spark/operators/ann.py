@@ -680,6 +680,87 @@ def pq_encode(
     )
 
 
+def collect_query_vectors(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+) -> list:
+    """Collect the (few) query vectors once for driver-side LUT building
+    and re-rank broadcast sides; raises clearly on an empty match."""
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                _as_double(F.col(vec_col), dim).alias("qv"))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError(
+            f"none of query_ids {query_ids!r} present in the embeddings "
+            "table")
+    return q_rows
+
+
+def pq_adc_scores(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    query_ids: list[int],
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
+    carry: tuple[str, ...] = (),
+    q_rows: list | None = None,
+) -> DataFrame:
+    """Unranked ADC scores: (query_id, neighbor_id, adc_dist[, carry...])
+    for every (query, code row) pair — the shared compressed-domain kernel
+    behind ``pq_topk`` and ``ivf_pq_topk``. Each query's (m, k) lookup
+    table of sub-distances is built driver-side from the broadcast-sized
+    codebook; the scan gathers+sums m table entries per code row. Pass
+    ``q_rows`` (a prior ``collect_query_vectors`` result) to avoid a
+    second query-vector scan."""
+    import numpy as np
+
+    B = np.asarray(codebook, dtype=np.float64)
+    m_, kk, dsub = B.shape
+    if q_rows is None:
+        q_rows = collect_query_vectors(embeddings, query_ids,
+                                       id_col, vec_col, dim)
+    luts = {}
+    for r in q_rows:
+        qv = np.asarray(r["qv"])
+        lut = np.empty((m_, kk), dtype=np.float64)
+        for sub in range(m_):
+            lut[sub] = ((B[sub] - qv[sub * dsub:(sub + 1) * dsub]) ** 2) \
+                .sum(axis=1)
+        luts[r["query_id"]] = lut
+    qids = sorted(luts)
+    lut_stack = np.stack([luts[q] for q in qids])  # (nq, m, k)
+
+    @pandas_udf("array<double>")
+    def adc(codes_s: pd.Series) -> pd.Series:
+        if len(codes_s) == 0:
+            return pd.Series([], dtype=object)
+        C = np.stack(codes_s.to_numpy())            # (n, m)
+        n = C.shape[0]
+        out = np.empty((n, len(qids)), dtype=np.float64)
+        rows = np.arange(m_)
+        for qi in range(len(qids)):
+            # gather per subspace then sum: lut[s, code] summed over s
+            out[:, qi] = lut_stack[qi][rows[None, :], C].sum(axis=1)
+        return pd.Series(list(out))
+
+    return codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        *carry,
+        F.posexplode(adc(F.col("pq_codes"))).alias("_qi", "adc_dist"),
+    ).withColumn(
+        "query_id",
+        F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("_qi") + 1),
+    ).filter(F.col("query_id") != F.col("neighbor_id")).drop("_qi")
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -715,53 +796,14 @@ def pq_topk(
         codebook = pq_train(embeddings, m=m, nbits=nbits, dim=dim,
                             id_col=id_col, vec_col=vec_col)
     B = np.asarray(codebook, dtype=np.float64)
-    m_, kk, dsub = B.shape
     if codes is None:
         codes = pq_encode(embeddings, B, id_col=id_col, vec_col=vec_col,
                           dim=dim)
-
-    q_rows = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"),
-                _as_double(F.col(vec_col), dim).alias("qv"))
-        .collect()
-    )
-    if not q_rows:
-        raise ValueError(
-            f"none of query_ids {query_ids!r} present in the embeddings "
-            "table")
-    # per-query LUT: lut[q][s][c] = ||q_sub - B[s][c]||²  (m × k doubles)
-    luts = {}
-    for r in q_rows:
-        qv = np.asarray(r["qv"])
-        lut = np.empty((m_, kk), dtype=np.float64)
-        for s in range(m_):
-            lut[s] = ((B[s] - qv[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)
-        luts[r["query_id"]] = lut
-
-    qids = sorted(luts)
-    lut_stack = np.stack([luts[q] for q in qids])  # (nq, m, k)
-
-    @pandas_udf("array<double>")
-    def adc(codes_s: pd.Series) -> pd.Series:
-        if len(codes_s) == 0:
-            return pd.Series([], dtype=object)
-        C = np.stack(codes_s.to_numpy())            # (n, m)
-        n = C.shape[0]
-        out = np.empty((n, len(qids)), dtype=np.float64)
-        rows = np.arange(m_)
-        for qi in range(len(qids)):
-            # gather per subspace then sum: lut[s, code] summed over s
-            out[:, qi] = lut_stack[qi][rows[None, :], C].sum(axis=1)
-        return pd.Series(list(out))
-
-    scored = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(adc(F.col("pq_codes"))).alias("_qi", "adc_dist"),
-    ).withColumn(
-        "query_id",
-        F.element_at(F.array(*[F.lit(q) for q in qids]), F.col("_qi") + 1),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    q_rows = collect_query_vectors(embeddings, query_ids, id_col, vec_col,
+                                   dim)
+    scored = pq_adc_scores(embeddings, codes, query_ids, B,
+                           id_col=id_col, vec_col=vec_col, dim=dim,
+                           q_rows=q_rows)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -777,10 +819,8 @@ def pq_topk(
     # exact second stage over the bounded shortlist only: ||q−v||² =
     # q·q + v·v − 2·q·v with the unrolled codegen dot (one dot per
     # candidate row — the shape where codegen beats the Arrow kernel)
-    # query vectors are already on the driver (q_rows) — build the tiny
-    # broadcast side from them instead of re-scanning the corpus
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
+    # query vectors already collected — tiny broadcast side, no re-scan
+    qdf = embeddings.sparkSession.createDataFrame(
         [(r["query_id"], list(r["qv"])) for r in q_rows],
         "query_id long, qv array<double>",
     ).withColumn("qq", _dot(F.col("qv"), F.col("qv"), dim))
@@ -835,8 +875,6 @@ def ivf_pq_topk(
     Plan: ivf_assign (broadcast centroids, narrow argmax) → pq codes for
     the probed lists only → ADC scan → exact re-rank via the codegen dot.
     """
-    import numpy as np
-
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
     )
@@ -874,20 +912,24 @@ def ivf_pq_topk(
         probed_vecs.select(id_col, "centroid_id"), id_col
     )
 
-    # ADC scan per (query, probed list): reuse pq_topk's kernel by scoring
-    # all probed codes per query then restricting to the query's own lists
-    adc = pq_topk(
-        embeddings, query_ids, k=k * max(1, rerank), m=m, nbits=nbits,
-        dim=dim, id_col=id_col, vec_col=vec_col,
-        codebook=codebook,
-        codes=codes.select(id_col, "pq_codes"),
-        rerank=1,
-    ).withColumnRenamed("rank", "_adc_rank")
-    # keep only neighbors in one of the query's probed lists
-    neigh_lists = codes.select(
-        F.col(id_col).alias("neighbor_id"), "centroid_id")
-    in_probe = adc.join(neigh_lists, "neighbor_id").join(
-        probes, ["query_id", "centroid_id"], "left_semi")
+    # ADC scan: score every probed code per query (unranked), restrict each
+    # (query, neighbor) pair to the QUERY'S OWN probed lists, and only then
+    # take the per-query shortlist — restricting after the window would let
+    # other queries' lists consume shortlist slots with never-returnable
+    # vectors (under-filled results at nprobe < n_centroids).
+    scored = pq_adc_scores(
+        embeddings, codes.select(id_col, "pq_codes", "centroid_id"),
+        query_ids, codebook,
+        id_col=id_col, vec_col=vec_col, dim=dim, carry=("centroid_id",),
+    )
+    own = scored.join(probes, ["query_id", "centroid_id"], "left_semi")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    in_probe = (
+        own.withColumn("_adc_rank", F.row_number().over(w1))
+        .filter(F.col("_adc_rank") <= k * max(1, rerank))
+    )
 
     qdf = q.select("query_id", "qv").withColumn(
         "qq", _dot(F.col("qv"), F.col("qv"), dim))

@@ -694,7 +694,7 @@ def pack_sequences(
 
     toks = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+        F.size(words_of(F.col(text_col))).cast("int").alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
         .alias("shard"),
     )

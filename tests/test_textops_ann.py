@@ -384,6 +384,23 @@ class TestIvfPq:
             assert l2 == sorted(l2)
             assert all(r["neighbor_id"] != q for r in rs)
 
+    def test_partial_probe_returns_full_k(self, spark, emb):
+        """With real pruning (nprobe < n_centroids) every query must still
+        return exactly k rows, all from its own probed lists — the
+        shortlist must be taken AFTER the per-query list restriction (a
+        restriction-after-ranking bug returns under-filled sets)."""
+        from bufr2geojson_spark.operators import ann as A
+
+        qids = [0, 7, 21, 42, 99]
+        out = A.ivf_pq_topk(emb, qids, k=5, n_centroids=8, nprobe=2,
+                            m=8, nbits=4, rerank=4)
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == set(qids)
+        for q, rs in by_q.items():
+            assert len(rs) == 5, (q, len(rs))
+
     def test_full_probe_with_rerank_matches_exact(self, spark, emb):
         """Probing ALL lists with a generous re-rank must recover the exact
         nearest neighbor for most queries (the approximations collapse to
