@@ -1737,6 +1737,97 @@ _SQL_TOKENS = """
 """
 
 
+def q_dup_ngram_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.dup_ngram_spans(d, k=5, min_docs=2).orderBy("doc_id")
+
+
+_SQL_DUP_NGRAMS = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 4),
+                   i -> array_to_string(ws[i:i+4], ' '))) AS gram
+        FROM w
+    ),
+    dup AS (
+        SELECT gram FROM grams
+        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT g.doc_id, count(*) AS n_dup
+        FROM grams g JOIN dup USING (gram) GROUP BY g.doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 4, 0)::BIGINT
+                   AS n_grams
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_grams,
+           coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+           CASE WHEN b.n_grams > 0
+                THEN floor(coalesce(p.n_dup, 0) * 1.0 / b.n_grams * 1e4
+                           + 0.5) / 1e4
+                ELSE 0.0 END AS dup_ratio
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.unigram_logprob(d).orderBy("doc_id")
+
+
+_SQL_UNIGRAM_LP = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS t FROM cnt),
+    probs AS (
+        SELECT w, floor(ln(c * 1.0 / t) * 1e6 + 0.5)::BIGINT AS lp_e6
+        FROM cnt, tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(lp_e6)::BIGINT AS logprob_e6,
+           floor(sum(lp_e6) * 1.0 / count(*) / 1e6 * 1e4 + 0.5) / 1e4
+               AS avg_logprob
+    FROM tok JOIN probs USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_quota_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        T.quota_sample(d, "source", cap=5)
+        .select("doc_id", "source", "quota_rank")
+        .orderBy("source", "quota_rank")
+    )
+
+
+_SQL_QUOTA_SAMPLE = """
+    WITH keyed AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('quota:' || doc_id), 1, 8))::BIGINT AS qk
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY qk, doc_id)
+                   AS quota_rank
+        FROM keyed
+    )
+    SELECT doc_id, source, quota_rank FROM ranked
+    WHERE quota_rank <= 5 ORDER BY source, quota_rank
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.fingerprint(d, k=8, mod=16).orderBy("doc_id")
@@ -2562,6 +2653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pack_sequences": q_pack_sequences,
         "fingerprint": q_fingerprint,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "unigram_logprob": q_unigram_logprob,
+        "quota_sample": q_quota_sample,
         # similarity search
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2651,6 +2745,9 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": _SQL_TOP_TOKENS,
         "tfidf_top_terms": _SQL_TFIDF,
         "fingerprint": _sql_fingerprint(),
+        "dup_ngram_spans": _SQL_DUP_NGRAMS,
+        "unigram_logprob": _SQL_UNIGRAM_LP,
+        "quota_sample": _SQL_QUOTA_SAMPLE,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _SQL_ANN_IVF,

@@ -453,13 +453,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nb_min, labels["id"] == nb_min["src"], "left")
             .select(
                 labels["id"],
                 F.least(
                     labels["label"],
                     F.coalesce(nb_min["nb_label"], labels["label"]),
+                ).alias("label"),
+            )
+        )
+        # pointer doubling (path compression): label <- label(label).
+        # Labels are always vertex ids, so the self-join resolves each
+        # label one extra hop per round — min-label alone moves one hop
+        # per round (O(diameter) rounds: fine for near-dup clique forests,
+        # slow for chain-shaped graphs like DBSCAN eps-graphs); with
+        # compression convergence is O(log diameter).
+        lab2 = stepped.select(
+            F.col("id").alias("_l_id"), F.col("label").alias("_l_label")
+        )
+        new_labels = (
+            stepped.join(lab2, stepped["label"] == lab2["_l_id"], "left")
+            .select(
+                stepped["id"],
+                F.least(
+                    stepped["label"],
+                    F.coalesce(F.col("_l_label"), stepped["label"]),
                 ).alias("label"),
             )
             .localCheckpoint()  # truncate lineage: O(1)-deep plan per round
@@ -732,3 +751,169 @@ def pack_sequences(
     schema = (f"{id_col} {id_type}, n_tokens int, shard int, "
               "pack_id string, overflow boolean")
     return toks.groupBy("shard").applyInPandas(ffd, schema)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated n-grams (memorization / contamination scan)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated n-gram detection — the memorization /
+    benchmark-contamination scan a training pipeline runs before a data
+    release: any word ``k``-gram that occurs in ≥ ``min_docs`` DISTINCT
+    documents is "duplicated", and each document is scored by how much of
+    it is covered by duplicated grams.
+
+    Plan shape (the same explode→codegen→map-side-combined-groupBy pattern
+    as ``minhash_signature``): positional k-grams come from one
+    ``posexplode`` of the JVM-side shingle array; each gram is immediately
+    replaced by its md5 so only a fixed-width hash crosses the shuffle
+    (never the gram text — at 100 TB the gram strings dominate the shuffle
+    otherwise; 128-bit md5 keeps collisions negligible where a 32-bit
+    hash would not). The duplicated-gram set is one hash-keyed groupBy with
+    partial aggregation; the per-doc score is a second groupBy keyed on
+    doc_id. Work and shuffle are both O(total tokens), never pairwise.
+
+    Returns one row per document: (doc_id, n_grams, n_dup, dup_ratio) with
+    ``n_dup`` counting POSITIONS covered (a gram repeated inside one doc
+    still needs a second distinct doc to count as duplicated).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_of(F.col(text_col), k)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gid"))
+    dup = (
+        grams.groupBy("gid")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gid")
+    )
+    per_doc_dup = (
+        grams.join(dup, "gid")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.size(words_of(F.col(text_col))) - F.lit(k - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return base.join(per_doc_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_dup.alias("n_dup"),
+        F.when(
+            F.col("n_grams") > 0, round_dp(n_dup / F.col("n_grams"), 4)
+        ).otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram log-probability per document — the cheap perplexity
+    proxy used to rank documents by "typicality" (very low scores flag
+    gibberish/boilerplate; the quality knob next to ``quality_score``).
+
+    Two passes over the token stream, both linear: (1) token → corpus count
+    (map-side-combined groupBy) plus the one-row corpus total; (2) each
+    token instance joins its ln p(w) back (hash join keyed on the token;
+    AQE broadcasts the vocab side when it fits — vocabularies are ~10^6
+    rows even at 100 TB, so this is effectively a broadcast join at any
+    scale) and a final groupBy(doc_id) sums.
+
+    Exactness contract: per-token surprisal is fixed-point floor-rounded to
+    1e-6 BEFORE summing, so the per-doc sum is an integer sum — bit-exact
+    under any partitioning or aggregation order (a double sum wobbles its
+    last ulp with partial-agg order; the repo-wide digest rule).
+
+    Returns (doc_id, n_tokens, logprob_e6, avg_logprob); ``logprob_e6`` is
+    the integer micro-nat sum, ``avg_logprob`` its per-token mean in nats.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_of(F.col(text_col))).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("t"))
+    lp_e6 = F.floor(
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    probs = cnt.crossJoin(F.broadcast(total)).select(
+        "w", lp_e6.alias("lp_e6")
+    )
+    return (
+        tok.join(probs, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_e6").alias("logprob_e6"),
+        )
+        .withColumn(
+            "avg_logprob",
+            round_dp(F.col("logprob_e6") / F.col("n_tokens") / F.lit(1e6), 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-stratum quota sampling (domain/language caps)
+# ---------------------------------------------------------------------------
+
+
+def quota_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "quota",
+    prune_buckets: int = 16,
+) -> DataFrame:
+    """Cap the corpus at ``cap`` documents per stratum (domain / language /
+    source) — the training-mix quota knob, deterministic like every sampler
+    here: selection order is (md5-derived hash, id), so the same cap always
+    keeps the same documents on any cluster, any partitioning, any rerun.
+
+    Scale shape: a single ``row_number`` per stratum funnels the WHOLE
+    stratum through one reducer (hopeless when one stratum is half of
+    100 TB). Instead: phase 1 ranks within (stratum, hash-salt-bucket) and
+    keeps ≤ cap per bucket — a parallel prune to ≤ prune_buckets×cap rows
+    per stratum that provably retains the true global top-cap (each
+    element of the global top-cap is also in its own bucket's top-cap);
+    phase 2 ranks the pruned remnant per stratum exactly. Mergeable
+    two-phase top-K, the same partial/final shape as the salted tile agg.
+
+    Returns the kept rows with their ``quota_rank`` (1-based within
+    stratum).
+    """
+    key = h32(F.concat(F.lit(f"{salt}:"), F.col(id_col)))
+    d = docs.withColumn("_qk", key)
+    w1 = Window.partitionBy(
+        F.col(stratum_col), F.pmod(F.col("_qk"), F.lit(prune_buckets))
+    ).orderBy("_qk", id_col)
+    pruned = (
+        d.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy("_qk", id_col)
+    return (
+        pruned.withColumn("quota_rank", F.row_number().over(w2))
+        .filter(F.col("quota_rank") <= cap)
+        .drop("_qk")
+    )

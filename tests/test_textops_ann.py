@@ -467,3 +467,111 @@ class TestSequencePacking:
                 packs[r["pack_id"]] += r["n_tokens"]
         fills = [t / 200.0 for t in packs.values()]
         assert sum(fills) / len(fills) > 0.6
+
+
+class TestDupNgramSpans:
+    def test_matches_bruteforce(self, spark, docs):
+        d = docs.limit(100)
+        rows = d.select("doc_id", "text").collect()
+        k = 5
+        from collections import defaultdict
+        gram_docs = defaultdict(set)
+        doc_grams = {}
+        for r in rows:
+            ws = r.text.split(" ")
+            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+            doc_grams[r.doc_id] = grams
+            for g in grams:
+                gram_docs[g].add(r.doc_id)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        expect = {}
+        for did, grams in doc_grams.items():
+            n_dup = sum(1 for g in grams if g in dup)
+            n = len(grams)
+            ratio = (int(n_dup / n * 1e4 + 0.5) / 1e4) if n else 0.0
+            expect[did] = (n, n_dup, ratio)
+        got = {
+            r.doc_id: (r.n_grams, r.n_dup, r.dup_ratio)
+            for r in T.dup_ngram_spans(d, k=k, min_docs=2).collect()
+        }
+        assert got == expect
+        assert any(v[1] > 0 for v in expect.values())  # synth has near-dups
+
+    def test_within_doc_repeat_not_duplicated(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a b c a b c a b c"), (2, "x y z w q r s t")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.n_dup
+               for r in T.dup_ngram_spans(d, k=3, min_docs=2).collect()}
+        assert out == {1: 0, 2: 0}
+
+
+class TestUnigramLogprob:
+    def test_matches_bruteforce(self, spark, docs):
+        import math
+        from collections import Counter
+        d = docs.limit(100)
+        rows = d.select("doc_id", "text").collect()
+        cnt = Counter()
+        for r in rows:
+            cnt.update(r.text.split(" "))
+        total = sum(cnt.values())
+        lp = {w: math.floor(math.log(c / total) * 1e6 + 0.5)
+              for w, c in cnt.items()}
+        expect = {}
+        for r in rows:
+            toks = r.text.split(" ")
+            s = sum(lp[w] for w in toks)
+            avg = math.floor(s / len(toks) / 1e6 * 1e4 + 0.5) / 1e4
+            expect[r.doc_id] = (len(toks), s, avg)
+        got = {
+            r.doc_id: (r.n_tokens, r.logprob_e6, r.avg_logprob)
+            for r in T.unigram_logprob(d).collect()
+        }
+        assert got == expect
+
+    def test_rarer_tokens_score_lower(self, spark):
+        d = spark.createDataFrame(
+            [(i, "the the the the") for i in range(9)]
+            + [(9, "zqxj zqxj zqxj zqxj")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.avg_logprob
+               for r in T.unigram_logprob(d).collect()}
+        assert out[9] < out[0]
+
+
+class TestQuotaSample:
+    def test_matches_single_phase_rank(self, spark, docs):
+        import hashlib
+        cap = 5
+        rows = docs.select("doc_id", "source").collect()
+        key = {
+            r.doc_id: int(
+                hashlib.md5(f"quota:{r.doc_id}".encode()).hexdigest()[:8], 16
+            )
+            for r in rows
+        }
+        from collections import defaultdict
+        per = defaultdict(list)
+        for r in rows:
+            per[r.source].append(r.doc_id)
+        expect = {}
+        for src, ids in per.items():
+            ids.sort(key=lambda i: (key[i], i))
+            for rank, i in enumerate(ids[:cap], 1):
+                expect[i] = (src, rank)
+        got = {
+            r.doc_id: (r.source, r.quota_rank)
+            for r in T.quota_sample(docs, "source", cap=cap).collect()
+        }
+        assert got == expect
+
+    def test_deterministic_across_partitioning(self, spark, docs):
+        a = {(r.doc_id, r.quota_rank)
+             for r in T.quota_sample(docs, "source", cap=3).collect()}
+        b = {(r.doc_id, r.quota_rank)
+             for r in T.quota_sample(
+                 docs.repartition(17), "source", cap=3).collect()}
+        assert a == b and len(a) > 0
