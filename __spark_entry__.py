@@ -37,7 +37,10 @@ from bufr2geojson_spark.operators.media import (  # noqa: E402
     media_table,
 )
 from bufr2geojson_spark.operators.spatial import (  # noqa: E402
+    KM_PER_DEG,
     assign_region,
+    boundary_distance,
+    dbscan,
     knn_join,
     pip_join,
 )
@@ -805,6 +808,124 @@ def q_geo_pip_distributed(spark, sf_dir):
         .select("pid", "region_id")
         .orderBy("pid", "region_id")
     )
+
+
+def q_geo_dbscan(spark, sf_dir):
+    """Distributed DBSCAN over the deterministic geo points: eps-graph via
+    the cell-explode distance join, cores by degree count, clusters by
+    connected components (min-label + pointer doubling), borders attached
+    to the min neighboring core's cluster."""
+    pts = _geo_points(spark, sf_dir).select("pid", "lat", "lon")
+    return dbscan(
+        pts, eps_km=400.0, min_pts=4, grid_deg=10.0
+    ).orderBy("pid")
+
+
+_SQL_GEO_DBSCAN = f"""
+    WITH RECURSIVE pts AS ({_GEO_PTS_SQL}),
+    pairs AS (
+        SELECT a.pid AS a, b.pid AS b
+        FROM pts a JOIN pts b ON a.pid <> b.pid
+        AND round(2 * 6371.0 * asin(sqrt(
+                pow(sin(radians(b.lat - a.lat) / 2), 2)
+                + cos(radians(a.lat)) * cos(radians(b.lat))
+                  * pow(sin(radians(b.lon - a.lon) / 2), 2)
+            )), 2) <= 400.0
+    ),
+    deg AS (SELECT a, count(*) AS n FROM pairs GROUP BY a),
+    core AS (SELECT a FROM deg WHERE n + 1 >= 4),
+    ce AS (
+        SELECT p.a, p.b FROM pairs p
+        JOIN core c1 ON p.a = c1.a JOIN core c2 ON p.b = c2.a
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM ce
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN ce e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+    core_lab AS (
+        SELECT c.a AS id, coalesce(m.cid, c.a) AS cluster_id
+        FROM core c LEFT JOIN comp m ON m.id = c.a
+    ),
+    border_lab AS (
+        SELECT p.a AS id, min(cl.cluster_id) AS cluster_id
+        FROM pairs p
+        JOIN core_lab cl ON p.b = cl.id
+        LEFT JOIN core co ON co.a = p.a
+        WHERE co.a IS NULL
+        GROUP BY p.a
+    ),
+    lab AS (
+        SELECT id, cluster_id, 'core' AS role FROM core_lab
+        UNION ALL
+        SELECT id, cluster_id, 'border' AS role FROM border_lab
+    )
+    SELECT p.pid, l.cluster_id, coalesce(l.role, 'noise') AS role
+    FROM pts p LEFT JOIN lab l ON l.id = p.pid
+    ORDER BY p.pid
+"""
+
+
+def q_geo_boundary_distance(spark, sf_dir):
+    """Distance to the nearest region-boundary segment within 500 km —
+    big-big shape (edges exploded to grid cells, equi-join, pure-codegen
+    local-frame segment distance, min per point)."""
+    pts = _geo_points(spark, sf_dir).select("pid", "lat", "lon")
+    edges = spark.createDataFrame(
+        [(r, x1, y1, x2, y2) for r, x1, y1, x2, y2, _ in _polygon_edges()],
+        "region_id string, x1 double, y1 double, x2 double, y2 double",
+    )
+    return (
+        boundary_distance(pts, edges, max_km=500.0, grid_deg=10.0)
+        .select("pid", "boundary_km")
+        .orderBy("pid")
+    )
+
+
+def _sql_geo_boundary_distance():
+    rows = ", ".join(
+        f"({x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for _, x1, y1, x2, y2, _ in _polygon_edges()
+    )
+    return f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    edges(x1, y1, x2, y2) AS (VALUES {rows}),
+    fr AS (
+        SELECT p.pid, p.lat, e.y1, e.y2,
+               cos(radians(p.lat)) AS cosr,
+               ((e.x1 - p.lon + 540.0) % 360.0) - 180.0 AS dlon1,
+               ((e.x2 - e.x1 + 540.0) % 360.0) - 180.0 AS ddlon
+        FROM pts p CROSS JOIN edges e
+    ),
+    ab AS (
+        SELECT pid,
+               dlon1 * cosr * {KM_PER_DEG!r} AS ax,
+               (y1 - lat) * {KM_PER_DEG!r} AS ay,
+               (dlon1 + ddlon) * cosr * {KM_PER_DEG!r} AS bx,
+               (y2 - lat) * {KM_PER_DEG!r} AS by
+        FROM fr
+    ),
+    v AS (SELECT pid, ax, ay, bx - ax AS vx, by - ay AS vy FROM ab),
+    l AS (SELECT pid, ax, ay, vx, vy, vx * vx + vy * vy AS l2 FROM v),
+    tt AS (
+        SELECT pid, ax, ay, vx, vy,
+               CASE WHEN l2 > 0
+                    THEN least(greatest((-(ax * vx + ay * vy)) / l2, 0.0),
+                               1.0)
+                    ELSE 0.0 END AS t
+        FROM l
+    ),
+    dd AS (SELECT pid, ax + t * vx AS dx, ay + t * vy AS dy FROM tt),
+    d3 AS (
+        SELECT pid,
+               floor(sqrt(dx * dx + dy * dy) * 100.0 + 0.5) / 100.0 AS bd
+        FROM dd
+    )
+    SELECT pid, min(bd) AS boundary_km
+    FROM d3 WHERE bd <= 500.0
+    GROUP BY pid ORDER BY pid
+    """
 
 
 def q_geo_range_join(spark, sf_dir):
@@ -2633,6 +2754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn3": q_geo_knn3,
         "geo_pip": q_geo_pip,
         "geo_range_join": q_geo_range_join,
+        "geo_dbscan": q_geo_dbscan,
+        "geo_boundary_distance": q_geo_boundary_distance,
         "geo_pip_distributed": q_geo_pip_distributed,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "geo_tile_percentiles": q_geo_tile_percentiles,
@@ -2727,6 +2850,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn3": _sql_geo_knn3(),
         "geo_pip": _sql_geo_pip(),
         "geo_range_join": _sql_geo_range_join(),
+        "geo_dbscan": _SQL_GEO_DBSCAN,
+        "geo_boundary_distance": _sql_geo_boundary_distance(),
         "geo_pip_distributed": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,

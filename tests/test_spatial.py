@@ -371,3 +371,183 @@ class TestPolygonMeasures:
         out = {r["region_id"]: r for r in polygon_measures(polys).collect()}
         assert abs(out["A"]["area_km2"] - out["B"]["area_km2"]) < 1e-6
         assert abs(out["A"]["perimeter_km"] - out["B"]["perimeter_km"]) < 1e-6
+
+
+class TestDbscan:
+    def _points(self, spark):
+        # global scatter + two injected dense blobs so real clusters exist
+        rows = [
+            (i,
+             float((i * 37) % 140 - 70 + ((i * 91) % 10) / 10.0),
+             float((i * 53) % 360 - 180 + ((i * 17) % 10) / 10.0))
+            for i in range(200)
+        ]
+        for j in range(12):  # blob A: ~50.x N, 10.x E
+            rows.append((1000 + j, 50.0 + (j % 4) * 0.3, 10.0 + (j // 4) * 0.4))
+        for j in range(8):   # blob B: straddles the antimeridian
+            rows.append((2000 + j, -20.0 + (j % 2) * 0.5,
+                         179.6 + j * 0.2 - (360.0 if 179.6 + j * 0.2 > 180 else 0.0)))
+        # satellites: within eps of a blob edge but with too few neighbors
+        # of their own -> border points
+        rows.append((1100, 53.35, 10.4))
+        rows.append((2100, -22.6, 179.7))
+        return spark.createDataFrame(rows, "pid long, lat double, lon double")
+
+    def _brute(self, rows, eps, min_pts):
+        import math
+
+        def hav(a, b):
+            d = 2 * 6371.0 * math.asin(math.sqrt(
+                math.sin(math.radians(b[1] - a[1]) / 2) ** 2
+                + math.cos(math.radians(a[1])) * math.cos(math.radians(b[1]))
+                * math.sin(math.radians(b[2] - a[2]) / 2) ** 2))
+            return round(d, 2)
+
+        nb = {r[0]: set() for r in rows}
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                if hav(a, b) <= eps:
+                    nb[a[0]].add(b[0])
+                    nb[b[0]].add(a[0])
+        core = {i for i, s in nb.items() if len(s) + 1 >= min_pts}
+        # components over core-core edges (BFS), label = min core id
+        label = {}
+        for c in sorted(core):
+            if c in label:
+                continue
+            comp, stack = [], [c]
+            seen = {c}
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in nb[u]:
+                    if v in core and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = min(comp)
+            for u in comp:
+                label[u] = m
+        out = {}
+        for i in nb:
+            if i in core:
+                out[i] = (label[i], "core")
+            else:
+                cl = [label[v] for v in nb[i] if v in core]
+                out[i] = (min(cl), "border") if cl else (None, "noise")
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.spatial import dbscan
+
+        pts = self._points(spark)
+        rows = [(r.pid, r.lat, r.lon) for r in pts.collect()]
+        want = self._brute(rows, eps=300.0, min_pts=5)
+        got = {
+            r.pid: (r.cluster_id, r.role)
+            for r in dbscan(pts, eps_km=300.0, min_pts=5).collect()
+        }
+        assert got == want
+        roles = {v[1] for v in want.values()}
+        assert roles == {"core", "border", "noise"}  # all three exercised
+        assert len({v[0] for v in want.values() if v[0] is not None}) >= 2
+
+    def test_antimeridian_blob_is_one_cluster(self, spark):
+        from bufr2geojson_spark.operators.spatial import dbscan
+
+        pts = self._points(spark)
+        out = dbscan(pts, eps_km=300.0, min_pts=5)
+        blob = out.filter((F.col("pid") >= 2000) & (F.col("pid") < 2008))
+        labs = {r.cluster_id for r in blob.collect()}
+        assert len(labs) == 1 and None not in labs
+
+    def test_deterministic_across_partitioning(self, spark):
+        from bufr2geojson_spark.operators.spatial import dbscan
+
+        pts = self._points(spark)
+        a = {(r.pid, r.cluster_id, r.role)
+             for r in dbscan(pts, 300.0, 5).collect()}
+        b = {(r.pid, r.cluster_id, r.role)
+             for r in dbscan(pts.repartition(13), 300.0, 5).collect()}
+        assert a == b
+
+
+class TestBoundaryDistance:
+    def _edges(self, spark):
+        from bufr2geojson_spark.sources.synth import synth_region_polygons
+
+        rows = []
+        for r in synth_region_polygons(spark).collect():
+            ring = [(p.lon, p.lat) for p in r.ring]
+            for i in range(len(ring) - 1):
+                rows.append((r.region_id, ring[i][0], ring[i][1],
+                             ring[i + 1][0], ring[i + 1][1]))
+        return rows, spark.createDataFrame(
+            rows, "region_id string, x1 double, y1 double, "
+                  "x2 double, y2 double")
+
+    def _points(self, spark, n=300):
+        rows = [
+            (i,
+             float((i * 37) % 178 - 89 + ((i * 91) % 10) / 10.0),
+             float((i * 53) % 360 - 180 + ((i * 17) % 10) / 10.0))
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "pid int, lat double, lon double")
+
+    def _brute(self, pts, edges, max_km):
+        import math
+
+        KM = 111.19492664455873
+        best = {}
+        for pid, plat, plon in pts:
+            cosr = math.cos(math.radians(plat))
+            for _, x1, y1, x2, y2 in edges:
+                dlon1 = (x1 - plon + 540.0) % 360.0 - 180.0
+                dlon2 = dlon1 + ((x2 - x1 + 540.0) % 360.0 - 180.0)
+                ax = dlon1 * cosr * KM
+                ay = (y1 - plat) * KM
+                bx = dlon2 * cosr * KM
+                by = (y2 - plat) * KM
+                vx, vy = bx - ax, by - ay
+                l2 = vx * vx + vy * vy
+                t = min(max(-(ax * vx + ay * vy) / l2, 0.0), 1.0) if l2 > 0 else 0.0
+                dx, dy = ax + t * vx, ay + t * vy
+                d = math.floor(math.sqrt(dx * dx + dy * dy) * 100.0 + 0.5) / 100.0
+                if d <= max_km and (pid not in best or d < best[pid]):
+                    best[pid] = d
+        return best
+
+    def test_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.spatial import boundary_distance
+
+        prows, pts = self._points(spark)
+        erows, edges = self._edges(spark)
+        want = self._brute(prows, erows, 500.0)
+        got = {
+            r.pid: r.boundary_km
+            for r in boundary_distance(pts, edges, max_km=500.0).collect()
+        }
+        assert got == want and len(got) > 10
+
+    def test_point_on_edge_is_zero(self, spark):
+        from bufr2geojson_spark.operators.spatial import boundary_distance
+
+        edges = spark.createDataFrame(
+            [("R", 0.0, 10.0, 0.0, 20.0)],
+            "region_id string, x1 double, y1 double, x2 double, y2 double")
+        pts = spark.createDataFrame(
+            [(1, 15.0, 0.0)], "pid int, lat double, lon double")
+        out = boundary_distance(pts, edges, max_km=100.0).collect()
+        assert out[0].boundary_km == 0.0
+
+    def test_plan_is_pure_jvm(self, spark):
+        from bufr2geojson_spark.operators.spatial import boundary_distance
+
+        _, pts = self._points(spark, 8)
+        _, edges = self._edges(spark)
+        plan = (
+            boundary_distance(pts, edges, 300.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
