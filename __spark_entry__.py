@@ -928,6 +928,83 @@ def _sql_geo_boundary_distance():
     """
 
 
+def q_geo_idw_grid(spark, sf_dir):
+    """IDW surface analysis: scattered point values interpolated onto a
+    2-degree grid (explode-to-reachable-nodes + fixed-point weighted agg,
+    pure codegen)."""
+    from bufr2geojson_spark.operators.tiles import idw_grid
+
+    pts = _geo_points(spark, sf_dir)
+    return (
+        idw_grid(pts, value_col="val", grid_deg=2.0, radius_km=300.0)
+        .orderBy("gi", "gj")
+    )
+
+
+_SQL_GEO_IDW = f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    cov AS (
+        SELECT pid, lat, lon, val,
+               floor((lat - {300.0 / KM_PER_DEG!r}) / 2.0)::INT AS ci_lo,
+               floor((lat + {300.0 / KM_PER_DEG!r}) / 2.0)::INT AS ci_hi,
+               floor((lon + 180.0
+                      - {300.0 / KM_PER_DEG!r}
+                        / cos(radians(least(abs(lat)
+                                            + {300.0 / KM_PER_DEG!r},
+                                            89.999)))) / 2.0)::INT AS cj_lo,
+               least(
+                   floor((lon + 180.0
+                          + {300.0 / KM_PER_DEG!r}
+                            / cos(radians(least(abs(lat)
+                                                + {300.0 / KM_PER_DEG!r},
+                                                89.999)))) / 2.0)::INT,
+                   floor((lon + 180.0
+                          - {300.0 / KM_PER_DEG!r}
+                            / cos(radians(least(abs(lat)
+                                                + {300.0 / KM_PER_DEG!r},
+                                                89.999)))) / 2.0)::INT + 179
+               ) AS cj_hi
+        FROM pts
+    ),
+    exi AS (
+        SELECT pid, lat, lon, val, cj_lo, cj_hi,
+               unnest(generate_series(ci_lo, ci_hi)) AS gi
+        FROM cov
+    ),
+    exj AS (
+        SELECT pid, lat, lon, val, gi,
+               ((unnest(generate_series(cj_lo, cj_hi)) % 180) + 180) % 180
+                   AS gj
+        FROM exi
+    ),
+    scored AS (
+        SELECT gi, gj,
+               floor(2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians((gi + 0.5) * 2.0 - lat) / 2), 2)
+                   + cos(radians(lat)) * cos(radians((gi + 0.5) * 2.0))
+                     * pow(sin(radians((gj + 0.5) * 2.0 - 180.0 - lon) / 2),
+                           2)
+               )) * 100.0 + 0.5) / 100.0 AS d,
+               val
+        FROM exj
+        WHERE abs((gi + 0.5) * 2.0) <= 90.0
+    ),
+    wts AS (
+        SELECT gi, gj,
+               floor(1e6 / pow(greatest(d, 1.0), 2.0) + 0.5)::BIGINT AS w,
+               floor(val * 100.0 + 0.5)::BIGINT AS v
+        FROM scored WHERE d <= 300.0
+    )
+    SELECT gi, gj,
+           (gi + 0.5) * 2.0 AS glat,
+           (gj + 0.5) * 2.0 - 180.0 AS glon,
+           count(*) AS n_src,
+           floor((sum(w * v) * 1.0 / sum(w)) / 100.0 * 1e4 + 0.5) / 1e4
+               AS idw_value
+    FROM wts GROUP BY gi, gj ORDER BY gi, gj
+"""
+
+
 def q_geo_range_join(spark, sf_dir):
     """Distance-threshold (range) join: every (point, station) pair within
     800 km — the big-big spatial join (cell-explode equi-join, no UDF, no
@@ -2756,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_range_join": q_geo_range_join,
         "geo_dbscan": q_geo_dbscan,
         "geo_boundary_distance": q_geo_boundary_distance,
+        "geo_idw_grid": q_geo_idw_grid,
         "geo_pip_distributed": q_geo_pip_distributed,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "geo_tile_percentiles": q_geo_tile_percentiles,
@@ -2852,6 +2930,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_range_join": _sql_geo_range_join(),
         "geo_dbscan": _SQL_GEO_DBSCAN,
         "geo_boundary_distance": _sql_geo_boundary_distance(),
+        "geo_idw_grid": _SQL_GEO_IDW,
         "geo_pip_distributed": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,

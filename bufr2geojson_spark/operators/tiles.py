@@ -377,3 +377,102 @@ def range_partition_by_zorder(
     return keyed.repartitionByRange(
         num_partitions, F.col(key_col)
     ).sortWithinPartitions(key_col)
+
+
+# ---------------------------------------------------------------------------
+# IDW gridding: scattered observations -> regular raster (N6 family)
+# ---------------------------------------------------------------------------
+
+
+def idw_grid(
+    points: DataFrame,
+    value_col: str = "val",
+    grid_deg: float = 2.0,
+    radius_km: float = 300.0,
+    power: int = 2,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out_dp: int = 4,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of scattered observations
+    onto a regular lat/lon grid — the classic meteorological surface
+    analysis (vector->raster, the continuous sibling of ``rasterize``).
+
+    Scale shape: each observation is exploded to the grid NODES its
+    ``radius_km`` disc can reach (lat band from the radius, lon band
+    widened by the worst-latitude cos, wrapped modulo the lon node count —
+    the same cover math as ``distance_join``'s station side), then one
+    map-side-combined ``groupBy`` per node. Work and shuffle are
+    O(points x nodes-per-disc); nodes nobody reaches are never
+    materialized, so an ocean of empty grid cells costs nothing. Pure
+    Column arithmetic, no UDF.
+
+    Exactness contract: weights are fixed-point integers
+    (``floor(1e6 / max(d,1km)^p + 0.5)``, distances floor-rounded to 2dp
+    first) and values fixed-point 1e2, so the two aggregated sums are
+    INTEGER sums — bit-exact under any partitioning or aggregation order,
+    and exact in the oracle's float math while the magnitudes stay below
+    2^53 (holds for w<=1e6, |v|<=1e7, <=1e5 sources per node). The 1 km
+    clamp caps the weight of a source sitting on a node (textbook IDW
+    degenerates to infinity there).
+
+    Returns (gi, gj, glat, glon, n_src, idw_value): node indices, node
+    center coordinates, contributing-source count, interpolated value.
+    """
+    from bufr2geojson_spark.operators.spatial import (
+        KM_PER_DEG,
+        haversine_col,
+    )
+
+    g = float(grid_deg)
+    nlon = int(round(360.0 / g))
+    if abs(nlon * g - 360.0) > 1e-9:
+        raise ValueError(f"grid_deg={g} must divide 360 evenly")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    dl = F.lit(radius_km / KM_PER_DEG)
+    ci_lo = F.floor((lat - dl) / g).cast("int")
+    ci_hi = F.floor((lat + dl) / g).cast("int")
+    worst = F.least(F.abs(lat) + dl, F.lit(89.999))
+    dlon = dl / F.cos(F.radians(worst))
+    cj_lo = F.floor((lon + 180.0 - dlon) / g).cast("int")
+    cj_hi = F.floor((lon + 180.0 + dlon) / g).cast("int")
+    cj_hi = F.least(cj_hi, cj_lo + F.lit(nlon - 1))
+
+    ex = (
+        points.withColumn("_gi", F.explode(F.sequence(ci_lo, ci_hi)))
+        .withColumn("_gj_raw", F.explode(F.sequence(cj_lo, cj_hi)))
+        .withColumn("_gj", F.pmod(F.col("_gj_raw"), F.lit(nlon)))
+        .drop("_gj_raw")
+    )
+    glat = (F.col("_gi") + 0.5) * g
+    glon = (F.col("_gj") + 0.5) * g - 180.0
+    d = haversine_col(lat, lon, glat, glon)
+    d = F.floor(d * 100.0 + F.lit(0.5)) / 100.0
+    w_e6 = F.floor(
+        F.lit(1e6) / F.pow(F.greatest(d, F.lit(1.0)), F.lit(float(power)))
+        + F.lit(0.5)
+    ).cast("long")
+    v_e2 = F.floor(F.col(value_col) * 100.0 + F.lit(0.5)).cast("long")
+    m = F.lit(float(10 ** out_dp))
+    return (
+        ex.filter((d <= radius_km) & (F.abs(glat) <= 90.0))
+        .select(
+            "_gi", "_gj",
+            w_e6.alias("_w"), (w_e6 * v_e2).alias("_wv"),
+        )
+        .groupBy(F.col("_gi").alias("gi"), F.col("_gj").alias("gj"))
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.sum("_w").alias("_sw"),
+            F.sum("_wv").alias("_swv"),
+        )
+        .select(
+            "gi", "gj",
+            ((F.col("gi") + 0.5) * g).alias("glat"),
+            ((F.col("gj") + 0.5) * g - 180.0).alias("glon"),
+            "n_src",
+            (F.floor(
+                (F.col("_swv") / F.col("_sw")) / F.lit(100.0) * m + F.lit(0.5)
+            ) / m).alias("idw_value"),
+        )
+    )

@@ -337,3 +337,96 @@ class TestTileMergeAssociativity:
                            "cell")
         full = tile_aggregate(df, cell_col="cell", value_col="v")
         assert canon(left) == canon(right) == canon(full)
+
+
+class TestIdwGrid:
+    def _points(self, spark, n=250):
+        rows = [
+            (i,
+             float((i * 37) % 140 - 70 + ((i * 91) % 10) / 10.0),
+             float((i * 53) % 360 - 180 + ((i * 17) % 10) / 10.0),
+             float((i * 7) % 1000 + ((i * 13) % 100) / 100.0))
+            for i in range(n)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "pid int, lat double, lon double, val double")
+
+    def _brute(self, rows, g, radius, power):
+        import math
+
+        KM = 111.19492664455873
+        nlon = int(round(360.0 / g))
+        acc = {}
+        dl = radius / KM
+        for _, lat, lon, val in rows:
+            ci_lo = math.floor((lat - dl) / g)
+            ci_hi = math.floor((lat + dl) / g)
+            worst = min(abs(lat) + dl, 89.999)
+            dlon = dl / math.cos(math.radians(worst))
+            cj_lo = math.floor((lon + 180.0 - dlon) / g)
+            cj_hi = min(math.floor((lon + 180.0 + dlon) / g),
+                        cj_lo + nlon - 1)
+            for gi in range(ci_lo, ci_hi + 1):
+                glat = (gi + 0.5) * g
+                if abs(glat) > 90.0:
+                    continue
+                for gj_raw in range(cj_lo, cj_hi + 1):
+                    gj = gj_raw % nlon
+                    glon = (gj + 0.5) * g - 180.0
+                    d = 2 * 6371.0 * math.asin(math.sqrt(
+                        math.sin(math.radians(glat - lat) / 2) ** 2
+                        + math.cos(math.radians(lat))
+                        * math.cos(math.radians(glat))
+                        * math.sin(math.radians(glon - lon) / 2) ** 2))
+                    d = math.floor(d * 100.0 + 0.5) / 100.0
+                    if d > radius:
+                        continue
+                    w = math.floor(1e6 / max(d, 1.0) ** power + 0.5)
+                    v = math.floor(val * 100.0 + 0.5)
+                    n, sw, swv = acc.get((gi, gj), (0, 0, 0))
+                    acc[(gi, gj)] = (n + 1, sw + w, swv + w * v)
+        return {
+            k: (n, math.floor((swv / sw) / 100.0 * 1e4 + 0.5) / 1e4)
+            for k, (n, sw, swv) in acc.items()
+        }
+
+    def test_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.tiles import idw_grid
+
+        rows, pts = self._points(spark)
+        want = self._brute(rows, 2.0, 300.0, 2)
+        got = {
+            (r.gi, r.gj): (r.n_src, r.idw_value)
+            for r in idw_grid(pts, grid_deg=2.0, radius_km=300.0).collect()
+        }
+        assert got == want and len(got) > 100
+
+    def test_node_on_point_gets_plateau_weight(self, spark):
+        from bufr2geojson_spark.operators.tiles import idw_grid
+
+        # one point exactly on a node center (grid 2.0: node centers at
+        # odd lats / odd lons): value dominates but stays finite
+        pts = spark.createDataFrame(
+            [(1, 1.0, 1.0, 500.0), (2, 1.4, 1.4, 100.0)],
+            "pid int, lat double, lon double, val double")
+        out = {(r.gi, r.gj): r.idw_value
+               for r in idw_grid(pts, grid_deg=2.0, radius_km=100.0).collect()}
+        v = out[(0, 90)]  # node (1.0, 1.0)
+        assert 100.0 < v < 500.0 and abs(v - 300.0) > 1.0  # weighted, finite
+
+    def test_deterministic_across_partitioning(self, spark):
+        from bufr2geojson_spark.operators.tiles import idw_grid
+
+        _, pts = self._points(spark)
+        a = {(r.gi, r.gj, r.n_src, r.idw_value)
+             for r in idw_grid(pts).collect()}
+        b = {(r.gi, r.gj, r.n_src, r.idw_value)
+             for r in idw_grid(pts.repartition(17)).collect()}
+        assert a == b
+
+    def test_plan_is_pure_jvm(self, spark):
+        from bufr2geojson_spark.operators.tiles import idw_grid
+
+        _, pts = self._points(spark, 8)
+        plan = (idw_grid(pts)._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
