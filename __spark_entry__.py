@@ -1005,6 +1005,130 @@ _SQL_GEO_IDW = f"""
 """
 
 
+def q_event_tile_trend(spark, sf_dir):
+    """Per-cell least-squares trend of event values over time (exact
+    integer moments, closed-form slope)."""
+    from bufr2geojson_spark.operators.tiles import tile_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("cell"), "ts", "value"
+    )
+    return tile_trend(ev, "cell").orderBy("cell")
+
+
+_SQL_EVENT_TILE_TREND = """
+    WITH m AS (
+        SELECT user_id % 25 AS cell,
+               (floor(epoch(ts) / 86400) - 19700)::BIGINT AS x,
+               floor(value * 100.0 + 0.5)::BIGINT AS y
+        FROM events
+    ),
+    agg AS (
+        SELECT cell, count(*) AS n_obs,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        FROM m GROUP BY cell
+    ),
+    s AS (
+        SELECT cell, n_obs,
+               CAST(n_obs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+               (CAST(n_obs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM agg
+    )
+    SELECT cell, n_obs,
+           CASE WHEN den <> 0.0
+                THEN floor((num / den) / 100.0 * 1e6 + 0.5) / 1e6
+                END AS slope_per_day,
+           CASE WHEN den <> 0.0
+                THEN floor(((syd - (num / den) * sxd) / CAST(n_obs AS DOUBLE))
+                           / 100.0 * 1e6 + 0.5) / 1e6
+                END AS intercept
+    FROM s ORDER BY cell
+"""
+
+
+def q_geo_idw_smooth(spark, sf_dir):
+    """3x3 box smoothing over the IDW raster (fixed-point neighborhood
+    mean with longitude wrap, output restricted to existing nodes)."""
+    from bufr2geojson_spark.operators.tiles import idw_grid, raster_smooth
+
+    pts = _geo_points(spark, sf_dir)
+    grid = idw_grid(pts, value_col="val", grid_deg=2.0, radius_km=300.0)
+    return raster_smooth(grid, nlon=180).orderBy("gi", "gj")
+
+
+def _sql_geo_idw_smooth():
+    return f"""
+    WITH idw AS ({_SQL_GEO_IDW}),
+    ex AS (
+        SELECT i.gi + d1.di AS gi,
+               (((i.gj + d2.dj) % 180) + 180) % 180 AS gj,
+               floor(i.idw_value * 1e4 + 0.5)::BIGINT AS v
+        FROM idw i
+        CROSS JOIN (VALUES (-1), (0), (1)) AS d1(di)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS d2(dj)
+    ),
+    sm AS (
+        SELECT gi, gj, count(*) AS n_nb, sum(v)::BIGINT AS sv
+        FROM ex GROUP BY gi, gj
+    )
+    SELECT s.gi, s.gj, s.n_nb,
+           floor((s.sv * 1.0 / s.n_nb) / 1e4 * 1e4 + 0.5) / 1e4 AS smoothed
+    FROM sm s
+    WHERE EXISTS (SELECT 1 FROM idw i WHERE i.gi = s.gi AND i.gj = s.gj)
+    ORDER BY s.gi, s.gj
+    """
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 7 != 0) scanned
+    for 8-gram overlap with the benchmark slice (doc_id % 7 == 0)."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    return T.decontaminate(train, bench, k=8).orderBy("doc_id")
+
+
+_SQL_DECONTAM = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 7),
+                   i -> array_to_string(ws[i:i+7], ' '))) AS gram
+        FROM w
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+    ),
+    hits AS (
+        SELECT g.doc_id, count(*) AS n_contaminated
+        FROM grams g JOIN bench USING (gram)
+        WHERE g.doc_id % 7 <> 0
+        GROUP BY g.doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 7, 0)::BIGINT
+                   AS n_grams
+        FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT b.doc_id, b.n_grams,
+           coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+           CASE WHEN b.n_grams > 0
+                THEN floor(coalesce(h.n_contaminated, 0) * 1.0 / b.n_grams
+                           * 1e4 + 0.5) / 1e4
+                ELSE 0.0 END AS contamination_ratio
+    FROM base b LEFT JOIN hits h USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
 def q_geo_range_join(spark, sf_dir):
     """Distance-threshold (range) join: every (point, station) pair within
     800 km — the big-big spatial join (cell-explode equi-join, no UDF, no
@@ -2834,6 +2958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dbscan": q_geo_dbscan,
         "geo_boundary_distance": q_geo_boundary_distance,
         "geo_idw_grid": q_geo_idw_grid,
+        "geo_idw_smooth": q_geo_idw_smooth,
+        "event_tile_trend": q_event_tile_trend,
+        "decontaminate": q_decontaminate,
         "geo_pip_distributed": q_geo_pip_distributed,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "geo_tile_percentiles": q_geo_tile_percentiles,
@@ -2931,6 +3058,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_dbscan": _SQL_GEO_DBSCAN,
         "geo_boundary_distance": _sql_geo_boundary_distance(),
         "geo_idw_grid": _SQL_GEO_IDW,
+        "geo_idw_smooth": _sql_geo_idw_smooth(),
+        "event_tile_trend": _SQL_EVENT_TILE_TREND,
+        "decontaminate": _SQL_DECONTAM,
         "geo_pip_distributed": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,

@@ -958,3 +958,65 @@ def quota_sample(
         .filter(F.col("quota_rank") <= cap)
         .drop("_qk")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (two-table gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination against a benchmark/eval corpus: for
+    every training document, how many of its word ``k``-grams appear
+    ANYWHERE in the benchmark. The standard pre-release scan (the
+    two-table sibling of ``dup_ngram_spans``): a gram hit means eval
+    content leaked into training data.
+
+    Plan shape: the benchmark side reduces to a DISTINCT set of md5 gram
+    hashes — tiny relative to the training corpus (eval sets are MBs
+    against TBs), so AQE broadcasts it and the per-gram probe is a
+    broadcast semi-join with no shuffle of the training grams at all;
+    with a large benchmark it degrades gracefully to a hash join keyed on
+    the fixed-width hash. Counting is the usual map-side-combined
+    groupBy(doc_id).
+
+    Returns one row per training document:
+    (doc_id, n_grams, n_contaminated, contamination_ratio).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_of(F.col(text_col), k)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gid"))
+    bench_set = (
+        benchmark.select(
+            F.explode(shingles_of(F.col(text_col), k)).alias("gram")
+        )
+        .select(F.md5("gram").alias("gid"))
+        .distinct()
+    )
+    hits = (
+        grams.join(bench_set, "gid", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.size(words_of(F.col(text_col))) - F.lit(k - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_hit.alias("n_contaminated"),
+        F.when(
+            F.col("n_grams") > 0, round_dp(n_hit / F.col("n_grams"), 4)
+        ).otherwise(F.lit(0.0)).alias("contamination_ratio"),
+    )

@@ -476,3 +476,131 @@ def idw_grid(
             ) / m).alias("idw_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-tile temporal trend (least-squares slope, exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+def tile_trend(
+    obs: DataFrame,
+    cell_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ref_day: int = 19700,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-cell least-squares trend of a value over time (the
+    warming-trend-per-tile analysis): one map-side-combined groupBy
+    computing the four classic moments, then the closed-form slope.
+
+    Exactness contract: time is reduced to integer DAY indices relative
+    to ``ref_day`` and values to fixed-point 1e2, so all four moments
+    (sum x, sum y, sum xy, sum x^2) are INTEGER sums — bit-exact under
+    any partitioning. The slope combination is then evaluated in doubles
+    with one fixed association, so engine and oracle compute the
+    identical IEEE expression. Keeping x in days (not epoch seconds)
+    keeps sum(x^2) far from the int64 ANSI-overflow cliff.
+
+    Returns (cell, n_obs, slope_per_day, intercept) with null slope for
+    degenerate cells (all observations on one day).
+    """
+    # unix_timestamp: NTZ parquet timestamps (timestamp[us], no zone)
+    # can't cast straight to double; unix_timestamp truncates to whole
+    # seconds, and floor(floor(s)/86400) == floor(s/86400) for s >= 0 so
+    # the DAY index still matches the oracle's fractional epoch()
+    x = (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+         - F.lit(ref_day)).cast("long")
+    y = F.floor(F.col(value_col) * 100.0 + F.lit(0.5)).cast("long")
+    m = (
+        obs.select(F.col(cell_col).alias("cell"), x.alias("_x"),
+                   y.alias("_y"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+    )
+    n = F.col("n_obs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den          # in value_e2 per day
+    intercept = (sy - slope * sx) / n          # value_e2 at ref_day
+    p = F.lit(float(10 ** out_dp))
+    return m.select(
+        "cell", "n_obs",
+        F.when(
+            den != 0.0, F.floor(slope / 100.0 * p + F.lit(0.5)) / p
+        ).alias("slope_per_day"),
+        F.when(
+            den != 0.0, F.floor(intercept / 100.0 * p + F.lit(0.5)) / p
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster box smoothing (3x3 neighborhood mean with lon wrap)
+# ---------------------------------------------------------------------------
+
+
+def raster_smooth(
+    grid: DataFrame,
+    nlon: int,
+    gi_col: str = "gi",
+    gj_col: str = "gj",
+    value_col: str = "idw_value",
+    val_dp: int = 4,
+    out_dp: int = 4,
+) -> DataFrame:
+    """3x3 box-mean smoothing over a sparse regular grid (the standard
+    post-pass after ``idw_grid``): each node's value is scattered to its
+    nine (di, dj) neighbor positions — longitudes wrapping modulo
+    ``nlon`` — and one groupBy per target node averages whatever actually
+    arrived, so sparse borders average over existing neighbors only and
+    empty ocean never materializes.
+
+    Values are re-quantized to their declared ``val_dp`` fixed point
+    before summing (an ``idw_value`` is a 4dp floor, so the long is
+    recovered exactly), keeping the aggregation an integer sum —
+    bit-exact under any partitioning. Scale shape: 9x explode + one
+    shuffle keyed on the node, then a semi-join back so output nodes are
+    exactly the input nodes (no halo dilation); no UDF, no window over
+    the whole grid.
+
+    Returns (gi, gj, n_nb, smoothed).
+    """
+    v = F.floor(
+        F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
+    ).cast("long")
+    ex = (
+        grid.select(F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
+                    v.alias("_v"))
+        .withColumn("_di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("_dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            (F.col("_i") + F.col("_di")).alias("gi"),
+            F.pmod(F.col("_j") + F.col("_dj"), F.lit(nlon)).alias("gj"),
+            "_v",
+        )
+    )
+    p = F.lit(float(10 ** out_dp))
+    scale = F.lit(float(10 ** val_dp))
+    nodes = grid.select(F.col(gi_col).alias("gi"), F.col(gj_col).alias("gj"))
+    return (
+        ex.groupBy("gi", "gj")
+        .agg(F.count(F.lit(1)).alias("n_nb"), F.sum("_v").alias("_sv"))
+        .join(nodes, ["gi", "gj"], "left_semi")
+        .select(
+            "gi", "gj", "n_nb",
+            (F.floor(
+                (F.col("_sv") / F.col("n_nb")) / scale * p + F.lit(0.5)
+            ) / p).alias("smoothed"),
+        )
+    )

@@ -575,3 +575,41 @@ class TestQuotaSample:
              for r in T.quota_sample(
                  docs.repartition(17), "source", cap=3).collect()}
         assert a == b and len(a) > 0
+
+
+class TestDecontaminate:
+    def test_matches_bruteforce(self, spark, docs):
+        d = docs.limit(120)
+        rows = d.select("doc_id", "text").collect()
+        k = 8
+        bench_rows = [r for r in rows if r.doc_id % 7 == 0]
+        train_rows = [r for r in rows if r.doc_id % 7 != 0]
+        bench_grams = set()
+        for r in bench_rows:
+            ws = r.text.split(" ")
+            bench_grams.update(" ".join(ws[i:i + k])
+                               for i in range(len(ws) - k + 1))
+        expect = {}
+        for r in train_rows:
+            ws = r.text.split(" ")
+            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+            hit = sum(1 for g in grams if g in bench_grams)
+            n = len(grams)
+            ratio = (int(hit / n * 1e4 + 0.5) / 1e4) if n else 0.0
+            expect[r.doc_id] = (n, hit, ratio)
+        train = d.filter(F.col("doc_id") % 7 != 0)
+        bench = d.filter(F.col("doc_id") % 7 == 0)
+        got = {
+            r.doc_id: (r.n_grams, r.n_contaminated, r.contamination_ratio)
+            for r in T.decontaminate(train, bench, k=k).collect()
+        }
+        assert got == expect
+        assert any(v[1] > 0 for v in expect.values())  # near-dups leak grams
+
+    def test_clean_corpus_scores_zero(self, spark):
+        train = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(2, "q r s t u v w x y z")], "doc_id long, text string")
+        out = T.decontaminate(train, bench, k=8).collect()
+        assert out[0].n_contaminated == 0 and out[0].contamination_ratio == 0.0

@@ -430,3 +430,94 @@ class TestIdwGrid:
         _, pts = self._points(spark, 8)
         plan = (idw_grid(pts)._jdf.queryExecution().executedPlan().toString())
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestTileTrend:
+    def test_exact_linear_signal_recovers_slope(self, spark):
+        from datetime import datetime, timedelta
+
+        from bufr2geojson_spark.operators.tiles import tile_trend
+
+        base = datetime(2024, 1, 1)
+        rows = []
+        for d in range(10):
+            rows.append(("A", base + timedelta(days=d), 10.0 + 2.5 * d))
+            rows.append(("B", base + timedelta(days=d), 50.0 - 1.25 * d))
+        rows.append(("C", base, 7.0))  # degenerate: single day
+        df = spark.createDataFrame(rows, "cell string, ts timestamp, value double")
+        got = {r.cell: (r.n_obs, r.slope_per_day, r.intercept)
+               for r in tile_trend(df, "cell").collect()}
+        assert got["A"][1] == 2.5 and got["B"][1] == -1.25
+        assert got["C"][1] is None and got["C"][2] is None
+        # intercept is the value at ref_day 19700; day index of 2024-01-01
+        # is 19723, so intercept_A = 10 - 2.5*19723... relative to ref:
+        # x = day - 19700 = 23..32 -> intercept at x=0 is 10 - 2.5*23
+        assert got["A"][2] == 10.0 - 2.5 * 23
+
+    def test_matches_bruteforce_on_events(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.tiles import tile_trend
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        df = ev.select((F.col("user_id") % 10).alias("cell"), "ts", "value")
+        rows = df.collect()
+        acc = {}
+        for r in rows:
+            x = math.floor(r.ts.timestamp() / 86400) - 19700
+            y = math.floor(r.value * 100.0 + 0.5)
+            n, sx, sy, sxy, sxx = acc.get(r.cell, (0, 0, 0, 0, 0))
+            acc[r.cell] = (n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x)
+        want = {}
+        for c, (n, sx, sy, sxy, sxx) in acc.items():
+            den = float(n) * float(sxx) - float(sx) * float(sx)
+            if den == 0.0:
+                want[c] = (n, None, None)
+                continue
+            slope = (float(n) * float(sxy) - float(sx) * float(sy)) / den
+            inter = (float(sy) - slope * float(sx)) / float(n)
+            want[c] = (n,
+                       math.floor(slope / 100.0 * 1e6 + 0.5) / 1e6,
+                       math.floor(inter / 100.0 * 1e6 + 0.5) / 1e6)
+        got = {r.cell: (r.n_obs, r.slope_per_day, r.intercept)
+               for r in tile_trend(df, "cell").collect()}
+        assert got == want and len(got) == 10
+
+
+class TestRasterSmooth:
+    def test_matches_bruteforce_with_wrap(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.tiles import raster_smooth
+
+        nlon = 8
+        # sparse grid incl. wrap column 0 and 7
+        cells = [(0, 0, 1.0), (0, 7, 2.0), (1, 0, 3.0), (2, 3, 10.0),
+                 (0, 1, 4.0), (-1, 7, 6.0)]
+        df = spark.createDataFrame(cells, "gi int, gj int, idw_value double")
+        got = {(r.gi, r.gj): (r.n_nb, r.smoothed)
+               for r in raster_smooth(df, nlon=nlon).collect()}
+        vals = {(i, j): v for i, j, v in cells}
+        want = {}
+        for (i, j) in vals:
+            acc = []
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    nb = (i - di, (j - dj) % nlon)  # who scatters INTO (i,j)
+                    if nb in vals:
+                        acc.append(math.floor(vals[nb] * 1e4 + 0.5))
+            want[(i, j)] = (len(acc),
+                            math.floor(sum(acc) / len(acc) / 1e4 * 1e4 + 0.5)
+                            / 1e4)
+        assert got == want
+        # wrap actually exercised: (0,0) must see (0,7) and (-1,7)
+        assert want[(0, 0)][0] >= 4
+
+    def test_uniform_field_is_fixed_point(self, spark):
+        from bufr2geojson_spark.operators.tiles import raster_smooth
+
+        df = spark.createDataFrame(
+            [(i, j, 5.0) for i in range(3) for j in range(3)],
+            "gi int, gj int, idw_value double")
+        out = raster_smooth(df, nlon=360).collect()
+        assert all(r.smoothed == 5.0 for r in out) and len(out) == 9
