@@ -186,6 +186,9 @@ def headline_queries() -> list[str]:
         "embedding_near_dup_lsh",
         "engine_decode",
         "engine_tiles",
+        "geo_dbscan",
+        "geo_idw_grid",
+        "decontaminate",
     ]
 
 
