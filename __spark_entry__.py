@@ -1129,6 +1129,98 @@ _SQL_DECONTAM = """
 """
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing with deterministic injected identifiers (the synth
+    corpus is word salad, so the query plants emails/IPs/phones itself —
+    identically on the oracle side — and verifies counts + the redacted
+    text's md5)."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            k % 5 == 0,
+            F.concat(F.col("text"), F.lit(" contact: user"), k,
+                     F.lit("@example.com soon")),
+        )
+        .when(
+            k % 7 == 0,
+            F.concat(F.col("text"), F.lit(" from 10.2."), (k % 250),
+                     F.lit(".17 dial +1 (555) 010-4242 now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        T.redact_pii(injected)
+        .select("doc_id", "n_emails", "n_ips", "n_phones",
+                F.md5("text_redacted").alias("redacted_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_redact_pii():
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+    return f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact: user' || doc_id
+                         || '@example.com soon'
+                    WHEN doc_id % 7 = 0
+                    THEN text || ' from 10.2.' || (doc_id % 250)
+                         || '.17 dial +1 (555) 010-4242 now'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    stages AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+        FROM injected
+    ),
+    stages2 AS (
+        SELECT doc_id, text, t1,
+               regexp_replace(t1, '{ipv4}', '<IP>', 'g') AS t2
+        FROM stages
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{email}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t1, '{ipv4}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(t2, '{phone}'))::BIGINT AS n_phones,
+           md5(regexp_replace(t2, '{phone}', '<PHONE>', 'g'))
+               AS redacted_md5
+    FROM stages2 ORDER BY doc_id
+    """
+
+
+def q_event_value_histogram(spark, sf_dir):
+    """Per-event-type fixed-bin value histogram (algebraic: partial counts
+    add, so it map-side-combines and merges like tile_merge)."""
+    from bufr2geojson_spark.operators.tiles import tile_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return tile_histogram(
+        ev, "event_type", "value", lo=0.0, hi=100.0, n_bins=10
+    ).orderBy("cell", "bin")
+
+
+_SQL_EVENT_VALUE_HIST = """
+    WITH b AS (
+        SELECT event_type AS cell,
+               least(greatest(floor((value - 0.0) / 10.0), 0), 9)::INTEGER
+                   AS bin
+        FROM events
+    )
+    SELECT cell, bin,
+           0.0 + bin * 10.0 AS bin_lo,
+           0.0 + (bin + 1) * 10.0 AS bin_hi,
+           count(*) AS n
+    FROM b GROUP BY cell, bin ORDER BY cell, bin
+"""
+
+
 def q_geo_range_join(spark, sf_dir):
     """Distance-threshold (range) join: every (point, station) pair within
     800 km — the big-big spatial join (cell-explode equi-join, no UDF, no
@@ -2961,6 +3053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_idw_smooth": q_geo_idw_smooth,
         "event_tile_trend": q_event_tile_trend,
         "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
+        "event_value_histogram": q_event_value_histogram,
         "geo_pip_distributed": q_geo_pip_distributed,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "geo_tile_percentiles": q_geo_tile_percentiles,
@@ -3061,6 +3155,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_idw_smooth": _sql_geo_idw_smooth(),
         "event_tile_trend": _SQL_EVENT_TILE_TREND,
         "decontaminate": _SQL_DECONTAM,
+        "redact_pii": _sql_redact_pii(),
+        "event_value_histogram": _SQL_EVENT_VALUE_HIST,
         "geo_pip_distributed": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,

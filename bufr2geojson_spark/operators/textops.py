@@ -1020,3 +1020,50 @@ def decontaminate(
             F.col("n_grams") > 0, round_dp(n_hit / F.col("n_grams"), 4)
         ).otherwise(F.lit(0.0)).alias("contamination_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-release scrubbing)
+# ---------------------------------------------------------------------------
+
+# patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# interpret identically — no backrefs, no lookaround
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing before a data release: count and redact emails, IPv4
+    addresses, and phone-like digit runs. Pure JVM regexes (regexp_count /
+    regexp_replace inside whole-stage codegen) — a narrow projection with
+    no shuffle at all, so it rides the scan's partitioning at any corpus
+    size. Patterns use only syntax RE2 and Java regex agree on, so the
+    DuckDB oracle sees the identical language.
+
+    Replacement order matters and is fixed (emails, then IPs, then
+    phones) so a token never double-counts: the redaction placeholders
+    contain no digits or '@'. Returns
+    (doc_id, n_emails, n_ips, n_phones, text_redacted).
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), F.lit(PII_IPV4)
+        ).cast("long").alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+                PII_IPV4, "<IP>",
+            ),
+            F.lit(PII_PHONE),
+        ).cast("long").alias("n_phones"),
+        red.alias("text_redacted"),
+    )

@@ -604,3 +604,54 @@ def raster_smooth(
             ) / p).alias("smoothed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-tile fixed-bin histograms
+# ---------------------------------------------------------------------------
+
+
+def tile_histogram(
+    obs: DataFrame,
+    cell_col: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-cell fixed-width histogram of a value column — the mergeable
+    distribution summary (unlike exact quantiles, fixed-bin counts are
+    algebraic: partial counts add, so the groupBy map-side-combines and
+    two histograms merge by addition — the same property ``tile_merge``
+    exploits for continuous aggregates).
+
+    Bin rule: ``floor((v - lo) / w)`` clamped into [0, n_bins-1], so
+    values at/under ``lo`` land in bin 0 and at/over ``hi`` in the last
+    bin (no dropped outliers — a histogram that silently discards tails
+    misreports the distribution). One shuffle keyed on (cell, bin).
+
+    Returns (cell, bin, bin_lo, bin_hi, n).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    w = (float(hi) - float(lo)) / n_bins
+    if w <= 0:
+        raise ValueError("hi must be > lo")
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        obs.select(F.col(cell_col).alias("cell"), b.alias("bin"))
+        .groupBy("cell", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell", "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "n",
+        )
+    )

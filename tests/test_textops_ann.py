@@ -613,3 +613,35 @@ class TestDecontaminate:
             [(2, "q r s t u v w x y z")], "doc_id long, text string")
         out = T.decontaminate(train, bench, k=8).collect()
         assert out[0].n_contaminated == 0 and out[0].contamination_ratio == 0.0
+
+
+class TestRedactPii:
+    def test_counts_and_redaction(self, spark):
+        rows = [
+            (1, "write to alice.smith+x@corp.example.org or bob@ex.io now"),
+            (2, "server 10.0.42.7 and 192.168.1.255 replied"),
+            (3, "call +1 (555) 010-4242 today"),
+            (4, "clean text with no identifiers at all"),
+            (5, "mixed: eve@ex.io from 172.16.0.9 dial 0711 555 0199 ok"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in T.redact_pii(d).collect()}
+        assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (2, 0, 0)
+        assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 2, 0)
+        assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 1)
+        assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
+        assert (got[5].n_emails, got[5].n_ips, got[5].n_phones) == (1, 1, 1)
+        assert "<EMAIL>" in got[1].text_redacted
+        assert "@" not in got[1].text_redacted
+        assert "<IP>" in got[2].text_redacted
+        assert "192" not in got[2].text_redacted
+        assert "<PHONE>" in got[3].text_redacted
+        assert "555" not in got[3].text_redacted
+        assert got[4].text_redacted == rows[3][1]
+
+    def test_plan_has_no_shuffle_or_udf(self, spark):
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (T.redact_pii(d)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

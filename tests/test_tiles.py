@@ -521,3 +521,40 @@ class TestRasterSmooth:
             "gi int, gj int, idw_value double")
         out = raster_smooth(df, nlon=360).collect()
         assert all(r.smoothed == 5.0 for r in out) and len(out) == 9
+
+
+class TestTileHistogram:
+    def test_matches_bruteforce_and_clamps(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.tiles import tile_histogram
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        df = ev.select("event_type", "value")
+        rows = df.collect()
+        want = {}
+        for r in rows:
+            b = min(max(math.floor((r.value - 0.0) / 10.0), 0), 9)
+            want[(r.event_type, b)] = want.get((r.event_type, b), 0) + 1
+        got = {
+            (r.cell, r.bin): r.n
+            for r in tile_histogram(df, "event_type", "value",
+                                    lo=0.0, hi=100.0, n_bins=10).collect()
+        }
+        assert got == want
+        # totals preserved (clamping drops nothing)
+        assert sum(got.values()) == len(rows)
+
+    def test_bin_edges(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_histogram
+
+        d = spark.createDataFrame(
+            [("A", -5.0), ("A", 0.0), ("A", 9.99), ("A", 10.0),
+             ("A", 99.99), ("A", 100.0), ("A", 1e9)],
+            "cell string, value double")
+        out = {r.bin: (r.bin_lo, r.bin_hi, r.n)
+               for r in tile_histogram(d, "cell", "value",
+                                       lo=0.0, hi=100.0, n_bins=10).collect()}
+        assert out[0] == (0.0, 10.0, 3)   # -5, 0, 9.99
+        assert out[1] == (10.0, 20.0, 1)  # 10.0
+        assert out[9] == (90.0, 100.0, 3)  # 99.99, 100, 1e9 clamped
