@@ -813,8 +813,8 @@ def q_geo_pip_distributed(spark, sf_dir):
 def q_geo_dbscan(spark, sf_dir):
     """Distributed DBSCAN over the deterministic geo points: eps-graph via
     the cell-explode distance join, cores by degree count, clusters by
-    connected components (min-label + pointer doubling), borders attached
-    to the min neighboring core's cluster."""
+    connected components (large-star/small-star contraction), borders
+    attached to the min neighboring core's cluster."""
     pts = _geo_points(spark, sf_dir).select("pid", "lat", "lon")
     return dbscan(
         pts, eps_km=400.0, min_pts=4, grid_deg=10.0
@@ -991,7 +991,8 @@ _SQL_GEO_IDW = f"""
     ),
     wts AS (
         SELECT gi, gj,
-               floor(1e6 / pow(greatest(d, 1.0), 2.0) + 0.5)::BIGINT AS w,
+               greatest(floor(1e6 / pow(greatest(d, 1.0), 2.0) + 0.5),
+                        1)::BIGINT AS w,
                floor(val * 100.0 + 0.5)::BIGINT AS v
         FROM scored WHERE d <= 300.0
     )

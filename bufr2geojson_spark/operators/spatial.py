@@ -456,6 +456,49 @@ def knn_join(
 KM_PER_DEG = 111.19492664455873
 
 
+def _grid_nlon(grid_deg: float) -> int:
+    """Longitude cell count for an evenly-dividing grid (shared guard)."""
+    nlon = int(round(360.0 / grid_deg))
+    if abs(nlon * grid_deg - 360.0) > 1e-9:
+        raise ValueError(f"grid_deg={grid_deg} must divide 360 evenly")
+    return nlon
+
+
+def _point_cell_cols(lat, lon, grid_deg: float, nlon: int):
+    """(ci, cj) grid cell of a point — cj wrapped modulo the lon count."""
+    g = float(grid_deg)
+    return (
+        F.floor(lat / g).cast("int"),
+        F.pmod(F.floor((lon + 180.0) / g).cast("int"), nlon),
+    )
+
+
+def _disc_cell_cover(lat_lo, lat_hi, lon_lo, lon_hi,
+                     radius_km: float, grid_deg: float, nlon: int):
+    """(ci_lo, ci_hi, cj_lo, cj_hi) of every grid cell a ``radius_km``-
+    padded lat/lon box can touch — THE cover rule shared by
+    ``distance_join`` (station point), ``boundary_distance`` (edge bbox)
+    and ``tiles.idw_grid`` (observation disc), kept in one place so the
+    pole clamp / worst-latitude lon widening / full-circle cap can't
+    drift apart. The lon span widens by the worst (highest-|lat|) corner
+    reachable within the radius; cj_hi is capped at one full circle so
+    the modulo wrap never duplicates a cell."""
+    g = float(grid_deg)
+    dl = F.lit(radius_km / KM_PER_DEG)
+    ci_lo = F.floor((lat_lo - dl) / g).cast("int")
+    ci_hi = F.floor((lat_hi + dl) / g).cast("int")
+    worst = F.least(
+        F.greatest(F.abs(lat_lo), F.abs(lat_hi)) + dl, F.lit(89.999)
+    )
+    dlon = dl / F.cos(F.radians(worst))
+    cj_lo = F.floor((lon_lo + 180.0 - dlon) / g).cast("int")
+    cj_hi = F.least(
+        F.floor((lon_hi + 180.0 + dlon) / g).cast("int"),
+        cj_lo + F.lit(nlon - 1),
+    )
+    return ci_lo, ci_hi, cj_lo, cj_hi
+
+
 def haversine_col(lat1, lon1, lat2, lon2):
     """Haversine distance as a Column expression (km). Term order and
     association mirror the SQL-oracle formula exactly so both engines
@@ -503,37 +546,20 @@ def distance_join(
     rounded outputs of the other geo queries). ``dist_dp=None`` filters raw.
     """
     st_id, st_lat, st_lon = st_cols
-    g = float(grid_deg)
-    nlon = int(round(360.0 / g))
-    if abs(nlon * g - 360.0) > 1e-9:
-        raise ValueError(f"grid_deg={g} must divide 360 evenly")
+    nlon = _grid_nlon(grid_deg)
 
-    p = points.withColumn(
-        "_ci", F.floor(F.col(lat_col) / g).cast("int")
-    ).withColumn(
-        "_cj",
-        F.pmod(F.floor((F.col(lon_col) + 180.0) / g).cast("int"), nlon),
-    )
+    ci, cj = _point_cell_cols(F.col(lat_col), F.col(lon_col), grid_deg, nlon)
+    p = points.withColumn("_ci", ci).withColumn("_cj", cj)
 
     s = stations.select(
         F.col(st_id).alias("_sid"),
         F.col(st_lat).alias("_slat"),
         F.col(st_lon).alias("_slon"),
     )
-    dlat_deg = F.lit(radius_km / KM_PER_DEG)
-    ci_lo = F.floor((F.col("_slat") - dlat_deg) / g).cast("int")
-    ci_hi = F.floor((F.col("_slat") + dlat_deg) / g).cast("int")
-    # worst-case |lat| anywhere in the disc governs the lon span
-    worst_lat = F.least(
-        F.greatest(F.abs(F.col("_slat")) + dlat_deg, F.lit(0.0)),
-        F.lit(89.999),
+    ci_lo, ci_hi, cj_lo, cj_hi = _disc_cell_cover(
+        F.col("_slat"), F.col("_slat"), F.col("_slon"), F.col("_slon"),
+        radius_km, grid_deg, nlon,
     )
-    dlon_deg = F.lit(radius_km / KM_PER_DEG) / F.cos(F.radians(worst_lat))
-    cj_lo = F.floor((F.col("_slon") + 180.0 - dlon_deg) / g).cast("int")
-    cj_hi = F.floor((F.col("_slon") + 180.0 + dlon_deg) / g).cast("int")
-    # span >= full circle -> one copy of every lon cell (no duplicates after
-    # the modulo wrap)
-    cj_hi = F.least(cj_hi, cj_lo + F.lit(nlon - 1))
     s = (
         s.withColumn("_ci", F.explode(F.sequence(ci_lo, ci_hi)))
         .withColumn("_cj_raw", F.explode(F.sequence(cj_lo, cj_hi)))
@@ -727,8 +753,9 @@ def dbscan(
        (``|N_eps(p)| >= min_pts`` counting the point itself, the textbook
        definition).
     3. clusters = ``connected_components`` over CORE-CORE edges only
-       (min-label propagation + pointer doubling, O(log diameter) rounds —
-       eps-graphs are chain-shaped, which is why the compression matters).
+       (alternating large-star/small-star contraction, O(log^2 n) rounds
+       on any graph — eps-graphs are exactly the random-id geometric
+       graphs where min-label propagation degenerates to O(diameter)).
     4. border points attach to ``min`` neighboring core's cluster —
        deterministic under any partitioning (plain DBSCAN is order-dependent
        for shared borders; min-label makes the output a pure function of
@@ -736,7 +763,9 @@ def dbscan(
 
     Returns one row per input point: (id, cluster_id, role) with
     ``role in ('core','border','noise')`` and ``cluster_id`` = min core
-    point id in the cluster (null for noise).
+    point id in the cluster (null for noise). The result is materialized
+    (``localCheckpoint``) before returning so the candidate-pair cache can
+    be released — callers get a settled table, not a live plan over it.
     """
     from bufr2geojson_spark.operators.textops import connected_components
 
@@ -756,11 +785,17 @@ def dbscan(
         .select(F.col("_id").alias("a"), F.col("st__id").alias("b"))
         .persist()
     )
-    core = (
-        pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_nb"))
-        .filter(F.col("n_nb") + 1 >= min_pts)
-        .select("a")
-    )
+    if min_pts <= 1:
+        # textbook rule counts the point itself, so EVERY point is core —
+        # including isolated ones that never appear in the pairs graph
+        # (each becomes its own singleton cluster)
+        core = pts.select(F.col("_id").alias("a"))
+    else:
+        core = (
+            pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_nb"))
+            .filter(F.col("n_nb") + 1 >= min_pts)
+            .select("a")
+        )
     core_edges = (
         pairs.join(core, "a", "left_semi")
         .join(core.withColumnRenamed("a", "b"), "b", "left_semi")
@@ -791,14 +826,17 @@ def dbscan(
     lab = core_lab.withColumn("role", F.lit("core")).unionByName(
         border_lab.withColumn("role", F.lit("border"))
     )
-    return (
+    out = (
         pts.join(lab, pts["_id"] == lab["id"], "left")
         .select(
             pts["_id"].alias(id_col),
             lab["cluster_id"],
             F.coalesce(lab["role"], F.lit("noise")).alias("role"),
         )
+        .localCheckpoint()  # settle the result so the pair cache can go
     )
+    pairs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -842,38 +880,32 @@ def boundary_distance(
     point + segment together span more than 180 degrees, interpolating it
     through the wrong side of the globe), so the frame is valid for any
     edge that itself spans < 180 degrees.
+
+    ``id_col`` must be unique per point (the result is keyed on it);
+    returns (id_col, dist_col).
     """
     x1c, y1c, x2c, y2c = edge_cols
-    g = float(grid_deg)
-    nlon = int(round(360.0 / g))
-    if abs(nlon * g - 360.0) > 1e-9:
-        raise ValueError(f"grid_deg={g} must divide 360 evenly")
+    nlon = _grid_nlon(grid_deg)
 
-    p = points.withColumn(
-        "_ci", F.floor(F.col(lat_col) / g).cast("int")
-    ).withColumn(
-        "_cj",
-        F.pmod(F.floor((F.col(lon_col) + 180.0) / g).cast("int"), nlon),
-    )
+    # internal aliases: the point frame contributes nothing by name to the
+    # join, so edge tables may carry any column names (incl. 'lat'/'pid')
+    ci, cj = _point_cell_cols(F.col("_plat"), F.col("_plon"),
+                              grid_deg, nlon)
+    p = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lat_col).alias("_plat"),
+        F.col(lon_col).alias("_plon"),
+    ).withColumn("_ci", ci).withColumn("_cj", cj)
 
     x1, y1, x2, y2 = (F.col(c) for c in (x1c, y1c, x2c, y2c))
     # normalize x2 into x1's frame so the bbox of an antimeridian-crossing
     # edge stays contiguous
     x2n = x1 + F.pmod(x2 - x1 + 540.0, F.lit(360.0)) - 180.0
-    dlat_deg = F.lit(max_km / KM_PER_DEG)
-    ci_lo = F.floor((F.least(y1, y2) - dlat_deg) / g).cast("int")
-    ci_hi = F.floor((F.greatest(y1, y2) + dlat_deg) / g).cast("int")
-    worst_lat = F.least(
-        F.greatest(F.abs(y1), F.abs(y2)) + dlat_deg, F.lit(89.999)
+    ci_lo, ci_hi, cj_lo, cj_hi = _disc_cell_cover(
+        F.least(y1, y2), F.greatest(y1, y2),
+        F.least(x1, x2n), F.greatest(x1, x2n),
+        max_km, grid_deg, nlon,
     )
-    dlon_deg = dlat_deg / F.cos(F.radians(worst_lat))
-    cj_lo = F.floor(
-        (F.least(x1, x2n) + 180.0 - dlon_deg) / g
-    ).cast("int")
-    cj_hi = F.floor(
-        (F.greatest(x1, x2n) + 180.0 + dlon_deg) / g
-    ).cast("int")
-    cj_hi = F.least(cj_hi, cj_lo + F.lit(nlon - 1))
     e = (
         edges.withColumn("_ci", F.explode(F.sequence(ci_lo, ci_hi)))
         .withColumn("_cj_raw", F.explode(F.sequence(cj_lo, cj_hi)))
@@ -881,7 +913,7 @@ def boundary_distance(
         .drop("_cj_raw")
     )
 
-    plat, plon = F.col(lat_col), F.col(lon_col)
+    plat, plon = F.col("_plat"), F.col("_plon")
     cosr = F.cos(F.radians(plat))
     km = F.lit(KM_PER_DEG)
     dlon1 = F.pmod(F.col(x1c) - plon + 540.0, F.lit(360.0)) - 180.0
@@ -907,6 +939,6 @@ def boundary_distance(
         p.join(e, on=["_ci", "_cj"])
         .withColumn("_bd", d)
         .filter(F.col("_bd") <= max_km)
-        .groupBy(*[c for c in points.columns])
+        .groupBy(F.col("_pid").alias(id_col))
         .agg(F.min("_bd").alias(dist_col))
     )

@@ -408,35 +408,31 @@ def idw_grid(
     Column arithmetic, no UDF.
 
     Exactness contract: weights are fixed-point integers
-    (``floor(1e6 / max(d,1km)^p + 0.5)``, distances floor-rounded to 2dp
-    first) and values fixed-point 1e2, so the two aggregated sums are
-    INTEGER sums — bit-exact under any partitioning or aggregation order,
-    and exact in the oracle's float math while the magnitudes stay below
-    2^53 (holds for w<=1e6, |v|<=1e7, <=1e5 sources per node). The 1 km
-    clamp caps the weight of a source sitting on a node (textbook IDW
-    degenerates to infinity there).
+    (``max(floor(1e6 / max(d,1km)^p + 0.5), 1)``, distances floor-rounded
+    to 2dp first) and values fixed-point 1e2, so the two aggregated sums
+    are INTEGER sums — bit-exact under any partitioning or aggregation
+    order, and exact in the oracle's float math while the magnitudes stay
+    below 2^53 (holds for w<=1e6, |v|<=1e7, <=1e5 sources per node). The
+    1 km clamp caps the weight of a source sitting on a node (textbook
+    IDW degenerates to infinity there), and the floor of 1 stops distant
+    sources underflowing to weight 0 (d^p > 2e6 — e.g. power=3 beyond
+    ~126 km — would otherwise zero every contributor and emit NaN).
 
     Returns (gi, gj, glat, glon, n_src, idw_value): node indices, node
     center coordinates, contributing-source count, interpolated value.
     """
     from bufr2geojson_spark.operators.spatial import (
-        KM_PER_DEG,
+        _disc_cell_cover,
+        _grid_nlon,
         haversine_col,
     )
 
     g = float(grid_deg)
-    nlon = int(round(360.0 / g))
-    if abs(nlon * g - 360.0) > 1e-9:
-        raise ValueError(f"grid_deg={g} must divide 360 evenly")
+    nlon = _grid_nlon(grid_deg)
     lat, lon = F.col(lat_col), F.col(lon_col)
-    dl = F.lit(radius_km / KM_PER_DEG)
-    ci_lo = F.floor((lat - dl) / g).cast("int")
-    ci_hi = F.floor((lat + dl) / g).cast("int")
-    worst = F.least(F.abs(lat) + dl, F.lit(89.999))
-    dlon = dl / F.cos(F.radians(worst))
-    cj_lo = F.floor((lon + 180.0 - dlon) / g).cast("int")
-    cj_hi = F.floor((lon + 180.0 + dlon) / g).cast("int")
-    cj_hi = F.least(cj_hi, cj_lo + F.lit(nlon - 1))
+    ci_lo, ci_hi, cj_lo, cj_hi = _disc_cell_cover(
+        lat, lat, lon, lon, radius_km, grid_deg, nlon
+    )
 
     ex = (
         points.withColumn("_gi", F.explode(F.sequence(ci_lo, ci_hi)))
@@ -448,9 +444,12 @@ def idw_grid(
     glon = (F.col("_gj") + 0.5) * g - 180.0
     d = haversine_col(lat, lon, glat, glon)
     d = F.floor(d * 100.0 + F.lit(0.5)) / 100.0
-    w_e6 = F.floor(
-        F.lit(1e6) / F.pow(F.greatest(d, F.lit(1.0)), F.lit(float(power)))
-        + F.lit(0.5)
+    w_e6 = F.greatest(
+        F.floor(
+            F.lit(1e6) / F.pow(F.greatest(d, F.lit(1.0)), F.lit(float(power)))
+            + F.lit(0.5)
+        ),
+        F.lit(1),
     ).cast("long")
     v_e2 = F.floor(F.col(value_col) * 100.0 + F.lit(0.5)).cast("long")
     m = F.lit(float(10 ** out_dp))

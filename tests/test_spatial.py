@@ -551,3 +551,33 @@ class TestBoundaryDistance:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestDbscanEdgeCases:
+    def test_min_pts_one_isolated_points_are_singleton_cores(self, spark):
+        from bufr2geojson_spark.operators.spatial import dbscan
+
+        pts = spark.createDataFrame(
+            [(1, 10.0, 10.0), (2, 10.1, 10.1), (3, -60.0, 120.0)],
+            "pid long, lat double, lon double")
+        out = {r.pid: (r.cluster_id, r.role)
+               for r in dbscan(pts, eps_km=50.0, min_pts=1).collect()}
+        # 1 and 2 are mutual neighbors -> one cluster labeled 1;
+        # 3 is isolated but still a singleton core cluster
+        assert out[1] == (1, "core") and out[2] == (1, "core")
+        assert out[3] == (3, "core")
+
+
+class TestBoundaryDistanceNameCollision:
+    def test_edge_frame_may_share_point_column_names(self, spark):
+        from bufr2geojson_spark.operators.spatial import boundary_distance
+
+        pts = spark.createDataFrame(
+            [(1, 15.0, 0.5)], "pid int, lat double, lon double")
+        # edges carrying 'pid' and 'lat' columns must not collide
+        edges = spark.createDataFrame(
+            [(9, 99.0, 0.0, 10.0, 0.0, 20.0)],
+            "pid int, lat double, x1 double, y1 double, x2 double, y2 double")
+        out = boundary_distance(pts, edges, max_km=200.0).collect()
+        assert len(out) == 1 and out[0].pid == 1
+        assert out[0].boundary_km > 0

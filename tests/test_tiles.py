@@ -381,7 +381,7 @@ class TestIdwGrid:
                     d = math.floor(d * 100.0 + 0.5) / 100.0
                     if d > radius:
                         continue
-                    w = math.floor(1e6 / max(d, 1.0) ** power + 0.5)
+                    w = max(math.floor(1e6 / max(d, 1.0) ** power + 0.5), 1)
                     v = math.floor(val * 100.0 + 0.5)
                     n, sw, swv = acc.get((gi, gj), (0, 0, 0))
                     acc[(gi, gj)] = (n + 1, sw + w, swv + w * v)
@@ -423,6 +423,22 @@ class TestIdwGrid:
         b = {(r.gi, r.gj, r.n_src, r.idw_value)
              for r in idw_grid(pts.repartition(17)).collect()}
         assert a == b
+
+    def test_high_power_never_nan(self, spark):
+        """power=3 underflows floor(1e6/d^3) to 0 beyond ~126 km; the
+        weight floor of 1 must keep far-source-only nodes finite (a zero
+        weight sum produced NaN before the fix)."""
+        import math
+
+        from bufr2geojson_spark.operators.tiles import idw_grid
+
+        rows, pts = self._points(spark)
+        out = idw_grid(pts, grid_deg=2.0, radius_km=300.0, power=3).collect()
+        assert len(out) > 100
+        assert all(not math.isnan(r.idw_value) for r in out)
+        want = self._brute(rows, 2.0, 300.0, 3)
+        got = {(r.gi, r.gj): (r.n_src, r.idw_value) for r in out}
+        assert got == want
 
     def test_plan_is_pure_jvm(self, spark):
         from bufr2geojson_spark.operators.tiles import idw_grid
