@@ -433,38 +433,23 @@ def connected_components(
     edge set that only shrinks, each keyed on the vertex — the shape that
     holds at 100 TB.
 
-    Each round's edge set is materialized with an eager
-    ``localCheckpoint`` so the plan stays O(1)-deep (plain ``persist``
+    One star round runs per materialization (``localCheckpoint`` +
+    signature action) so the plan stays O(1)-deep: plain ``persist``
     keeps the full nested lineage and the per-round plan grows ~4x/round
-    — planning alone then dominates); the logarithmic round count keeps
-    the checkpoint chain short, which matters because a long chain was
-    measured to degrade ~2.5x/round after ~16 checkpoints in local mode.
-    On a real cluster swap ``localCheckpoint`` for reliable
-    ``checkpoint()`` (HDFS-backed) so executor loss cannot kill a
-    long-running job.
+    until planning alone dominates, and a long checkpoint chain was
+    measured to degrade ~2.5x/round after ~16 checkpoints in local mode
+    — the logarithmic round count keeps the chain short. (Batching TWO
+    star rounds per checkpoint to halve the action count was tried and
+    measured ~2x SLOWER end-to-end: the doubled plan depth per job costs
+    more than the saved scheduling latency.) On a real cluster swap
+    ``localCheckpoint`` for reliable ``checkpoint()`` (HDFS-backed) so
+    executor loss cannot kill a long-running job.
 
     Not SQL-expressible as a single query in Spark, but DuckDB's recursive
     CTE computes the same fixpoint — used as the oracle."""
-    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    verts = (
-        raw.select(F.col("u").alias("id"))
-        .unionByName(raw.select(F.col("v").alias("id")))
-        .distinct()
-        .persist()
-    )
-    # canonical undirected form (hi, lo), self-loops dropped
-    edges = (
-        raw.filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .distinct()
-        .persist()
-    )
-    prev_sig = None
-    converged = False
-    prev_edges = None
-    for _ in range(max_iter):
+
+    def star_round(edges: DataFrame) -> DataFrame:
+        """One large-star + small-star pass (lazy plan, no actions)."""
         # large-star: for each node, connect every LARGER neighbor to the
         # min of its neighborhood (incl. itself)
         sym = edges.unionByName(
@@ -486,14 +471,11 @@ def connected_components(
         )
         # small-star: for each node, connect every smaller-or-equal
         # neighbor (and itself) to the neighborhood min
-        mins2 = (
-            ls.groupBy("u")
-            .agg(F.min("v").alias("m"))
-        )
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
         # emit {(x, m) : x in N(u) + {u}, x != m} via one explode (a union
         # of the two branches trips a Catalyst constraint-rewrite bug
         # inside the checkpointed plan in Spark 4.1)
-        new_edges = (
+        return (
             ls.join(mins2, "u")
             .select(
                 F.col("m"),
@@ -504,8 +486,29 @@ def connected_components(
                 F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v")
             )
             .distinct()
-            .localCheckpoint()
         )
+
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    verts = (
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    # canonical undirected form (hi, lo), self-loops dropped
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    prev_sig = None
+    converged = False
+    prev_edges = None
+    for _ in range(max_iter):
+        new_edges = star_round(edges).localCheckpoint()
         sig = new_edges.agg(
             F.count(F.lit(1)).alias("n"),
             # xor digest: order-independent and overflow-free under ANSI

@@ -645,3 +645,43 @@ class TestRedactPii:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestConnectedComponentsRandom:
+    def test_random_graphs_match_bfs(self, spark):
+        """Star-contraction CC vs a plain Python BFS oracle over seeded
+        random graphs of several shapes (sparse, denser, chain+cliques)."""
+        import random
+        from collections import defaultdict
+
+        for seed, n, m in [(1, 60, 40), (2, 80, 120), (3, 50, 25)]:
+            rng = random.Random(seed)
+            edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+            if seed == 3:  # add a long chain to stress round count
+                edges += [(100 + i, 101 + i) for i in range(30)]
+            adj = defaultdict(set)
+            for a, b in edges:
+                adj[a].add(b)
+                adj[b].add(a)
+            want = {}
+            for start in sorted(adj):
+                if start in want:
+                    continue
+                comp, stack = [start], [start]
+                seen = {start}
+                while stack:
+                    u = stack.pop()
+                    for v in adj[u]:
+                        if v not in seen:
+                            seen.add(v)
+                            stack.append(v)
+                            comp.append(v)
+                mn = min(comp)
+                for u in comp:
+                    want[u] = mn
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {
+                r.doc_id: r.component_id
+                for r in T.connected_components(df).collect()
+            }
+            assert got == want, f"seed={seed}"
