@@ -810,6 +810,62 @@ def q_geo_pip_distributed(spark, sf_dir):
     )
 
 
+def q_geo_bearing(spark, sf_dir):
+    """Initial great-circle bearing from each point to every station within
+    800 km — the navigation scalar over the range-join pairs (same
+    cell-explode join as geo_range_join + pure-Column trig)."""
+    import pandas as pd
+
+    from bufr2geojson_spark.operators.spatial import (
+        bearing_col,
+        distance_join,
+    )
+
+    pts = _geo_points(spark, sf_dir).select("pid", "lat", "lon")
+    st = pd.DataFrame(
+        _geo_station_rows(), columns=["station_id", "s_lat", "s_lon"]
+    )
+    stations = spark.createDataFrame(st)
+    out = distance_join(
+        pts, stations, radius_km=800.0, grid_deg=10.0,
+        st_cols=("station_id", "s_lat", "s_lon"),
+    )
+    # distance_join keeps only the id of the station side — join the
+    # station coords back (broadcast dim) for the bearing
+    out = out.join(F.broadcast(stations), "station_id")
+    b = bearing_col(F.col("lat"), F.col("lon"), F.col("s_lat"),
+                    F.col("s_lon"))
+    return out.select(
+        "pid", "station_id", "dist_km",
+        (F.floor(b * 100.0 + F.lit(0.5)) / 100.0).alias("bearing_deg"),
+    ).orderBy("pid", "station_id")
+
+
+def _sql_geo_bearing():
+    hav = """round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(st.s_lat - p.lat) / 2), 2)
+               + cos(radians(p.lat)) * cos(radians(st.s_lat))
+                 * pow(sin(radians(st.s_lon - p.lon) / 2), 2)
+           )), 2)"""
+    return f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    pairs AS (
+        SELECT p.pid, st.station_id, {hav} AS dist_km,
+               p.lat, p.lon, st.s_lat, st.s_lon
+        FROM pts p CROSS JOIN {_stations_values_sql()}
+        WHERE {hav} <= 800.0
+    )
+    SELECT pid, station_id, dist_km,
+           floor(((degrees(atan2(
+               sin(radians(s_lon - lon)) * cos(radians(s_lat)),
+               cos(radians(lat)) * sin(radians(s_lat))
+               - sin(radians(lat)) * cos(radians(s_lat))
+                 * cos(radians(s_lon - lon))
+           )) + 360.0) % 360.0) * 100.0 + 0.5) / 100.0 AS bearing_deg
+    FROM pairs ORDER BY pid, station_id
+    """
+
+
 def q_geo_dbscan(spark, sf_dir):
     """Distributed DBSCAN over the deterministic geo points: eps-graph via
     the cell-explode distance join, cores by degree count, clusters by
@@ -3049,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip": q_geo_pip,
         "geo_range_join": q_geo_range_join,
         "geo_dbscan": q_geo_dbscan,
+        "geo_bearing": q_geo_bearing,
         "geo_boundary_distance": q_geo_boundary_distance,
         "geo_idw_grid": q_geo_idw_grid,
         "geo_idw_smooth": q_geo_idw_smooth,
@@ -3151,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip": _sql_geo_pip(),
         "geo_range_join": _sql_geo_range_join(),
         "geo_dbscan": _SQL_GEO_DBSCAN,
+        "geo_bearing": _sql_geo_bearing(),
         "geo_boundary_distance": _sql_geo_boundary_distance(),
         "geo_idw_grid": _SQL_GEO_IDW,
         "geo_idw_smooth": _sql_geo_idw_smooth(),

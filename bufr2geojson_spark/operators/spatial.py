@@ -942,3 +942,18 @@ def boundary_distance(
         .groupBy(F.col("_pid").alias(id_col))
         .agg(F.min("_bd").alias(dist_col))
     )
+
+
+def bearing_col(lat1, lon1, lat2, lon2):
+    """Initial great-circle bearing from point 1 to point 2, degrees in
+    [0, 360). Pure Column trig (sin/cos/atan2/degrees are identical IEEE
+    builtins in Spark and DuckDB; degrees(atan2) is in (-180, 180], so
+    +360 makes the modulo operand positive and `%` == pmod on both
+    engines)."""
+    dlon = F.radians(lon2 - lon1)
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    theta = F.atan2(
+        F.sin(dlon) * F.cos(p2),
+        F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dlon),
+    )
+    return F.pmod(F.degrees(theta) + 360.0, F.lit(360.0))

@@ -581,3 +581,32 @@ class TestBoundaryDistanceNameCollision:
         out = boundary_distance(pts, edges, max_km=200.0).collect()
         assert len(out) == 1 and out[0].pid == 1
         assert out[0].boundary_km > 0
+
+
+class TestBearing:
+    def test_cardinal_bearings(self, spark):
+        from bufr2geojson_spark.operators.spatial import bearing_col
+
+        rows = [
+            (1, 0.0, 0.0, 10.0, 0.0),    # due north
+            (2, 0.0, 0.0, 0.0, 10.0),    # due east (on the equator)
+            (3, 0.0, 0.0, -10.0, 0.0),   # due south
+            (4, 0.0, 0.0, 0.0, -10.0),   # due west
+            (5, 10.0, 179.0, 10.0, -179.0),  # eastward across antimeridian
+        ]
+        df = spark.createDataFrame(
+            rows, "pid int, lat1 double, lon1 double, lat2 double, lon2 double"
+        )
+        out = {
+            r.pid: r.b
+            for r in df.select(
+                "pid",
+                bearing_col(F.col("lat1"), F.col("lon1"),
+                            F.col("lat2"), F.col("lon2")).alias("b"),
+            ).collect()
+        }
+        assert abs(out[1] - 0.0) < 1e-9
+        assert abs(out[2] - 90.0) < 1e-9
+        assert abs(out[3] - 180.0) < 1e-9
+        assert abs(out[4] - 270.0) < 1e-9
+        assert 80.0 < out[5] < 100.0  # roughly east, crossing the wrap
