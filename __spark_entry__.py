@@ -1107,6 +1107,74 @@ _SQL_EVENT_TILE_TREND = """
 """
 
 
+def q_event_trend_outliers(spark, sf_dir):
+    """Off-trend anomalies per cell: observations deviating more than
+    2 residual sigmas from their cell's least-squares line (exact integer
+    moments; a plain z-score would flag on-trend extremes)."""
+    from bufr2geojson_spark.operators.tiles import tile_trend_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("cell"), "ts", "value"
+    )
+    return tile_trend_outliers(ev, "cell", k_sigma=2.0).orderBy(
+        "cell", "x_day", "value"
+    )
+
+
+_SQL_EVENT_TREND_OUTLIERS = """
+    WITH m AS (
+        SELECT user_id % 25 AS cell, value,
+               (floor(epoch(ts) / 86400) - 19700)::BIGINT AS x,
+               floor(value * 100.0 + 0.5)::BIGINT AS y
+        FROM events
+    ),
+    agg AS (
+        SELECT cell, count(*) AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+               sum(y * y)::BIGINT AS syy
+        FROM m GROUP BY cell
+    ),
+    s1 AS (
+        SELECT cell,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+               CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        FROM agg
+    ),
+    s2 AS (
+        SELECT cell, nd, sxd, syd, sxyd, syyd,
+               nd * sxxd - sxd * sxd AS den,
+               (nd * sxyd - sxd * syd) AS num
+        FROM s1
+    ),
+    s3 AS (
+        SELECT cell, nd, sxd, syd, sxyd, syyd, den,
+               num / den AS slope
+        FROM s2 WHERE den <> 0.0
+    ),
+    stats AS (
+        SELECT cell, slope,
+               (syd - slope * sxd) / nd AS inter,
+               sqrt(greatest((syyd - syd * syd / nd)
+                             - slope * (sxyd - sxd * syd / nd),
+                             0.0) / nd) AS sigma
+        FROM s3
+    )
+    SELECT m.cell, m.x AS x_day, m.value,
+           floor((CAST(m.y AS DOUBLE) - (st.inter + st.slope
+                  * CAST(m.x AS DOUBLE))) / 100.0 * 1e4 + 0.5) / 1e4
+               AS residual,
+           floor(st.sigma / 100.0 * 1e4 + 0.5) / 1e4 AS sigma
+    FROM m JOIN stats st ON st.cell = m.cell
+    WHERE st.sigma > 0.0
+      AND abs(CAST(m.y AS DOUBLE)
+              - (st.inter + st.slope * CAST(m.x AS DOUBLE)))
+          > 2.0 * st.sigma
+    ORDER BY m.cell, x_day, m.value
+"""
+
+
 def q_geo_idw_smooth(spark, sf_dir):
     """3x3 box smoothing over the IDW raster (fixed-point neighborhood
     mean with longitude wrap, output restricted to existing nodes)."""
@@ -3110,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_idw_grid": q_geo_idw_grid,
         "geo_idw_smooth": q_geo_idw_smooth,
         "event_tile_trend": q_event_tile_trend,
+        "event_trend_outliers": q_event_trend_outliers,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "event_value_histogram": q_event_value_histogram,
@@ -3213,6 +3282,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_idw_grid": _SQL_GEO_IDW,
         "geo_idw_smooth": _sql_geo_idw_smooth(),
         "event_tile_trend": _SQL_EVENT_TILE_TREND,
+        "event_trend_outliers": _SQL_EVENT_TREND_OUTLIERS,
         "decontaminate": _SQL_DECONTAM,
         "redact_pii": _sql_redact_pii(),
         "event_value_histogram": _SQL_EVENT_VALUE_HIST,

@@ -654,3 +654,87 @@ def tile_histogram(
             "n",
         )
     )
+
+
+def tile_trend_outliers(
+    obs: DataFrame,
+    cell_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k_sigma: float = 3.0,
+    ref_day: int = 19700,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Observations that deviate > ``k_sigma`` residual standard deviations
+    from their cell's least-squares trend line — anomaly detection that a
+    plain per-cell z-score misses (a warming cell's late readings are high
+    but ON trend; this flags off-trend readings only).
+
+    Two passes: (1) the same five integer moments as ``tile_trend`` plus
+    ``sum(y^2)`` (all bit-exact integer sums); (2) the per-cell line +
+    residual sigma — derived in closed form from the moments
+    (SSE = Syy - slope*Sxy, never a second data scan) — broadcast back and
+    each observation's residual tested. Both passes shuffle once, keyed on
+    the cell; the stats side is one row per cell so AQE broadcasts it.
+
+    Degenerate cells (one day of data, or zero residual variance) emit no
+    outliers. Returns
+    (cell, x_day, value, residual, sigma) for flagged rows, residual and
+    sigma floor-rounded to ``out_dp``.
+    """
+    x = (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
+         - F.lit(ref_day)).cast("long")
+    y = F.floor(F.col(value_col) * 100.0 + F.lit(0.5)).cast("long")
+    base = obs.select(
+        F.col(cell_col).alias("cell"),
+        F.col(value_col).alias("value"),
+        x.alias("_x"), y.alias("_y"),
+    )
+    m = base.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    inter = (sy - slope * sx) / n
+    # SSE from the moments: Syy_c - slope * Sxy_c (centered sums)
+    syy_c = syy - sy * sy / n
+    sxy_c = sxy - sx * sy / n
+    sse = syy_c - slope * sxy_c
+    sigma = F.sqrt(F.greatest(sse, F.lit(0.0)) / n)  # e2 units
+    stats = m.select(
+        "cell",
+        F.when(den != 0.0, slope).alias("_slope"),
+        F.when(den != 0.0, inter).alias("_inter"),
+        F.when(den != 0.0, sigma).alias("_sigma"),
+    )
+    resid = F.col("_y").cast("double") - (
+        F.col("_inter") + F.col("_slope") * F.col("_x").cast("double")
+    )
+    p = F.lit(float(10 ** out_dp))
+    return (
+        base.join(stats, "cell")
+        .filter(
+            F.col("_sigma").isNotNull()
+            & (F.col("_sigma") > 0.0)
+            & (F.abs(resid) > F.lit(float(k_sigma)) * F.col("_sigma"))
+        )
+        .select(
+            "cell",
+            F.col("_x").alias("x_day"),
+            "value",
+            (F.floor(resid / 100.0 * p + F.lit(0.5)) / p).alias("residual"),
+            (F.floor(F.col("_sigma") / 100.0 * p + F.lit(0.5)) / p)
+            .alias("sigma"),
+        )
+    )

@@ -574,3 +574,71 @@ class TestTileHistogram:
         assert out[0] == (0.0, 10.0, 3)   # -5, 0, 9.99
         assert out[1] == (10.0, 20.0, 1)  # 10.0
         assert out[9] == (90.0, 100.0, 3)  # 99.99, 100, 1e9 clamped
+
+
+class TestTileTrendOutliers:
+    def test_injected_outlier_flagged(self, spark):
+        from datetime import datetime, timedelta
+
+        from bufr2geojson_spark.operators.tiles import tile_trend_outliers
+
+        base = datetime(2024, 1, 1)
+        rows = []
+        for d in range(30):  # clean trend + small alternating wobble
+            rows.append(("A", base + timedelta(days=d),
+                         10.0 + 2.0 * d + (0.5 if d % 2 else -0.5)))
+        rows.append(("A", base + timedelta(days=15), 500.0))  # outlier
+        df = spark.createDataFrame(rows, "cell string, ts timestamp, value double")
+        out = tile_trend_outliers(df, "cell", k_sigma=3.0).collect()
+        assert len(out) == 1
+        assert out[0].value == 500.0 and out[0].residual > 0
+
+    def test_on_trend_extremes_not_flagged(self, spark):
+        """A steep but clean trend's endpoints are extreme VALUES but on
+        trend — a plain z-score flags them, the residual test must not."""
+        from datetime import datetime, timedelta
+
+        from bufr2geojson_spark.operators.tiles import tile_trend_outliers
+
+        base = datetime(2024, 1, 1)
+        rows = [("A", base + timedelta(days=d),
+                 1000.0 * d + (1.0 if d % 2 else -1.0)) for d in range(20)]
+        df = spark.createDataFrame(rows, "cell string, ts timestamp, value double")
+        assert tile_trend_outliers(df, "cell", k_sigma=3.0).count() == 0
+
+    def test_matches_bruteforce_on_events(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.tiles import tile_trend_outliers
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        df = ev.select((F.col("user_id") % 10).alias("cell"), "ts", "value")
+        rows = [(r.cell, math.floor(r.ts.timestamp() / 86400) - 19700,
+                 r.value, math.floor(r.value * 100.0 + 0.5)) for r in df.collect()]
+        from collections import defaultdict
+        acc = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+        for c, x, _, y in rows:
+            a = acc[c]
+            a[0] += 1; a[1] += x; a[2] += y; a[3] += x * y
+            a[4] += x * x; a[5] += y * y
+        want = set()
+        k = 2.0
+        for c, x, v, y in rows:
+            n, sx, sy, sxy, sxx, syy = (float(t) for t in acc[c])
+            den = n * sxx - sx * sx
+            if den == 0.0:
+                continue
+            slope = (n * sxy - sx * sy) / den
+            inter = (sy - slope * sx) / n
+            sse = (syy - sy * sy / n) - slope * (sxy - sx * sy / n)
+            sigma = math.sqrt(max(sse, 0.0) / n)
+            if sigma > 0.0 and abs(y - (inter + slope * x)) > k * sigma:
+                r = y - (inter + slope * x)
+                want.add((c, x, v,
+                          math.floor(r / 100.0 * 1e4 + 0.5) / 1e4,
+                          math.floor(sigma / 100.0 * 1e4 + 0.5) / 1e4))
+        got = {
+            (r.cell, r.x_day, r.value, r.residual, r.sigma)
+            for r in tile_trend_outliers(df, "cell", k_sigma=k).collect()
+        }
+        assert got == want and len(got) > 0
