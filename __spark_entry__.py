@@ -984,6 +984,78 @@ def _sql_geo_boundary_distance():
     """
 
 
+def q_geo_compact_cells(spark, sf_dir):
+    """Cell-cover compaction: complete sibling groups promoted to parents
+    recursively (level 12 -> 9) over a deterministic cell set derived from
+    customer keys — pure JVM bit math."""
+    from bufr2geojson_spark.functions.cells import MAX_LEVEL
+    from bufr2geojson_spark.operators.tiles import compact_cells
+
+    lsb = 1 << (2 * (MAX_LEVEL - 12))
+    c = _t(spark, sf_dir, "customer")
+    cells = c.select(
+        (((F.col("c_custkey") * 37) % 2048) * (2 * lsb) + lsb).alias("cell")
+    ).distinct()
+    return compact_cells(cells, 12, 9).orderBy("level", "cell")
+
+
+def _sql_geo_compact_cells():
+    from bufr2geojson_spark.functions.cells import MAX_LEVEL
+
+    lsb12 = 1 << (2 * (MAX_LEVEL - 12))
+
+    def consts(lvl):
+        lsb = 1 << (2 * (MAX_LEVEL - lvl))
+        mask = ~(2 * lsb - 1) & ((1 << 63) - 1)
+        return lsb, mask
+
+    lsb11, mask11 = consts(11)
+    lsb10, mask10 = consts(10)
+    lsb9, mask9 = consts(9)
+    return f"""
+    WITH c12 AS (
+        SELECT DISTINCT ((c_custkey * 37) % 2048) * {2 * lsb12} + {lsb12}
+            AS cell
+        FROM customer
+    ),
+    g11 AS (
+        SELECT (cell & {mask11}) | {lsb11} AS parent, count(*) AS nc
+        FROM c12 GROUP BY 1
+    ),
+    f11 AS (SELECT parent FROM g11 WHERE nc = 4),
+    k12 AS (
+        SELECT cell, 12 AS level FROM c12
+        WHERE (cell & {mask11}) | {lsb11} NOT IN (SELECT parent FROM f11)
+    ),
+    c11 AS (SELECT parent AS cell FROM f11),
+    g10 AS (
+        SELECT (cell & {mask10}) | {lsb10} AS parent, count(*) AS nc
+        FROM c11 GROUP BY 1
+    ),
+    f10 AS (SELECT parent FROM g10 WHERE nc = 4),
+    k11 AS (
+        SELECT cell, 11 AS level FROM c11
+        WHERE (cell & {mask10}) | {lsb10} NOT IN (SELECT parent FROM f10)
+    ),
+    c10 AS (SELECT parent AS cell FROM f10),
+    g9 AS (
+        SELECT (cell & {mask9}) | {lsb9} AS parent, count(*) AS nc
+        FROM c10 GROUP BY 1
+    ),
+    f9 AS (SELECT parent FROM g9 WHERE nc = 4),
+    k10 AS (
+        SELECT cell, 10 AS level FROM c10
+        WHERE (cell & {mask9}) | {lsb9} NOT IN (SELECT parent FROM f9)
+    ),
+    k9 AS (SELECT parent AS cell, 9 AS level FROM f9)
+    SELECT cell, level FROM k9
+    UNION ALL SELECT cell, level FROM k10
+    UNION ALL SELECT cell, level FROM k11
+    UNION ALL SELECT cell, level FROM k12
+    ORDER BY level, cell
+    """
+
+
 def q_geo_idw_grid(spark, sf_dir):
     """IDW surface analysis: scattered point values interpolated onto a
     2-degree grid (explode-to-reachable-nodes + fixed-point weighted agg,
@@ -3177,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_boundary_distance": q_geo_boundary_distance,
         "geo_idw_grid": q_geo_idw_grid,
         "geo_idw_smooth": q_geo_idw_smooth,
+        "geo_compact_cells": q_geo_compact_cells,
         "event_tile_trend": q_event_tile_trend,
         "event_trend_outliers": q_event_trend_outliers,
         "decontaminate": q_decontaminate,
@@ -3281,6 +3354,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_boundary_distance": _sql_geo_boundary_distance(),
         "geo_idw_grid": _SQL_GEO_IDW,
         "geo_idw_smooth": _sql_geo_idw_smooth(),
+        "geo_compact_cells": _sql_geo_compact_cells(),
         "event_tile_trend": _SQL_EVENT_TILE_TREND,
         "event_trend_outliers": _SQL_EVENT_TREND_OUTLIERS,
         "decontaminate": _SQL_DECONTAM,

@@ -738,3 +738,48 @@ def tile_trend_outliers(
             .alias("sigma"),
         )
     )
+
+
+def compact_cells(
+    cells: DataFrame,
+    from_level: int,
+    min_level: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Compact a cell set: every COMPLETE group of 4 sibling cells is
+    replaced by its parent, recursively up to ``min_level`` — the
+    S2-normalize / H3-compact operation that shrinks polygon covers and
+    tile inventories without changing the covered region (a compacted
+    cover prunes file scans with far fewer predicates).
+
+    One groupBy per promoted level (``from_level - min_level`` rounds,
+    bounded by the hierarchy depth, each keyed on the parent cell — the
+    set SHRINKS by >=3/4 per promoted group, so later rounds are nearly
+    free). Pure JVM bit math via ``s2_parent_col``; no UDF.
+
+    Input: distinct cells at ``from_level``. Returns (cell, level) — the
+    compacted cover; a cell keeps its original level unless its whole
+    sibling group was promoted.
+    """
+    if min_level >= from_level:
+        raise ValueError("min_level must be coarser than from_level")
+    cur = cells.select(F.col(cell_col).alias("cell")).distinct()
+    kept = []
+    for lvl in range(from_level, min_level, -1):
+        parent = s2_parent_col(F.col("cell"), lvl - 1)
+        grp = cur.groupBy(parent.alias("parent")).agg(
+            F.count(F.lit(1)).alias("_nc")
+        )
+        full = grp.filter(F.col("_nc") == 4).select("parent")
+        kept.append(
+            cur.join(
+                full.select(F.col("parent").alias("_fp")),
+                parent == F.col("_fp"),
+                "left_anti",
+            ).withColumn("level", F.lit(lvl))
+        )
+        cur = full.select(F.col("parent").alias("cell"))
+    out = cur.withColumn("level", F.lit(min_level))
+    for k in kept:
+        out = out.unionByName(k)
+    return out

@@ -642,3 +642,75 @@ class TestTileTrendOutliers:
             for r in tile_trend_outliers(df, "cell", k_sigma=k).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestCompactCells:
+    def _brute(self, ids, from_level, min_level):
+        from bufr2geojson_spark.functions.cells import MAX_LEVEL
+
+        def parent(c, l):
+            lsb = 1 << (2 * (MAX_LEVEL - l))
+            return (c & (~(2 * lsb - 1) & ((1 << 63) - 1))) | lsb
+
+        cur = set(ids)
+        kept = {}
+        for lvl in range(from_level, min_level, -1):
+            from collections import Counter
+            cnt = Counter(parent(c, lvl - 1) for c in cur)
+            full = {p for p, n in cnt.items() if n == 4}
+            for c in cur:
+                if parent(c, lvl - 1) not in full:
+                    kept[c] = lvl
+            cur = full
+        for c in cur:
+            kept[c] = min_level
+        return kept
+
+    def _cells(self, from_level, n=400):
+        from bufr2geojson_spark.functions.cells import MAX_LEVEL
+
+        lsb = 1 << (2 * (MAX_LEVEL - from_level))
+        # deterministic ints with repeats -> some complete sibling groups
+        ks = {(i * 37 + i * i * 11) % 512 for i in range(n)}
+        # force two fully-complete groups and one group of 3
+        ks |= {600, 601, 602, 603, 604, 605, 606, 607, 700, 701, 702}
+        return sorted((k * 2 * lsb) | lsb for k in ks)
+
+    def test_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.tiles import compact_cells
+
+        ids = self._cells(12)
+        want = self._brute(ids, 12, 9)
+        df = spark.createDataFrame([(c,) for c in ids], "cell long")
+        got = {r.cell: r.level
+               for r in compact_cells(df, 12, 9).collect()}
+        assert got == want
+        assert 11 in set(want.values())  # some promotion happened
+        # the group of 3 stayed at level 12
+        from bufr2geojson_spark.functions.cells import MAX_LEVEL
+        lsb = 1 << (2 * (MAX_LEVEL - 12))
+        assert want[(700 * 2 * lsb) | lsb] == 12
+
+    def test_coverage_preserved(self, spark):
+        """Compacting never changes the covered leaf set: expanding every
+        output cell back to from_level reproduces the input exactly."""
+        from bufr2geojson_spark.functions.cells import MAX_LEVEL
+        from bufr2geojson_spark.operators.tiles import compact_cells
+
+        ids = self._cells(12)
+        df = spark.createDataFrame([(c,) for c in ids], "cell long")
+        out = compact_cells(df, 12, 9).collect()
+
+        def children(c, lvl, to_lvl):
+            if lvl == to_lvl:
+                return [c]
+            lsb = 1 << (2 * (MAX_LEVEL - lvl))
+            clsb = lsb >> 2
+            base = c - lsb  # strip the level marker
+            return [x for i in range(4)
+                    for x in children(base + (2 * i + 1) * clsb,
+                                      lvl + 1, to_lvl)]
+
+        leaves = sorted(x for r in out
+                        for x in children(r.cell, r.level, 12))
+        assert leaves == ids
