@@ -1056,6 +1056,55 @@ def _sql_geo_compact_cells():
     """
 
 
+def q_geo_uncompact_cells(spark, sf_dir):
+    """Round trip: uncompact(compact(S)) must reproduce the original leaf
+    set S exactly — the oracle is simply the identity query over S."""
+    from bufr2geojson_spark.functions.cells import MAX_LEVEL
+    from bufr2geojson_spark.operators.tiles import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    lsb = 1 << (2 * (MAX_LEVEL - 12))
+    c = _t(spark, sf_dir, "customer")
+    cells = c.select(
+        (((F.col("c_custkey") * 37) % 2048) * (2 * lsb) + lsb).alias("cell")
+    ).distinct()
+    return uncompact_cells(compact_cells(cells, 12, 9), 12).orderBy("cell")
+
+
+def _sql_geo_uncompact_cells():
+    from bufr2geojson_spark.functions.cells import MAX_LEVEL
+
+    lsb12 = 1 << (2 * (MAX_LEVEL - 12))
+    return f"""
+    SELECT DISTINCT ((c_custkey * 37) % 2048) * {2 * lsb12} + {lsb12} AS cell
+    FROM customer ORDER BY cell
+    """
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted resampling: keep each document with probability
+    equal to its quality score (deterministic hash threshold, no rand)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = T.quality_score(d).select("doc_id", "quality")
+    return (
+        T.weighted_sample(scored, "quality")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_weighted_sample():
+    h = "('0x' || substr(md5('wsample:' || doc_id), 1, 8))::BIGINT"
+    return f"""
+    WITH q AS ({_SQL_QUALITY})
+    SELECT doc_id, quality FROM q
+    WHERE {h} % 1000000
+          < floor(least(greatest(quality, 0.0), 1.0) * 1e6 + 0.5)
+    ORDER BY doc_id
+    """
+
+
 def q_geo_idw_grid(spark, sf_dir):
     """IDW surface analysis: scattered point values interpolated onto a
     2-degree grid (explode-to-reachable-nodes + fixed-point weighted agg,
@@ -3250,6 +3299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_idw_grid": q_geo_idw_grid,
         "geo_idw_smooth": q_geo_idw_smooth,
         "geo_compact_cells": q_geo_compact_cells,
+        "geo_uncompact_cells": q_geo_uncompact_cells,
+        "weighted_sample": q_weighted_sample,
         "event_tile_trend": q_event_tile_trend,
         "event_trend_outliers": q_event_trend_outliers,
         "decontaminate": q_decontaminate,
@@ -3355,6 +3406,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_idw_grid": _SQL_GEO_IDW,
         "geo_idw_smooth": _sql_geo_idw_smooth(),
         "geo_compact_cells": _sql_geo_compact_cells(),
+        "geo_uncompact_cells": _sql_geo_uncompact_cells(),
+        "weighted_sample": _sql_weighted_sample(),
         "event_tile_trend": _SQL_EVENT_TILE_TREND,
         "event_trend_outliers": _SQL_EVENT_TREND_OUTLIERS,
         "decontaminate": _SQL_DECONTAM,

@@ -783,3 +783,50 @@ def compact_cells(
     for k in kept:
         out = out.unionByName(k)
     return out
+
+
+def uncompact_cells(
+    cover: DataFrame,
+    to_level: int,
+    cell_col: str = "cell",
+    level_col: str = "level",
+) -> DataFrame:
+    """Expand a (possibly compacted) mixed-level cover to uniform
+    ``to_level`` cells — the inverse of ``compact_cells`` (needed to
+    equi-join a compacted cover against leaf-level data). Each cell
+    explodes to its 4^(to_level - level) descendants via one
+    ``F.sequence`` + explode per input row: descendant k of cell c is
+    ``(c - lsb) + (2k + 1) * child_lsb`` — pure JVM arithmetic on the
+    bit layout, no per-level loop and no UDF. Work is exactly the output
+    size. Rows FINER than ``to_level`` are dropped (a cover being
+    expanded to a coarser level than its own leaves is a caller error —
+    compact first).
+    """
+    # shiftleft's bit count must be an expression here (it depends on the
+    # row's level), which the Python F.shiftleft signature doesn't allow —
+    # SQL shiftleft does
+    lsb = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast(2 * ({MAX_LEVEL} - {level_col}) as int))"
+    )
+    clsb = F.lit(1 << (2 * (MAX_LEVEL - to_level))).cast("long")
+    n_children = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast(2 * ({to_level} - {level_col}) as int))"
+    )
+    bad = F.col(level_col) > to_level
+    return (
+        cover.select(F.col(cell_col).alias("_c"), F.col(level_col))
+        .withColumn(
+            "_k",
+            F.explode(
+                F.when(
+                    bad, F.array().cast("array<long>")
+                ).otherwise(F.sequence(F.lit(0).cast("long"), n_children - 1))
+            ),
+        )
+        .select(
+            ((F.col("_c") - lsb) + (F.lit(2) * F.col("_k") + 1) * clsb)
+            .alias("cell")
+        )
+    )

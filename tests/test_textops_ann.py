@@ -685,3 +685,33 @@ class TestConnectedComponentsRandom:
                 for r in T.connected_components(df).collect()
             }
             assert got == want, f"seed={seed}"
+
+
+class TestWeightedSample:
+    def test_matches_hash_rule_and_clamps(self, spark):
+        import hashlib
+
+        rows = [(1, 0.0), (2, 1.0), (3, 0.5), (4, -2.0), (5, 7.0),
+                (6, 0.25), (7, 0.75)] + [(i, 0.5) for i in range(10, 200)]
+        d = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r.doc_id for r in T.weighted_sample(d, "w").collect()}
+        want = set()
+        for i, w in rows:
+            key = int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8],
+                      16) % 1_000_000
+            if key < int(min(max(w, 0.0), 1.0) * 1e6 + 0.5):
+                want.add(i)
+        assert got == want
+        assert 1 not in got and 4 not in got   # w<=0 never kept
+        assert 2 in got and 5 in got           # w>=1 always kept
+        frac = len([i for i in got if i >= 10]) / 190
+        assert 0.35 < frac < 0.65              # ~half of the w=0.5 block
+
+    def test_append_stable(self, spark):
+        d1 = spark.createDataFrame(
+            [(i, 0.5) for i in range(100)], "doc_id long, w double")
+        d2 = spark.createDataFrame(
+            [(i, 0.5) for i in range(200)], "doc_id long, w double")
+        a = {r.doc_id for r in T.weighted_sample(d1, "w").collect()}
+        b = {r.doc_id for r in T.weighted_sample(d2, "w").collect()}
+        assert a == {i for i in b if i < 100}

@@ -714,3 +714,29 @@ class TestCompactCells:
         leaves = sorted(x for r in out
                         for x in children(r.cell, r.level, 12))
         assert leaves == ids
+
+
+class TestUncompactCells:
+    def test_roundtrip_with_compact(self, spark):
+        """uncompact(compact(S)) == S for any leaf set S."""
+        from bufr2geojson_spark.operators.tiles import (
+            compact_cells,
+            uncompact_cells,
+        )
+
+        ids = TestCompactCells._cells(self, 12)
+        df = spark.createDataFrame([(c,) for c in ids], "cell long")
+        cover = compact_cells(df, 12, 9)
+        leaves = sorted(
+            r.cell for r in uncompact_cells(cover, 12).collect()
+        )
+        assert leaves == ids
+
+    def test_identity_at_same_level(self, spark):
+        from bufr2geojson_spark.operators.tiles import uncompact_cells
+
+        ids = TestCompactCells._cells(self, 12)[:20]
+        df = spark.createDataFrame([(c, 12) for c in ids],
+                                   "cell long, level int")
+        out = sorted(r.cell for r in uncompact_cells(df, 12).collect())
+        assert out == sorted(ids)
