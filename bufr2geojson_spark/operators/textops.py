@@ -564,6 +564,32 @@ def hash_sample(docs: DataFrame, fraction: float,
     return docs.filter(key % 1_000_000 < thresh)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted (quality-aware) sampling: keep a row with
+    probability ``clamp(weight, 0, 1)`` — the training-mix resampling knob
+    (e.g. keep documents proportionally to their quality score). Like
+    every sampler here it is hash-thresholded, not ``rand()``: the same
+    row always gets the same draw on any cluster, any partitioning, any
+    rerun, and appending new rows never flips old decisions.
+
+    Keep rule: ``h32(salt:id) % 1_000_000 < floor(clamp(w,0,1) * 1e6 +
+    0.5)`` — the same fixed-point form as ``hash_sample`` so the DuckDB
+    oracle is expression-identical. Narrow filter, no shuffle.
+    """
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    thresh = F.floor(w * 1e6 + F.lit(0.5))
+    key = h32(F.concat(F.lit(f"{salt}:"), F.col(id_col))) % 1_000_000
+    return docs.filter(key < thresh)
+
+
+
 def train_val_split(docs: DataFrame, val_fraction: float = 0.1,
                     id_col: str = "doc_id",
                     salt: str = "split") -> DataFrame:
@@ -1071,27 +1097,3 @@ def redact_pii(
         red.alias("text_redacted"),
     )
 
-
-def weighted_sample(
-    docs: DataFrame,
-    weight_col: str,
-    id_col: str = "doc_id",
-    salt: str = "wsample",
-) -> DataFrame:
-    """Deterministic weighted (quality-aware) sampling: keep a row with
-    probability ``clamp(weight, 0, 1)`` — the training-mix resampling knob
-    (e.g. keep documents proportionally to their quality score). Like
-    every sampler here it is hash-thresholded, not ``rand()``: the same
-    row always gets the same draw on any cluster, any partitioning, any
-    rerun, and appending new rows never flips old decisions.
-
-    Keep rule: ``h32(salt:id) % 1_000_000 < floor(clamp(w,0,1) * 1e6 +
-    0.5)`` — the same fixed-point form as ``hash_sample`` so the DuckDB
-    oracle is expression-identical. Narrow filter, no shuffle.
-    """
-    w = F.least(
-        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0)
-    )
-    thresh = F.floor(w * 1e6 + F.lit(0.5))
-    key = h32(F.concat(F.lit(f"{salt}:"), F.col(id_col))) % 1_000_000
-    return docs.filter(key < thresh)

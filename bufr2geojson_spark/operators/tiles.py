@@ -497,10 +497,13 @@ def tile_trend(
     Exactness contract: time is reduced to integer DAY indices relative
     to ``ref_day`` and values to fixed-point 1e2, so all four moments
     (sum x, sum y, sum xy, sum x^2) are INTEGER sums — bit-exact under
-    any partitioning. The slope combination is then evaluated in doubles
-    with one fixed association, so engine and oracle compute the
-    identical IEEE expression. Keeping x in days (not epoch seconds)
-    keeps sum(x^2) far from the int64 ANSI-overflow cliff.
+    any partitioning. The product moments accumulate as DECIMAL(38,0)
+    (exact integer arithmetic with ~10^38 headroom — a long sum of
+    squared terms hits Spark's int64 ANSI-overflow cliff at ~1e18, well
+    inside 100 TB row counts; DuckDB's HUGEINT sums are the same exact
+    arithmetic on the oracle side). The slope combination is then
+    evaluated in doubles with one fixed association, so engine and
+    oracle compute the identical IEEE expression.
 
     Returns (cell, n_obs, slope_per_day, intercept) with null slope for
     degenerate cells (all observations on one day).
@@ -512,6 +515,7 @@ def tile_trend(
     x = (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400)
          - F.lit(ref_day)).cast("long")
     y = F.floor(F.col(value_col) * 100.0 + F.lit(0.5)).cast("long")
+    dec = "decimal(19,0)"
     m = (
         obs.select(F.col(cell_col).alias("cell"), x.alias("_x"),
                    y.alias("_y"))
@@ -520,8 +524,8 @@ def tile_trend(
             F.count(F.lit(1)).alias("n_obs"),
             F.sum("_x").alias("_sx"),
             F.sum("_y").alias("_sy"),
-            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_x").cast(dec) * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("_sxx"),
         )
     )
     n = F.col("n_obs").cast("double")
@@ -671,7 +675,10 @@ def tile_trend_outliers(
     but ON trend; this flags off-trend readings only).
 
     Two passes: (1) the same five integer moments as ``tile_trend`` plus
-    ``sum(y^2)`` (all bit-exact integer sums); (2) the per-cell line +
+    ``sum(y^2)`` (bit-exact integer sums; the product moments accumulate
+    as DECIMAL(38,0) — ``sum(y^2)`` as a long would hit the int64
+    ANSI-overflow cliff after ~1e10 typical rows per cell, squarely
+    inside the 100 TB design point); (2) the per-cell line +
     residual sigma — derived in closed form from the moments
     (SSE = Syy - slope*Sxy, never a second data scan) — broadcast back and
     each observation's residual tested. Both passes shuffle once, keyed on
@@ -690,13 +697,14 @@ def tile_trend_outliers(
         F.col(value_col).alias("value"),
         x.alias("_x"), y.alias("_y"),
     )
+    dec = "decimal(19,0)"
     m = base.groupBy("cell").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").alias("_sx"),
         F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y").cast(dec) * F.col("_y")).alias("_syy"),
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
@@ -798,9 +806,10 @@ def uncompact_cells(
     ``F.sequence`` + explode per input row: descendant k of cell c is
     ``(c - lsb) + (2k + 1) * child_lsb`` — pure JVM arithmetic on the
     bit layout, no per-level loop and no UDF. Work is exactly the output
-    size. Rows FINER than ``to_level`` are dropped (a cover being
-    expanded to a coarser level than its own leaves is a caller error —
-    compact first).
+    size. A row FINER than ``to_level`` raises at execution time
+    (``raise_error``) — a cover being expanded to a coarser level than
+    its own leaves is a caller error, and silently dropping those rows
+    would return an incomplete cover.
     """
     # shiftleft's bit count must be an expression here (it depends on the
     # row's level), which the Python F.shiftleft signature doesn't allow —
@@ -810,21 +819,17 @@ def uncompact_cells(
         f"cast(2 * ({MAX_LEVEL} - {level_col}) as int))"
     )
     clsb = F.lit(1 << (2 * (MAX_LEVEL - to_level))).cast("long")
-    n_children = F.expr(
+    ks = F.expr(
+        f"CASE WHEN {level_col} > {to_level} THEN "
+        f"raise_error('uncompact_cells: cover contains cells finer than "
+        f"to_level={to_level} — compact first') "
+        f"ELSE sequence(cast(0 as bigint), "
         f"shiftleft(cast(1 as bigint), "
-        f"cast(2 * ({to_level} - {level_col}) as int))"
+        f"cast(2 * ({to_level} - {level_col}) as int)) - 1) END"
     )
-    bad = F.col(level_col) > to_level
     return (
         cover.select(F.col(cell_col).alias("_c"), F.col(level_col))
-        .withColumn(
-            "_k",
-            F.explode(
-                F.when(
-                    bad, F.array().cast("array<long>")
-                ).otherwise(F.sequence(F.lit(0).cast("long"), n_children - 1))
-            ),
-        )
+        .withColumn("_k", F.explode(ks))
         .select(
             ((F.col("_c") - lsb) + (F.lit(2) * F.col("_k") + 1) * clsb)
             .alias("cell")

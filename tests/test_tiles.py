@@ -740,3 +740,14 @@ class TestUncompactCells:
                                    "cell long, level int")
         out = sorted(r.cell for r in uncompact_cells(df, 12).collect())
         assert out == sorted(ids)
+
+
+    def test_finer_than_target_raises(self, spark):
+        from bufr2geojson_spark.operators.tiles import uncompact_cells
+
+        ids = TestCompactCells._cells(self, 12)[:4]
+        df = spark.createDataFrame([(c, 13) for c in ids],
+                                   "cell long, level int")
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="finer than"):
+            uncompact_cells(df, 12).collect()
