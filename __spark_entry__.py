@@ -1296,6 +1296,64 @@ _SQL_EVENT_TREND_OUTLIERS = """
 """
 
 
+def q_geo_idw_merge(spark, sf_dir):
+    """Continuous-aggregate property of the IDW surface: the corpus split
+    in two by pid parity, each half gridded with mergeable state, then
+    folded with idw_merge — the oracle is the ONE-SHOT full-corpus SQL,
+    so the check proves merge == full recompute bit-for-bit."""
+    from bufr2geojson_spark.operators.tiles import idw_grid, idw_merge
+
+    pts = _geo_points(spark, sf_dir)
+    a = pts.filter(F.col("pid") % 2 == 0)
+    b = pts.filter(F.col("pid") % 2 == 1)
+    ga = idw_grid(a, value_col="val", grid_deg=2.0, radius_km=300.0,
+                  keep_state=True)
+    gb = idw_grid(b, value_col="val", grid_deg=2.0, radius_km=300.0,
+                  keep_state=True)
+    return (
+        idw_merge(ga, gb)
+        .select("gi", "gj", "glat", "glon", "n_src", "idw_value")
+        .orderBy("gi", "gj")
+    )
+
+
+def q_geo_raster_gradient(spark, sf_dir):
+    """Central-difference gradient field of the IDW surface (value/km,
+    complete 4-neighbor stencils only)."""
+    from bufr2geojson_spark.operators.tiles import idw_grid, raster_gradient
+
+    pts = _geo_points(spark, sf_dir)
+    grid = idw_grid(pts, value_col="val", grid_deg=2.0, radius_km=300.0)
+    return raster_gradient(grid, nlon=180, grid_deg=2.0).orderBy("gi", "gj")
+
+
+def _sql_geo_raster_gradient():
+    span = 2.0 * 2.0 * KM_PER_DEG
+    return f"""
+    WITH idw AS ({_SQL_GEO_IDW}),
+    q AS (
+        SELECT gi, gj, floor(idw_value * 1e4 + 0.5)::BIGINT AS v FROM idw
+    ),
+    raw AS (
+        SELECT c.gi, c.gj,
+               (CAST(e.v - w.v AS DOUBLE) / 1e4)
+                   / ({span!r} * cos(radians((c.gi + 0.5) * 2.0))) AS dzdx,
+               (CAST(n.v - s.v AS DOUBLE) / 1e4) / {span!r} AS dzdy
+        FROM q c
+        JOIN q n ON n.gi = c.gi + 1 AND n.gj = c.gj
+        JOIN q s ON s.gi = c.gi - 1 AND s.gj = c.gj
+        JOIN q e ON e.gi = c.gi AND e.gj = (c.gj + 1) % 180
+        JOIN q w ON w.gi = c.gi AND w.gj = ((c.gj - 1) % 180 + 180) % 180
+    )
+    SELECT gi, gj,
+           floor(dzdx * 1e6 + 0.5) / 1e6 AS dzdx_per_km,
+           floor(dzdy * 1e6 + 0.5) / 1e6 AS dzdy_per_km,
+           floor(sqrt(dzdx * dzdx + dzdy * dzdy) * 1e6 + 0.5) / 1e6
+               AS grad_per_km
+    FROM raw ORDER BY gi, gj
+    """
+
+
 def q_geo_idw_smooth(spark, sf_dir):
     """3x3 box smoothing over the IDW raster (fixed-point neighborhood
     mean with longitude wrap, output restricted to existing nodes)."""
@@ -3297,6 +3355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bearing": q_geo_bearing,
         "geo_boundary_distance": q_geo_boundary_distance,
         "geo_idw_grid": q_geo_idw_grid,
+        "geo_idw_merge": q_geo_idw_merge,
+        "geo_raster_gradient": q_geo_raster_gradient,
         "geo_idw_smooth": q_geo_idw_smooth,
         "geo_compact_cells": q_geo_compact_cells,
         "geo_uncompact_cells": q_geo_uncompact_cells,
@@ -3404,6 +3464,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_bearing": _sql_geo_bearing(),
         "geo_boundary_distance": _sql_geo_boundary_distance(),
         "geo_idw_grid": _SQL_GEO_IDW,
+        "geo_idw_merge": _SQL_GEO_IDW,
+        "geo_raster_gradient": _sql_geo_raster_gradient(),
         "geo_idw_smooth": _sql_geo_idw_smooth(),
         "geo_compact_cells": _sql_geo_compact_cells(),
         "geo_uncompact_cells": _sql_geo_uncompact_cells(),

@@ -393,6 +393,7 @@ def idw_grid(
     lat_col: str = "lat",
     lon_col: str = "lon",
     out_dp: int = 4,
+    keep_state: bool = False,
 ) -> DataFrame:
     """Inverse-distance-weighted interpolation of scattered observations
     onto a regular lat/lon grid — the classic meteorological surface
@@ -420,6 +421,10 @@ def idw_grid(
 
     Returns (gi, gj, glat, glon, n_src, idw_value): node indices, node
     center coordinates, contributing-source count, interpolated value.
+    With ``keep_state=True`` the mergeable integer sums (sw_e6, swv_e8)
+    ride along, making the surface a CONTINUOUS AGGREGATE: two batches'
+    grids fold with ``idw_merge`` (sums add) instead of rescanning
+    history — the tile_merge property, for rasters.
     """
     from bufr2geojson_spark.operators.spatial import (
         _disc_cell_cover,
@@ -473,7 +478,55 @@ def idw_grid(
             (F.floor(
                 (F.col("_swv") / F.col("_sw")) / F.lit(100.0) * m + F.lit(0.5)
             ) / m).alias("idw_value"),
+            *([F.col("_sw").alias("sw_e6"), F.col("_swv").alias("swv_e8")]
+              if keep_state else []),
         )
+    )
+
+
+def idw_merge(
+    existing: DataFrame,
+    delta: DataFrame,
+    grid_deg: float = 2.0,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Fold a delta batch's IDW grid (built with ``keep_state=True``) into
+    a standing surface without rescanning history — the raster sibling of
+    ``tile_merge``. The fixed-point weight sums are INTEGER sums, so they
+    are exactly mergeable: merge(idw(A), idw(B)) is bit-identical to
+    idw(A ∪ B) under any batch split (pinned by test and by the driver
+    query, whose oracle is the one-shot full-corpus SQL). One outer join
+    keyed on the node; with the standing table stored range-partitioned
+    by (gi, gj) the shuffle moves mostly the delta."""
+    g = float(grid_deg)
+    m = F.lit(float(10 ** out_dp))
+    cols = ["gi", "gj", "n_src", "sw_e6", "swv_e8"]
+    e = existing.select(*cols)
+    d = delta.select(*cols)
+    merged = (
+        e.withColumnRenamed("n_src", "_n1")
+        .withColumnRenamed("sw_e6", "_w1")
+        .withColumnRenamed("swv_e8", "_v1")
+        .join(
+            d.withColumnRenamed("n_src", "_n2")
+            .withColumnRenamed("sw_e6", "_w2")
+            .withColumnRenamed("swv_e8", "_v2"),
+            ["gi", "gj"], "full_outer",
+        )
+    )
+    z = F.lit(0).cast("long")
+    sw = F.coalesce(F.col("_w1"), z) + F.coalesce(F.col("_w2"), z)
+    swv = F.coalesce(F.col("_v1"), z) + F.coalesce(F.col("_v2"), z)
+    return merged.select(
+        "gi", "gj",
+        ((F.col("gi") + 0.5) * g).alias("glat"),
+        ((F.col("gj") + 0.5) * g - 180.0).alias("glon"),
+        (F.coalesce(F.col("_n1"), z) + F.coalesce(F.col("_n2"), z))
+        .alias("n_src"),
+        (F.floor((swv / sw) / F.lit(100.0) * m + F.lit(0.5)) / m)
+        .alias("idw_value"),
+        sw.alias("sw_e6"),
+        swv.alias("swv_e8"),
     )
 
 
@@ -833,5 +886,91 @@ def uncompact_cells(
         .select(
             ((F.col("_c") - lsb) + (F.lit(2) * F.col("_k") + 1) * clsb)
             .alias("cell")
+        )
+    )
+
+
+def raster_gradient(
+    grid: DataFrame,
+    nlon: int,
+    grid_deg: float,
+    gi_col: str = "gi",
+    gj_col: str = "gj",
+    value_col: str = "idw_value",
+    val_dp: int = 4,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Central-difference gradient of a raster surface (value per km,
+    east/north components + magnitude) — the pressure-gradient /
+    slope-aspect field derived from the IDW analysis.
+
+    Same scatter shape as ``raster_smooth``: each node sends its value to
+    the four positions that need it as a neighbor (tagged N/S/E/W,
+    longitudes wrapping), one groupBy per receiver reassembles the
+    stencil with conditional aggregation, and only receivers with the
+    complete 4-neighbor stencil (and that are themselves grid nodes) emit
+    a gradient — a one-sided difference at a data edge would silently be
+    wrong, so incomplete stencils emit nothing. One shuffle, pure
+    codegen.
+
+    Exactness: values re-quantized to ``val_dp`` fixed point, so the
+    differences are exact integers; the conversion to value/km divides by
+    literal spacings (east spacing shrinks by cos(node latitude)) in one
+    fixed order on both engines.
+    """
+    g = float(grid_deg)
+    from bufr2geojson_spark.operators.spatial import KM_PER_DEG
+
+    v = F.floor(
+        F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
+    ).cast("long")
+    offs = F.array(
+        F.struct(F.lit(-1).alias("di"), F.lit(0).alias("dj"),
+                 F.lit("N").alias("t")),
+        F.struct(F.lit(1).alias("di"), F.lit(0).alias("dj"),
+                 F.lit("S").alias("t")),
+        F.struct(F.lit(0).alias("di"), F.lit(-1).alias("dj"),
+                 F.lit("E").alias("t")),
+        F.struct(F.lit(0).alias("di"), F.lit(1).alias("dj"),
+                 F.lit("W").alias("t")),
+    )
+    ex = (
+        grid.select(F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
+                    v.alias("_v"))
+        .select("_i", "_j", "_v", F.explode(offs).alias("_o"))
+        .select(
+            (F.col("_i") + F.col("_o.di")).alias("gi"),
+            F.pmod(F.col("_j") + F.col("_o.dj"), F.lit(nlon)).alias("gj"),
+            F.col("_o.t").alias("_t"),
+            "_v",
+        )
+    )
+    def pick(tag):
+        return F.max(F.when(F.col("_t") == tag, F.col("_v")))
+
+    nodes = grid.select(F.col(gi_col).alias("gi"), F.col(gj_col).alias("gj"))
+    glat = (F.col("gi") + 0.5) * g
+    scale = F.lit(float(10 ** val_dp))
+    span = F.lit(2.0 * g * KM_PER_DEG)
+    dzdy = ((F.col("_vn") - F.col("_vs")).cast("double") / scale) / span
+    dzdx = ((F.col("_ve") - F.col("_vw")).cast("double") / scale) / (
+        span * F.cos(F.radians(glat))
+    )
+    p = F.lit(float(10 ** out_dp))
+    return (
+        ex.groupBy("gi", "gj")
+        .agg(
+            F.count(F.lit(1)).alias("_nn"),
+            pick("N").alias("_vn"), pick("S").alias("_vs"),
+            pick("E").alias("_ve"), pick("W").alias("_vw"),
+        )
+        .filter(F.col("_nn") == 4)
+        .join(nodes, ["gi", "gj"], "left_semi")
+        .select(
+            "gi", "gj",
+            (F.floor(dzdx * p + F.lit(0.5)) / p).alias("dzdx_per_km"),
+            (F.floor(dzdy * p + F.lit(0.5)) / p).alias("dzdy_per_km"),
+            (F.floor(F.sqrt(dzdx * dzdx + dzdy * dzdy) * p + F.lit(0.5)) / p)
+            .alias("grad_per_km"),
         )
     )

@@ -751,3 +751,70 @@ class TestUncompactCells:
         import pytest as _pytest
         with _pytest.raises(Exception, match="finer than"):
             uncompact_cells(df, 12).collect()
+
+
+class TestIdwMergeAndGradient:
+    def test_merge_equals_full_recompute(self, spark):
+        """idw(A) ++ idw(B) must be BIT-identical to idw(A ∪ B) for any
+        split — the integer state makes the surface a continuous
+        aggregate."""
+        from bufr2geojson_spark.operators.tiles import idw_grid, idw_merge
+
+        rows, pts = TestIdwGrid._points(self, spark)
+        a = pts.filter(F.col("pid") % 2 == 0)
+        b = pts.filter(F.col("pid") % 2 == 1)
+        ga = idw_grid(a, keep_state=True)
+        gb = idw_grid(b, keep_state=True)
+        merged = {
+            (r.gi, r.gj): (r.n_src, r.idw_value, r.sw_e6, r.swv_e8)
+            for r in idw_merge(ga, gb).collect()
+        }
+        full = {
+            (r.gi, r.gj): (r.n_src, r.idw_value, r.sw_e6, r.swv_e8)
+            for r in idw_grid(pts, keep_state=True).collect()
+        }
+        assert merged == full and len(full) > 100
+
+    def test_gradient_linear_field_recovered(self, spark):
+        """A field linear in the node indices has a constant analytic
+        gradient; the stencil must recover it (interior nodes only)."""
+        import math
+
+        from bufr2geojson_spark.operators.tiles import raster_gradient
+
+        g = 2.0
+        KM = 111.19492664455873
+        # v = 3*gi + 7*gj (value units)
+        cells = [(i, j, float(3 * i + 7 * j))
+                 for i in range(10, 16) for j in range(40, 46)]
+        df = spark.createDataFrame(cells, "gi int, gj int, idw_value double")
+        out = raster_gradient(df, nlon=180, grid_deg=g).collect()
+        # interior = 4x4 block
+        assert len(out) == 16
+        for r in out:
+            glat = (r.gi + 0.5) * g
+            want_dy = (2 * 3.0) / (2 * g * KM)
+            want_dx = (2 * 7.0) / (2 * g * KM * math.cos(math.radians(glat)))
+            assert abs(r.dzdy_per_km - math.floor(want_dy * 1e6 + 0.5) / 1e6) < 1e-9
+            assert abs(r.dzdx_per_km - math.floor(want_dx * 1e6 + 0.5) / 1e6) < 1e-9
+            assert r.grad_per_km > 0
+
+    def test_gradient_incomplete_stencil_emits_nothing(self, spark):
+        from bufr2geojson_spark.operators.tiles import raster_gradient
+
+        # a plus-shape: only the center has all 4 neighbors
+        cells = [(5, 50, 1.0), (4, 50, 2.0), (6, 50, 3.0),
+                 (5, 49, 4.0), (5, 51, 5.0)]
+        df = spark.createDataFrame(cells, "gi int, gj int, idw_value double")
+        out = raster_gradient(df, nlon=180, grid_deg=2.0).collect()
+        assert len(out) == 1 and (out[0].gi, out[0].gj) == (5, 50)
+
+    def test_gradient_wraps_longitude(self, spark):
+        from bufr2geojson_spark.operators.tiles import raster_gradient
+
+        # stencil around gj=0 with neighbors at gj=179 (wrap) and gj=1
+        cells = [(5, 0, 1.0), (4, 0, 2.0), (6, 0, 3.0),
+                 (5, 179, 4.0), (5, 1, 5.0)]
+        df = spark.createDataFrame(cells, "gi int, gj int, idw_value double")
+        out = raster_gradient(df, nlon=180, grid_deg=2.0).collect()
+        assert len(out) == 1 and (out[0].gi, out[0].gj) == (5, 0)
