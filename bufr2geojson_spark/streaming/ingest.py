@@ -304,6 +304,59 @@ def read_standing_tiles(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(f"{table_path}/v={vs[-1]}")
 
 
+def run_idw_maintenance_once(
+    spark: SparkSession,
+    input_path: str,
+    surface_path: str,
+    checkpoint_path: str,
+    grid_deg: float = 2.0,
+    radius_km: float = 300.0,
+    **decode_kw,
+) -> int:
+    """Streaming maintenance of the IDW analysis surface — the raster twin
+    of ``run_tile_maintenance_once``: per micro-batch, the batch's decoded
+    features are gridded with mergeable integer state
+    (``idw_grid(keep_state=True)``) and folded into the versioned standing
+    surface with ``idw_merge``, so the surface stays current without ever
+    rescanning history. Because the state is integer sums, the maintained
+    surface is BIT-IDENTICAL to a one-shot re-analysis over all documents
+    (pinned by test). Versioning/idempotence contract is identical to the
+    tile path (batch-id versions; a replayed batch recomputes from the
+    same predecessor and overwrites the same version). Returns batches
+    committed this run."""
+    from bufr2geojson_spark.operators.tiles import idw_grid, idw_merge
+
+    stream = read_document_stream(spark, input_path)
+    feats = decode_stream(stream, **decode_kw)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.filter(
+            F.col("lat").isNotNull() & F.col("result_value").isNotNull()
+        )
+        delta = idw_grid(
+            pts, value_col="result_value", grid_deg=grid_deg,
+            radius_km=radius_km, keep_state=True,
+        )
+        prev = [v for v in _tile_versions(surface_path) if v < batch_id]
+        if prev:
+            standing = spark.read.parquet(f"{surface_path}/v={prev[-1]}")
+            merged = idw_merge(standing, delta, grid_deg=grid_deg)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{surface_path}/v={batch_id}")
+        n_batches["n"] += 1
+
+    q = (
+        feats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def session_windowed_station_activity(
     features: DataFrame,
     gap: str = "2 hours",

@@ -286,3 +286,41 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     ).select(feats["doc_id"], "feature_id", "media_ref")
     batch_rows = sorted(map(tuple, batch.collect()))
     assert got_rows == batch_rows and len(got_rows) > 0
+
+
+def test_stream_idw_maintenance_matches_batch(spark, tmp_path):
+    """Two waves folded into the standing IDW surface must be BIT-identical
+    to the one-shot grid over all features (integer state merges exactly)."""
+    from bufr2geojson_spark.operators.tiles import idw_grid
+    from bufr2geojson_spark.streaming.ingest import (
+        read_standing_tiles,
+        run_idw_maintenance_once,
+    )
+
+    base = str(tmp_path)
+    docs = synth_documents(spark, 80, partitions=4)
+    wave1 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    wave2 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+    wave1.write.mode("overwrite").parquet(f"{base}/in")
+    n1 = run_idw_maintenance_once(
+        spark, f"{base}/in", f"{base}/idw", f"{base}/ckpt")
+    assert n1 >= 1
+    wave2.write.mode("append").parquet(f"{base}/in")
+    n2 = run_idw_maintenance_once(
+        spark, f"{base}/in", f"{base}/idw", f"{base}/ckpt")
+    assert n2 >= 1
+
+    standing = {
+        (r.gi, r.gj): (r.n_src, r.idw_value, r.sw_e6, r.swv_e8)
+        for r in read_standing_tiles(spark, f"{base}/idw").collect()
+    }
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    pts = feats.filter(
+        F.col("lat").isNotNull() & F.col("result_value").isNotNull()
+    )
+    want = {
+        (r.gi, r.gj): (r.n_src, r.idw_value, r.sw_e6, r.swv_e8)
+        for r in idw_grid(pts, value_col="result_value",
+                          keep_state=True).collect()
+    }
+    assert standing == want and len(want) > 10
