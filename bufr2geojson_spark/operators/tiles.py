@@ -467,8 +467,12 @@ def idw_grid(
         .groupBy(F.col("_gi").alias("gi"), F.col("_gj").alias("gj"))
         .agg(
             F.count(F.lit(1)).alias("n_src"),
-            F.sum("_w").alias("_sw"),
-            F.sum("_wv").alias("_swv"),
+            # decimal sums: exact integer arithmetic with ~10^38 headroom,
+            # so idw_merge can fold batches forever without hitting the
+            # int64 ANSI-overflow cliff (DuckDB's HUGEINT sums are the
+            # same exact arithmetic oracle-side)
+            F.sum(F.col("_w").cast("decimal(19,0)")).alias("_sw"),
+            F.sum(F.col("_wv").cast("decimal(19,0)")).alias("_swv"),
         )
         .select(
             "gi", "gj",
@@ -476,7 +480,8 @@ def idw_grid(
             ((F.col("gj") + 0.5) * g - 180.0).alias("glon"),
             "n_src",
             (F.floor(
-                (F.col("_swv") / F.col("_sw")) / F.lit(100.0) * m + F.lit(0.5)
+                (F.col("_swv").cast("double") / F.col("_sw").cast("double"))
+                / F.lit(100.0) * m + F.lit(0.5)
             ) / m).alias("idw_value"),
             *([F.col("_sw").alias("sw_e6"), F.col("_swv").alias("swv_e8")]
               if keep_state else []),
@@ -487,44 +492,63 @@ def idw_grid(
 def idw_merge(
     existing: DataFrame,
     delta: DataFrame,
-    grid_deg: float = 2.0,
     out_dp: int = 4,
 ) -> DataFrame:
     """Fold a delta batch's IDW grid (built with ``keep_state=True``) into
     a standing surface without rescanning history — the raster sibling of
-    ``tile_merge``. The fixed-point weight sums are INTEGER sums, so they
-    are exactly mergeable: merge(idw(A), idw(B)) is bit-identical to
-    idw(A ∪ B) under any batch split (pinned by test and by the driver
-    query, whose oracle is the one-shot full-corpus SQL). One outer join
-    keyed on the node; with the standing table stored range-partitioned
-    by (gi, gj) the shuffle moves mostly the delta."""
-    g = float(grid_deg)
+    ``tile_merge``. The fixed-point weight sums are exact DECIMAL integer
+    sums, so they are exactly mergeable: merge(idw(A), idw(B)) is
+    bit-identical to idw(A ∪ B) under any batch split (pinned by test and
+    by the driver query, whose oracle is the one-shot full-corpus SQL).
+    Node coordinates (glat, glon) are CARRIED from the inputs, never
+    recomputed, so a grid built at any ``grid_deg`` merges without the
+    caller restating it (a restated-wrong spacing would silently relabel
+    every node). One outer join keyed on the node; with the standing
+    table stored range-partitioned by (gi, gj) the shuffle moves mostly
+    the delta.
+
+    Exactness horizon: the decimal sums never overflow in practice
+    (~10^38 headroom), but once a node's sums exceed 2^53 their DOUBLE
+    conversion in the final division is rounded — still deterministic and
+    engine-identical, no longer bit-equal to arbitrary-precision math.
+    """
     m = F.lit(float(10 ** out_dp))
-    cols = ["gi", "gj", "n_src", "sw_e6", "swv_e8"]
+    cols = ["gi", "gj", "glat", "glon", "n_src", "sw_e6", "swv_e8"]
     e = existing.select(*cols)
     d = delta.select(*cols)
     merged = (
         e.withColumnRenamed("n_src", "_n1")
         .withColumnRenamed("sw_e6", "_w1")
         .withColumnRenamed("swv_e8", "_v1")
+        .withColumnRenamed("glat", "_la1")
+        .withColumnRenamed("glon", "_lo1")
         .join(
             d.withColumnRenamed("n_src", "_n2")
             .withColumnRenamed("sw_e6", "_w2")
-            .withColumnRenamed("swv_e8", "_v2"),
+            .withColumnRenamed("swv_e8", "_v2")
+            .withColumnRenamed("glat", "_la2")
+            .withColumnRenamed("glon", "_lo2"),
             ["gi", "gj"], "full_outer",
         )
     )
-    z = F.lit(0).cast("long")
-    sw = F.coalesce(F.col("_w1"), z) + F.coalesce(F.col("_w2"), z)
-    swv = F.coalesce(F.col("_v1"), z) + F.coalesce(F.col("_v2"), z)
+    z = F.lit(0).cast("decimal(38,0)")
+    zl = F.lit(0).cast("long")
+    sw = F.coalesce(F.col("_w1").cast("decimal(38,0)"), z) + F.coalesce(
+        F.col("_w2").cast("decimal(38,0)"), z
+    )
+    swv = F.coalesce(F.col("_v1").cast("decimal(38,0)"), z) + F.coalesce(
+        F.col("_v2").cast("decimal(38,0)"), z
+    )
     return merged.select(
         "gi", "gj",
-        ((F.col("gi") + 0.5) * g).alias("glat"),
-        ((F.col("gj") + 0.5) * g - 180.0).alias("glon"),
-        (F.coalesce(F.col("_n1"), z) + F.coalesce(F.col("_n2"), z))
+        F.coalesce(F.col("_la1"), F.col("_la2")).alias("glat"),
+        F.coalesce(F.col("_lo1"), F.col("_lo2")).alias("glon"),
+        (F.coalesce(F.col("_n1"), zl) + F.coalesce(F.col("_n2"), zl))
         .alias("n_src"),
-        (F.floor((swv / sw) / F.lit(100.0) * m + F.lit(0.5)) / m)
-        .alias("idw_value"),
+        (F.floor(
+            (swv.cast("double") / sw.cast("double")) / F.lit(100.0) * m
+            + F.lit(0.5)
+        ) / m).alias("idw_value"),
         sw.alias("sw_e6"),
         swv.alias("swv_e8"),
     )
@@ -606,6 +630,36 @@ def tile_trend(
 # ---------------------------------------------------------------------------
 
 
+def _scatter_quantized(grid, nlon, gi_col, gj_col, value_col, val_dp,
+                       offsets):
+    """Shared scatter scaffolding of ``raster_smooth`` and
+    ``raster_gradient``: re-quantize the value to its declared ``val_dp``
+    fixed point (recovering the exact integer) and send each node's value
+    to ``(gi + di, (gj + dj) mod nlon)`` for every ``(di, dj, tag)``
+    offset. Returns (gi, gj, _t, _v). Keeping the quantize rule and the
+    wrap arithmetic in one place stops the two stencil operators from
+    drifting apart."""
+    v = F.floor(
+        F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
+    ).cast("long")
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"),
+                 F.lit(t).alias("t"))
+        for di, dj, t in offsets
+    ])
+    return (
+        grid.select(F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
+                    v.alias("_v"))
+        .select("_i", "_j", "_v", F.explode(offs).alias("_o"))
+        .select(
+            (F.col("_i") + F.col("_o.di")).alias("gi"),
+            F.pmod(F.col("_j") + F.col("_o.dj"), F.lit(nlon)).alias("gj"),
+            F.col("_o.t").alias("_t"),
+            "_v",
+        )
+    )
+
+
 def raster_smooth(
     grid: DataFrame,
     nlon: int,
@@ -632,19 +686,9 @@ def raster_smooth(
 
     Returns (gi, gj, n_nb, smoothed).
     """
-    v = F.floor(
-        F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
-    ).cast("long")
-    ex = (
-        grid.select(F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
-                    v.alias("_v"))
-        .withColumn("_di", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-        .withColumn("_dj", F.explode(F.sequence(F.lit(-1), F.lit(1))))
-        .select(
-            (F.col("_i") + F.col("_di")).alias("gi"),
-            F.pmod(F.col("_j") + F.col("_dj"), F.lit(nlon)).alias("gj"),
-            "_v",
-        )
+    ex = _scatter_quantized(
+        grid, nlon, gi_col, gj_col, value_col, val_dp,
+        [(di, dj, "") for di in (-1, 0, 1) for dj in (-1, 0, 1)],
     )
     p = F.lit(float(10 ** out_dp))
     scale = F.lit(float(10 ** val_dp))
@@ -921,30 +965,11 @@ def raster_gradient(
     g = float(grid_deg)
     from bufr2geojson_spark.operators.spatial import KM_PER_DEG
 
-    v = F.floor(
-        F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
-    ).cast("long")
-    offs = F.array(
-        F.struct(F.lit(-1).alias("di"), F.lit(0).alias("dj"),
-                 F.lit("N").alias("t")),
-        F.struct(F.lit(1).alias("di"), F.lit(0).alias("dj"),
-                 F.lit("S").alias("t")),
-        F.struct(F.lit(0).alias("di"), F.lit(-1).alias("dj"),
-                 F.lit("E").alias("t")),
-        F.struct(F.lit(0).alias("di"), F.lit(1).alias("dj"),
-                 F.lit("W").alias("t")),
+    ex = _scatter_quantized(
+        grid, nlon, gi_col, gj_col, value_col, val_dp,
+        [(-1, 0, "N"), (1, 0, "S"), (0, -1, "E"), (0, 1, "W")],
     )
-    ex = (
-        grid.select(F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
-                    v.alias("_v"))
-        .select("_i", "_j", "_v", F.explode(offs).alias("_o"))
-        .select(
-            (F.col("_i") + F.col("_o.di")).alias("gi"),
-            F.pmod(F.col("_j") + F.col("_o.dj"), F.lit(nlon)).alias("gj"),
-            F.col("_o.t").alias("_t"),
-            "_v",
-        )
-    )
+
     def pick(tag):
         return F.max(F.when(F.col("_t") == tag, F.col("_v")))
 

@@ -341,7 +341,7 @@ def run_idw_maintenance_once(
         prev = [v for v in _tile_versions(surface_path) if v < batch_id]
         if prev:
             standing = spark.read.parquet(f"{surface_path}/v={prev[-1]}")
-            merged = idw_merge(standing, delta, grid_deg=grid_deg)
+            merged = idw_merge(standing, delta)
         else:
             merged = delta
         merged.write.mode("overwrite").parquet(f"{surface_path}/v={batch_id}")
