@@ -37,6 +37,44 @@ except Exception:
     _HAVE_PIL = False
 
 
+# --- decoder seam ----------------------------------------------------------
+# Real decoders plug in here WITHOUT code changes (round-2 verdict #7):
+#   * pixel decoder: callable(refs: pd.Series) -> pd.DataFrame with columns
+#     width, height, channels, n_bytes, sha, features (MEDIA_META_SCHEMA
+#     minus the id columns) — e.g. a Pillow open()+histogram over the blob
+#     the ref points to;
+#   * audio decoder: callable(refs: pd.Series) -> pd.DataFrame with columns
+#     sample_rate, n_samples — e.g. soundfile/ffprobe;
+#   * resize decoder: callable(refs: pd.Series, out_w, out_h) ->
+#     pd.Series of flat float lists (len out_w*out_h).
+# When a decoder is None (this container ships no Pillow/ffmpeg) the
+# deterministic md5 stub runs and every row carries is_stub=true. The seam
+# is captured into the mapInPandas closure at PLAN BUILD time so a
+# registered decoder (even a test-local function) is cloudpickled by value
+# to the Python workers.
+_PIXEL_DECODER = None
+_AUDIO_DECODER = None
+_RESIZE_DECODER = None
+
+
+def set_pixel_decoder(fn) -> None:
+    """Register (or clear with None) the real image decoder."""
+    global _PIXEL_DECODER
+    _PIXEL_DECODER = fn
+
+
+def set_audio_decoder(fn) -> None:
+    """Register (or clear with None) the real audio decoder."""
+    global _AUDIO_DECODER
+    _AUDIO_DECODER = fn
+
+
+def set_resize_decoder(fn) -> None:
+    """Register (or clear with None) the real decode+resize kernel."""
+    global _RESIZE_DECODER
+    _RESIZE_DECODER = fn
+
+
 def media_table(docs: DataFrame) -> DataFrame:
     """Explode interleaved documents to one row per media span —
     pure built-ins (posexplode + filter), no UDF."""
@@ -91,19 +129,22 @@ def _fake_decode(refs: pd.Series) -> pd.DataFrame:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Arrow-batched media decode (mapInPandas). With no imaging libs in the
-    container the pixel decode is a deterministic stub (``is_stub=true``);
-    the batching, schema, and partition behavior are the real thing."""
+    """Arrow-batched media decode (mapInPandas). With no registered decoder
+    (no imaging libs in this container) the pixel decode is a deterministic
+    stub (``is_stub=true``); the batching, schema, and partition behavior
+    are the real thing, and a decoder registered via ``set_pixel_decoder``
+    flips ``is_stub`` with zero code changes (seam test:
+    tests/test_media.py)."""
+    decoder = _PIXEL_DECODER  # capture at plan-build time (see seam note)
+    is_stub = decoder is None
+    decode_fn = decoder or _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = _fake_decode(pdf["media_ref"])
+            meta = decode_fn(pdf["media_ref"])
             meta.insert(0, "media_ref", pdf["media_ref"].to_numpy())
             meta.insert(0, "doc_id", pdf["doc_id"].to_numpy())
-            # unconditionally a stub: only _fake_decode exists today, so the
-            # flag must not claim a real decode just because PIL happens to
-            # be importable — flip this only when a real PIL path is wired
-            meta["is_stub"] = True
+            meta["is_stub"] = is_stub
             yield meta[[f.name for f in MEDIA_META_SCHEMA.fields]]
 
     return media.select("doc_id", "media_ref").mapInPandas(
@@ -149,6 +190,8 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     hash-derived from (media_ref, pixel index) — replace `_stub_pixels`
     with a real decode+bilinear resize; schema/batching stay identical."""
     n_px = out_w * out_h
+    decoder = _RESIZE_DECODER  # seam capture (see module note)
+    is_stub = decoder is None
 
     def _stub_pixels(ref: str) -> list:
         digest = hashlib.md5(str(ref).encode()).digest()
@@ -158,14 +201,18 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decoder is None:
+                px = [_stub_pixels(r) for r in pdf["media_ref"]]
+            else:
+                px = list(decoder(pdf["media_ref"], out_w, out_h))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "out_w": np.full(len(pdf), out_w, dtype=np.int32),
                     "out_h": np.full(len(pdf), out_h, dtype=np.int32),
-                    "pixels": [_stub_pixels(r) for r in pdf["media_ref"]],
-                    "is_stub": np.full(len(pdf), True),
+                    "pixels": px,
+                    "is_stub": np.full(len(pdf), is_stub),
                 }
             )
 
@@ -215,27 +262,43 @@ AUDIO_META_SCHEMA = StructType([
 ])
 
 
+def _fake_audio_decode(refs: pd.Series) -> pd.DataFrame:
+    """Deterministic fake audio probe (md5-derived sample rate / length).
+    STUB — a real soundfile/ffprobe decoder registered via
+    ``set_audio_decoder`` replaces this with identical output columns."""
+    rates = np.array([8000, 16000, 22050, 44100])
+    h = refs.map(
+        lambda r: int(hashlib.md5(f"audio:{r}".encode()).hexdigest()[:8], 16)
+    )
+    sr = rates[(h % 4).to_numpy()]
+    n = (h % 400_000 + 8_000).to_numpy()
+    return pd.DataFrame({
+        "sample_rate": sr.astype("int32"),
+        "n_samples": n.astype("int64"),
+    })
+
+
 def decode_audio(media: DataFrame) -> DataFrame:
     """Audio metadata decode — the third modality's plumbing. No audio
-    library ships in this container, so the decode is a clearly-marked
-    deterministic fake (md5-derived sample rate / length per ref, flagged
-    ``is_stub``); a real soundfile/ffprobe call drops into the same
-    mapInPandas batch shape. Schema: sample_rate, n_samples, duration_s."""
+    library ships in this container, so the default decode is a
+    clearly-marked deterministic fake (flagged ``is_stub``); a real
+    soundfile/ffprobe callable registered via ``set_audio_decoder`` drops
+    into the same mapInPandas batch shape and flips the flag without code
+    changes. Schema: sample_rate, n_samples, duration_s."""
+    decoder = _AUDIO_DECODER  # seam capture (see module note)
+    is_stub = decoder is None
+    decode_fn = decoder or _fake_audio_decode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rates = np.array([8000, 16000, 22050, 44100])
         for pdf in batches:
-            h = pdf["media_ref"].map(
-                lambda r: int(hashlib.md5(
-                    f"audio:{r}".encode()).hexdigest()[:8], 16)
-            )
-            sr = rates[(h % 4).to_numpy()]
-            n = (h % 400_000 + 8_000).to_numpy()
+            meta = decode_fn(pdf["media_ref"])
             out = pdf[["doc_id", "media_ref"]].copy()
-            out["sample_rate"] = sr.astype("int32")
-            out["n_samples"] = n.astype("int64")
-            out["duration_s"] = n / sr
-            out["is_stub"] = True
+            out["sample_rate"] = meta["sample_rate"].to_numpy()
+            out["n_samples"] = meta["n_samples"].to_numpy()
+            out["duration_s"] = (
+                out["n_samples"] / out["sample_rate"]
+            )
+            out["is_stub"] = is_stub
             yield out
 
     schema = StructType(
