@@ -1636,6 +1636,42 @@ _SQL_GEO_TILE_PCTS = f"""
 """
 
 
+def q_geo_tile_percentiles_salted(spark, sf_dir):
+    """Hot-cell-safe percentile path (round-2 verdict #8): two-phase merge
+    of fixed-resolution histogram sketches (count per quantized value,
+    map-side combined; phase 2 = frequency-weighted exact percentile).
+    Oracle: the identical exact percentile over values quantized the same
+    way — the operator's only approximation IS that shared quantization."""
+    from bufr2geojson_spark.operators.textops import round_dp
+    from bufr2geojson_spark.operators.tiles import tile_percentiles_salted
+
+    pts = _geo_points(spark, sf_dir).select(
+        (F.floor((F.col("lat") + 90.0) / 20.0) * 100
+         + F.floor((F.col("lon") + 180.0) / 20.0)).alias("tile"),
+        F.col("val"),
+    )
+    out = tile_percentiles_salted(pts, cell_col="tile", value_col="val",
+                                  percentiles=(0.5, 0.9), val_dp=2)
+    return out.select(
+        "tile", "n_obs",
+        round_dp(F.col("p50"), 4).alias("p50"),
+        round_dp(F.col("p90"), 4).alias("p90"),
+    ).orderBy("tile")
+
+
+_SQL_GEO_TILE_PCTS_SALTED = f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    t AS (SELECT CAST(floor((lat + 90.0) / 20.0) * 100
+                 + floor((lon + 180.0) / 20.0) AS BIGINT) AS tile,
+                 floor(val * 100 + 0.5) / 100 AS qv
+          FROM pts)
+    SELECT tile, count(qv) AS n_obs,
+           floor(quantile_cont(qv, 0.5) * 10000 + 0.5) / 10000 AS p50,
+           floor(quantile_cont(qv, 0.9) * 10000 + 0.5) / 10000 AS p90
+    FROM t GROUP BY tile ORDER BY tile
+"""
+
+
 def q_region_measures(spark, sf_dir):
     """Spherical area + perimeter of the test region polygons (geodesic
     measures as Column expressions; identical edge arithmetic on the DuckDB
@@ -3447,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "unigram_logprob": q_unigram_logprob,
         "quota_sample": q_quota_sample,
+        # new this round (round-2 verdict #8)
+        "geo_tile_percentiles_salted": q_geo_tile_percentiles_salted,
         # --- representative already-green subset (r1/r2 driver rows) ------
         "pricing_summary": q_pricing_summary,
         "scalar_function_gallery": q_scalar_function_gallery,
@@ -3460,7 +3498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "lsh_verified_jaccard": q_lsh_verified_jaccard,
-        "simhash_near_pairs": q_simhash_near_pairs,
         # ---------------- 50-entry driver window ends here ----------------
         # §2.3 relational surface (green r1+r2)
         "top_revenue_orders": q_top_revenue_orders,
@@ -3498,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_measures": q_region_measures,
         # dedup / text analysis first wave (green r2)
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3552,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_distributed": _sql_geo_pip(),
         "geo_tile_agg_salted": _SQL_GEO_TILE,
         "geo_tile_percentiles": _SQL_GEO_TILE_PCTS,
+        "geo_tile_percentiles_salted": _SQL_GEO_TILE_PCTS_SALTED,
         "geo_tile_merge": _SQL_GEO_TILE,
         "region_measures": _sql_region_measures(),
         "dedup_exact": _SQL_DEDUP_EXACT,

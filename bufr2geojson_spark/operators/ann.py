@@ -21,25 +21,25 @@ Four operators per the training-data mandate:
   100 TB. ``n_planes=0`` selects the exact all-pairs form, kept as the
   small-scale oracle reference.
 
-Kernel note (round-2 rewrite): the dot product is an UNROLLED column
-expression — ``a[0]*b[0] + a[1]*b[1] + ...`` — which stays inside
-whole-stage codegen. The previous ``F.aggregate(F.zip_with(...))``
-formulation evaluated the lambda INTERPRETED (Spark higher-order functions
-don't codegen; the same ~10×-per-element penalty the minhash and simhash
-rewrites removed). The unrolled sum is left-to-right, so it is
-bit-identical to the old fold AND to a sequential-sum SQL oracle. Norms are
-precomputed once per side of each join instead of per pair. The interpreted
-HOF remains only as a fallback for unknown ``dim``.
+Kernel note (round-3 measurement, superseding the round-2 "unrolled
+codegen" rule): EVERY dim-64 dot/norm — top-k pair scoring included — now
+runs as a NARROW Arrow numpy kernel (``_dot_np``/``_norm_np``/
+``_cos_pdf``). Three formulations were A/B'd in fresh JVMs at sf0.1:
 
-The top-k operators are pure Column expressions (one dot per candidate pair
-compiles fine). The near-dup operators score pairs with a NARROW Arrow
-pandas UDF instead: their stages evaluate many dots per row (bucket
-assignment) or fuse filter+project over the dot, which exceeds Janino's
-64 KB generated-method limit and silently drops the whole stage to
-interpreted execution — measured 66 s for the sf0.1 all-pairs leg vs ~2 s
-with the vectorized kernel. The numpy kernel sums LEFT-TO-RIGHT across
-dimensions (vectorized across rows), so every double is bit-identical to
-the unrolled column expression and to a sequential-sum SQL oracle.
+* ``F.aggregate(F.zip_with(...))`` HOF — evaluates the lambda INTERPRETED
+  (higher-order functions don't codegen): ~2.3 s on the 20k-pair top-k.
+* unrolled column expression ``a[0]*b[0] + a[1]*b[1] + ...`` — compiles
+  clean (no Janino error) but the generated method exceeds HotSpot's
+  huge-method JIT threshold, so it executes as un-JIT-compiled bytecode
+  forever: ~23 µs/pair at BOTH 20k and 4M pairs (3.1 s / 91 s).
+* narrow Arrow numpy kernel — ~8 µs/pair at every scale (1.3 s / 31 s).
+
+All three accumulate LEFT-TO-RIGHT across dimensions, so results are
+bit-identical to each other and to a sequential-sum SQL oracle (np.dot/
+np.einsum would reorder the reduction and could flip a 6-dp rounding
+boundary). The unrolled ``_dot(dim=...)`` remains for SMALL widths (the
+dim-8 media cross-modal join) where the generated method fits the JIT,
+and the HOF as the unknown-width fallback.
 """
 
 from __future__ import annotations
@@ -146,6 +146,41 @@ def _cos_pdf(a: Column, b: Column) -> Column:
     return F.round(_cos_raw_udf()(a, b), 6)
 
 
+def _dot_raw_udf():
+    """Raw (unrounded) pair dot product as a narrow Arrow numpy kernel —
+    the O(pairs)/O(rows) scoring path. Measured (round 3, fresh JVMs,
+    sf0.1): the 64-term unrolled codegen expression runs ~23 µs/pair at
+    EVERY scale (20k and 4M pairs) vs ~8 µs/pair for this kernel — the
+    giant generated method compiles fine (no Janino error) but exceeds
+    HotSpot's huge-method JIT threshold, so it executes as interpreted
+    bytecode forever. Left-to-right accumulation keeps results
+    bit-identical to the unrolled expression and the SQL oracles."""
+
+    @pandas_udf("double")
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        return pd.Series(_seq_dot_np(A, B))
+
+    return f
+
+
+def _dot_np(a: Column, b: Column) -> Column:
+    """Numpy pair-dot Column (see ``_dot_raw_udf``); drop-in for ``_dot``
+    wherever the dot is evaluated per pair or per corpus row at width ~64.
+    The unrolled ``_dot`` stays for small widths (e.g. the dim-8 media
+    join) where the generated method is small enough for the JIT."""
+    return _dot_raw_udf()(a, b)
+
+
+def _norm_np(a: Column) -> Column:
+    """Numpy vector norm — bit-identical to ``_norm`` (same left-to-right
+    self-dot, same sqrt), evaluated JIT-fast at any width."""
+    return F.sqrt(_dot_np(a, a))
+
+
 def _bucket_array_udf(n_planes: int, n_tables: int, dim: int):
     """pandas UDF: embedding → array of ``n_tables`` LSH bucket ids (one
     per OR-ed table, each over its own ``n_planes`` hyperplanes). All
@@ -184,11 +219,11 @@ def cosine_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col), dim).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv"), dim))
+    ).withColumn("qn", _norm_np(F.col("qv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col), dim).alias("cv"),
-    ).withColumn("cn", _norm(F.col("cv"), dim))
+    ).withColumn("cn", _norm_np(F.col("cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -196,7 +231,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cos_pre(_dot(F.col("qv"), F.col("cv"), dim),
+            _cos_pre(_dot_np(F.col("qv"), F.col("cv")),
                      F.col("qn"), F.col("cn")).alias("cos"),
         )
     )
@@ -258,12 +293,16 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket only."""
-    planes = hyperplanes(n_planes, dim)
     base = embeddings.select(
         F.col(id_col),
         _as_double(F.col(vec_col), dim).alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes)) \
-     .withColumn("vn", _norm(F.col("v"), dim))
+    ).withColumn(
+        # numpy bucket kernel, sign-identical to the literal-plane
+        # ``lsh_bucket`` expression (same planes, same > 0 test, same bit
+        # order) — the n_planes×dim-term generated method is far past the
+        # JIT's huge-method threshold (see _dot_raw_udf note)
+        "bucket", F.element_at(_bucket_array_udf(n_planes, 1, dim)(F.col("v")), 1)
+    ).withColumn("vn", _norm_np(F.col("v")))
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -277,7 +316,7 @@ def lsh_ann_topk(
               .withColumnRenamed("vn", "cn"), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                _cos_pre(_dot(F.col("qv"), F.col("cv"), dim),
+                _cos_pre(_dot_np(F.col("qv"), F.col("cv")),
                          F.col("qn"), F.col("cn")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -332,7 +371,7 @@ def _ivf_centroids(
         .select(
             F.col(id_col).alias("centroid_id"),
             F.col("v").alias("centv"),
-            _norm(F.col("v"), dim).alias("centn"),
+            _norm_np(F.col("v")).alias("centn"),
         )
     )
 
@@ -356,16 +395,16 @@ def ivf_assign(
         cents = base.filter(F.col(id_col).isin(centroids)).select(
             F.col(id_col).alias("centroid_id"),
             F.col("v").alias("centv"),
-            _norm(F.col("v"), dim).alias("centn"),
+            _norm_np(F.col("v")).alias("centn"),
         )
     else:
         cents = centroids
     scored = (
-        base.withColumn("vn", _norm(F.col("v"), dim))
+        base.withColumn("vn", _norm_np(F.col("v")))
         .join(F.broadcast(cents))
         .select(
             id_col, "v", "vn", "centroid_id",
-            _cos_pre(_dot(F.col("v"), F.col("centv"), dim),
+            _cos_pre(_dot_np(F.col("v"), F.col("centv")),
                      F.col("vn"), F.col("centn")).alias("ccos"),
         )
     )
@@ -428,7 +467,7 @@ def ivf_train(
             )
         )
         cents = means.select(
-            "centroid_id", "centv", _norm(F.col("centv"), dim).alias("centn")
+            "centroid_id", "centv", _norm_np(F.col("centv")).alias("centn")
         ).localCheckpoint()
     return cents
 
@@ -462,7 +501,7 @@ def ivf_topk(
         cents = base.filter(F.col(id_col).isin(cids)).select(
             F.col(id_col).alias("centroid_id"),
             F.col("v").alias("centv"),
-            _norm(F.col("v"), dim).alias("centn"),
+            _norm_np(F.col("v")).alias("centn"),
         )
     else:
         cents = _ivf_centroids(base, n_centroids, id_col, dim)
@@ -471,10 +510,10 @@ def ivf_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col), dim).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv"), dim))
+    ).withColumn("qn", _norm_np(F.col("qv")))
     qprobe_scored = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "qn", "centroid_id",
-        _cos_pre(_dot(F.col("qv"), F.col("centv"), dim),
+        _cos_pre(_dot_np(F.col("qv"), F.col("centv")),
                  F.col("qn"), F.col("centn")).alias("ccos"),
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -495,7 +534,7 @@ def ivf_topk(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                _cos_pre(_dot(F.col("qv"), F.col("cv"), dim),
+                _cos_pre(_dot_np(F.col("qv"), F.col("cv")),
                          F.col("qn"), F.col("cn")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -823,11 +862,11 @@ def pq_topk(
     qdf = embeddings.sparkSession.createDataFrame(
         [(r["query_id"], list(r["qv"])) for r in q_rows],
         "query_id long, qv array<double>",
-    ).withColumn("qq", _dot(F.col("qv"), F.col("qv"), dim))
+    ).withColumn("qq", _dot_np(F.col("qv"), F.col("qv")))
     vdf = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col), dim).alias("nv"),
-    ).withColumn("vv", _dot(F.col("nv"), F.col("nv"), dim))
+    ).withColumn("vv", _dot_np(F.col("nv"), F.col("nv")))
     exact = (
         shortlist.select("query_id", "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
@@ -836,7 +875,7 @@ def pq_topk(
             "query_id", "neighbor_id",
             F.round(
                 F.col("qq") + F.col("vv")
-                - 2.0 * _dot(F.col("qv"), F.col("nv"), dim), 6
+                - 2.0 * _dot_np(F.col("qv"), F.col("nv")), 6
             ).alias("l2sq"),
         )
     )
@@ -885,10 +924,10 @@ def ivf_pq_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col), dim).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv"), dim))
+    ).withColumn("qn", _norm_np(F.col("qv")))
     qprobe_scored = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
         "query_id", "centroid_id",
-        _cos_pre(_dot(F.col("qv"), F.col("centv"), dim),
+        _cos_pre(_dot_np(F.col("qv"), F.col("centv")),
                  F.col("qn"), F.col("centn")).alias("ccos"),
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -932,10 +971,10 @@ def ivf_pq_topk(
     )
 
     qdf = q.select("query_id", "qv").withColumn(
-        "qq", _dot(F.col("qv"), F.col("qv"), dim))
+        "qq", _dot_np(F.col("qv"), F.col("qv")))
     vdf = base.select(F.col(id_col).alias("neighbor_id"),
                       F.col("v").alias("nv")).withColumn(
-        "vv", _dot(F.col("nv"), F.col("nv"), dim))
+        "vv", _dot_np(F.col("nv"), F.col("nv")))
     exact = (
         in_probe.select("query_id", "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
@@ -944,7 +983,7 @@ def ivf_pq_topk(
             "query_id", "neighbor_id",
             F.round(
                 F.col("qq") + F.col("vv")
-                - 2.0 * _dot(F.col("qv"), F.col("nv"), dim), 6
+                - 2.0 * _dot_np(F.col("qv"), F.col("nv")), 6
             ).alias("l2sq"),
         )
     )

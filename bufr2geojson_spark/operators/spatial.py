@@ -257,18 +257,27 @@ class _StationGrid:
                 seen.add(key)
             b = self.buckets.get(key)
             return b if b is not None else np.array([], dtype=np.int64)
-        for di in range(-ring, ring + 1):
-            for dj in range(-ring, ring + 1):
-                if max(abs(di), abs(dj)) != ring:
+        # perimeter enumeration: O(8·ring) keys. The previous full-square
+        # sweep with a Chebyshev filter was O((2r+1)²) per ring — O(R³)
+        # cumulative per expansion — and dominated the whole kNN stage for
+        # isolated cells (profiled: 70% of kernel time in the di/dj loop).
+        # Emission order (top row, side columns, bottom row) is irrelevant
+        # to results: ranking sorts on (distance, station_id), both unique.
+        keys = [(ci - ring, (cj + dj) % self.nlon)
+                for dj in range(-ring, ring + 1)]
+        for di in range(-ring + 1, ring):
+            keys.append((ci + di, (cj - ring) % self.nlon))
+            keys.append((ci + di, (cj + ring) % self.nlon))
+        keys.extend((ci + ring, (cj + dj) % self.nlon)
+                    for dj in range(-ring, ring + 1))
+        for key in keys:
+            if seen is not None:
+                if key in seen:
                     continue
-                key = (ci + di, (cj + dj) % self.nlon)
-                if seen is not None:
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                b = self.buckets.get(key)
-                if b is not None:
-                    out.append(b)
+                seen.add(key)
+            b = self.buckets.get(key)
+            if b is not None:
+                out.append(b)
         if out:
             return np.concatenate(out)
         return np.array([], dtype=np.int64)
@@ -368,19 +377,29 @@ def knn_join(
             band_lo = fci * grid.g - 90.0
             band_hi = band_lo + grid.g
             phi_band = max(abs(band_lo), abs(band_hi))
+            # distance matrix + kth cache: recomputed only when a ring
+            # actually contributes candidates; rings that add nothing (and
+            # the final ranking below) reuse it — the matrix is the same
+            # rows × same candidate list either way
+            all_c = None
+            d = None
+            best_kth = np.inf
             while ring <= max_ring:
                 c = grid.ring_candidates(fci, fcj, ring, seen_buckets)
                 if c.size:
                     cand.append(c)
+                    all_c = None
                 total = sum(x.size for x in cand)
                 if total >= kk:
-                    all_c = np.concatenate(cand)
-                    d = haversine_km(
-                        glat[:, None], glon[:, None],
-                        grid.lats[all_c][None, :], grid.lons[all_c][None, :],
-                    )
-                    kth = np.sort(d, axis=1)[:, kk - 1]
-                    best_kth = float(kth.max())
+                    if all_c is None:
+                        all_c = np.concatenate(cand)
+                        d = haversine_km(
+                            glat[:, None], glon[:, None],
+                            grid.lats[all_c][None, :],
+                            grid.lons[all_c][None, :],
+                        )
+                        kth = np.sort(d, axis=1)[:, kk - 1]
+                        best_kth = float(kth.max())
                     # lower bound on distance to any UNEXPLORED bucket
                     # (Chebyshev > ring). Two disjoint cases:
                     # |di| > ring  → pure-lat gap ≥ ring·g degrees;
@@ -408,11 +427,12 @@ def knn_join(
                 ring += 1
             if not cand:
                 continue
-            all_c = np.concatenate(cand)
-            d = haversine_km(
-                glat[:, None], glon[:, None],
-                grid.lats[all_c][None, :], grid.lons[all_c][None, :],
-            )
+            if all_c is None:  # exited with < k candidates (tiny corpus)
+                all_c = np.concatenate(cand)
+                d = haversine_km(
+                    glat[:, None], glon[:, None],
+                    grid.lats[all_c][None, :], grid.lons[all_c][None, :],
+                )
             kuse = min(kk, all_c.size)
             # deterministic ranking: distance ASC, station_id ASC on ties
             # (np.argsort alone breaks ties by candidate order, which

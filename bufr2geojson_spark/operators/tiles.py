@@ -259,6 +259,57 @@ def tile_percentiles(
     return out.select(cell_col, "n_obs", *cols)
 
 
+def tile_percentiles_salted(
+    features: DataFrame,
+    cell_col: str = "cell_s2",
+    value_col: str = "result_value",
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+    val_dp: int = 2,
+) -> DataFrame:
+    """Hot-cell-safe per-cell percentiles: two-phase merge of fixed-
+    resolution histogram sketches, the percentile member of the salted
+    aggregation family (round-2 verdict #8).
+
+    phase 1: quantize the value to ``val_dp`` decimals (floor-form
+        half-up, the engine-portable rounding) and count rows per
+        (cell, quantized value) — a mergeable fixed-resolution histogram.
+        Map-side combine collapses a hot cell to one row per distinct bin
+        per input partition BEFORE the shuffle, and the reduce key
+        (cell, bin) spreads a hot cell's load across reducers by bin hash.
+        The quantized value plays the salt role of ``tile_aggregate``'s
+        ``_salt`` — but deterministically, so each (cell, bin) lands in
+        exactly one partial and the phase-2 merge never sees duplicate
+        bins.
+    phase 2: merge per-cell sketches with the frequency-weighted exact
+        percentile (``F.percentile(value, pcts, frequency)``) — per cell
+        the reducer receives one row per OCCUPIED BIN, never one per
+        observation, so a 10^9-row cell costs the same as a 10^3-row cell
+        at equal value spread.
+
+    ``val_dp`` is the sketch resolution: the result equals
+    ``tile_percentiles(quantized, exact=True)`` EXACTLY (pytest asserts
+    bit-equality on a hot-cell corpus), i.e. the only approximation is the
+    up-front half-up quantization, bounded by 0.5·10^-val_dp. Sketch size
+    per cell is the occupied-bin count (value range × 10^val_dp worst
+    case) — the knob trading memory for resolution, exactly like
+    ``accuracy`` in the ``percentile_approx`` path."""
+    scale = float(10 ** val_dp)
+    qv = F.floor(F.col(value_col) * scale + F.lit(0.5)) / scale
+    sketch = (
+        features.groupBy(cell_col, qv.alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    out = sketch.groupBy(cell_col).agg(
+        F.sum("_freq").alias("n_obs"),
+        F.percentile(
+            F.col("_bin"), F.lit(list(percentiles)), F.col("_freq")
+        ).alias("_pcts"),
+    )
+    cols = [F.col("_pcts")[i].alias(_pct_label(p))
+            for i, p in enumerate(percentiles)]
+    return out.select(cell_col, "n_obs", *cols)
+
+
 # ---------------------------------------------------------------------------
 # N6: vector -> raster and raster -> vector
 # ---------------------------------------------------------------------------
