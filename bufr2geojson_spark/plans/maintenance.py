@@ -47,12 +47,95 @@ def load_state(work: str) -> dict | None:
         return json.load(f)
 
 
-def _commit_state(work: str, files: dict[str, int], version: int) -> None:
+def _commit_state(work: str, files: dict[str, int], version: int,
+                  prev_state: dict | None = None) -> None:
+    """Atomic manifest commit. The manifest carries the full SNAPSHOT LOG
+    (Iceberg-style): one entry per committed version with the source-file
+    state that produced it, enabling time travel (``read_tiles``) and
+    snapshot expiry (``expire_snapshots``). Version directories are
+    immutable once committed — a later run never rewrites an older ``v=``
+    dir — so reading an old snapshot needs no locks."""
+    p = _state_path(work)
+    tmp = p + ".tmp"
+    snapshots = list((prev_state or {}).get("snapshots", []))
+    snapshots.append({"version": version, "n_source_files": len(files)})
+    with open(tmp, "w") as f:
+        json.dump({"files": files, "version": version,
+                   "snapshots": snapshots}, f)
+    os.replace(tmp, p)  # atomic on POSIX — the commit point
+
+
+def snapshot_history(work: str) -> list[dict]:
+    """Committed snapshot log, oldest first. Manifests written before the
+    log existed report just their current version."""
+    state = load_state(work)
+    if state is None:
+        return []
+    return state.get(
+        "snapshots",
+        [{"version": state["version"], "n_source_files": len(state["files"])}],
+    )
+
+
+def read_tiles(spark: SparkSession, work: str,
+               as_of_version: int | None = None) -> DataFrame | None:
+    """Time-travel read of the standing tile table (Iceberg ``VERSION AS OF``
+    semantics): ``as_of_version=None`` reads the latest committed snapshot;
+    an explicit version reads that snapshot's immutable directory. Raises
+    on a version that was never committed (an uncommitted ``v=`` directory
+    left by a crash is NOT readable — the manifest is the source of truth)
+    or was expired by ``expire_snapshots``."""
+    state = load_state(work)
+    if state is None:
+        return None
+    if as_of_version is None:
+        as_of_version = state["version"]
+    committed = {s["version"] for s in snapshot_history(work)}
+    if as_of_version not in committed:
+        raise ValueError(
+            f"version {as_of_version} is not a committed snapshot of {work} "
+            f"(committed: {sorted(committed)})"
+        )
+    path = f"{work}/tiles/v={as_of_version}"
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"snapshot v={as_of_version} was expired (directory removed); "
+            "committed history retains only unexpired versions"
+        )
+    return spark.read.parquet(path)
+
+
+def expire_snapshots(work: str, keep_last: int = 2) -> list[int]:
+    """Iceberg-style snapshot expiry: delete the version directories of all
+    but the newest ``keep_last`` committed snapshots and drop them from the
+    log. Returns the expired version numbers. The CURRENT version is never
+    expired (keep_last is clamped to ≥1). Expiry commits the pruned log
+    atomically BEFORE deleting directories, so a crash mid-delete leaves
+    only untracked garbage dirs, never a tracked-but-missing snapshot."""
+    import shutil
+
+    state = load_state(work)
+    if state is None:
+        return []
+    keep_last = max(1, int(keep_last))
+    snaps = snapshot_history(work)
+    drop = snaps[:-keep_last] if len(snaps) > keep_last else []
+    if not drop:
+        return []
+    keep = snaps[len(drop):]
     p = _state_path(work)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"files": files, "version": version}, f)
-    os.replace(tmp, p)  # atomic on POSIX — the commit point
+        json.dump({"files": state["files"], "version": state["version"],
+                   "snapshots": keep}, f)
+    os.replace(tmp, p)
+    expired = []
+    for s in drop:
+        path = f"{work}/tiles/v={s['version']}"
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        expired.append(s["version"])
+    return expired
 
 
 def standing_tiles(spark: SparkSession, work: str) -> DataFrame | None:
@@ -83,6 +166,6 @@ def run_maintenance(spark: SparkSession, docs_path: str, work: str) -> dict:
         merged, v_new = tile_merge(prev, delta), state["version"] + 1
     merged.write.mode("overwrite").parquet(f"{work}/tiles/v={v_new}")
     n_tiles = spark.read.parquet(f"{work}/tiles/v={v_new}").count()
-    _commit_state(work, new_files, v_new)
+    _commit_state(work, new_files, v_new, prev_state=state)
     return {"no_op": False, "version": v_new, "n_tiles": n_tiles,
             "n_new_files": len(new_files) - (len(prev_files or {}))}

@@ -332,6 +332,50 @@ class TestMaintenancePlan:
         after = sorted(map(tuple, standing_tiles(spark, work).collect()))
         assert after == final          # identical, not double-merged
 
+    def test_time_travel_and_expiry(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from bufr2geojson_spark.plans.maintenance import (
+            expire_snapshots, read_tiles, run_maintenance, snapshot_history,
+            standing_tiles)
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        docs_path = str(tmp_path / "docs")
+        work = str(tmp_path / "work")
+        docs = synth_documents(spark, 60, partitions=3)
+        # three appends -> three committed snapshots v=0,1,2
+        for m in range(3):
+            docs.filter(F.crc32("doc_id") % 3 == m) \
+                .write.mode("append").parquet(docs_path)
+            run_maintenance(spark, docs_path, work)
+        hist = snapshot_history(work)
+        assert [s["version"] for s in hist] == [0, 1, 2]
+        # source-file counts in the log are monotone (append-only source)
+        counts = [s["n_source_files"] for s in hist]
+        assert counts == sorted(counts)
+        # latest read == standing table; old snapshots readable & smaller-or-equal
+        latest = sorted(map(tuple, read_tiles(spark, work).collect()))
+        assert latest == sorted(map(tuple,
+                                    standing_tiles(spark, work).collect()))
+        v0 = read_tiles(spark, work, as_of_version=0)
+        n0 = v0.agg(F.sum("n_obs")).collect()[0][0]
+        n2 = read_tiles(spark, work, as_of_version=2) \
+            .agg(F.sum("n_obs")).collect()[0][0]
+        assert n0 < n2                       # old snapshot = old state
+        # an uncommitted version number is not readable
+        with _pytest.raises(ValueError, match="not a committed snapshot"):
+            read_tiles(spark, work, as_of_version=7)
+        # expiry drops the oldest, keeps current; expired version unreadable
+        assert expire_snapshots(work, keep_last=2) == [0]
+        assert [s["version"] for s in snapshot_history(work)] == [1, 2]
+        with _pytest.raises(ValueError):
+            read_tiles(spark, work, as_of_version=0)
+        # current snapshot always survives even keep_last=0
+        assert expire_snapshots(work, keep_last=0) == [1]
+        assert read_tiles(spark, work).count() > 0
+        # expiry is idempotent
+        assert expire_snapshots(work, keep_last=2) == []
+
 
 class TestCompaction:
     def test_compacts_preserving_rows(self, spark, tmp_path):
