@@ -3419,6 +3419,270 @@ _SQL_ENGINE_DECODE_DIGEST = """
 
 
 # ---------------------------------------------------------------------------
+# trajectory analytics / BM25 / KDE (round 3)
+# ---------------------------------------------------------------------------
+
+
+# deterministic per-event coordinates: user base point (the _geo_points
+# formula on user_id) + a per-event jitter — integer modulo + exact decimal
+# fractions, reproduced verbatim in the oracle SQL
+def _event_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    lat = (
+        (u * 37) % 140 - 70 + ((u * 91) % 10) / 10.0
+        + ((e * 13) % 7 - 3) / 100.0
+    ).cast("double")
+    lon = (
+        (u * 53) % 360 - 180 + ((u * 17) % 10) / 10.0
+        + ((e * 29) % 7 - 3) / 100.0
+    ).cast("double")
+    return ev.select(
+        "user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon")
+    )
+
+
+_TRACK_PTS_SQL = """
+    SELECT user_id, ts, event_id,
+           ((user_id * 37) % 140 - 70 + ((user_id * 91) % 10) / 10.0
+            + ((event_id * 13) % 7 - 3) / 100.0) AS lat,
+           ((user_id * 53) % 360 - 180 + ((user_id * 17) % 10) / 10.0
+            + ((event_id * 29) % 7 - 3) / 100.0) AS lon
+    FROM events
+"""
+
+# haversine with the exact term order of spatial.haversine_col(plat, plon,
+# lat, lon), distances floor-quantized to 2 dp (trajectory.SEG_DP)
+_SEG_KM_SQL = """
+    floor(2 * 6371.0 * asin(sqrt(
+        pow(sin(radians(lat - plat) / 2), 2)
+        + cos(radians(plat)) * cos(radians(lat))
+          * pow(sin(radians(lon - plon) / 2), 2)
+    )) * 100.0 + 0.5) / 100.0
+"""
+
+_SQL_SEGMENTS = f"""
+    pts AS ({_TRACK_PTS_SQL}),
+    seg AS (
+        SELECT user_id, ts, event_id, lat, lon,
+               lag(ts) OVER w AS prev_ts,
+               lag(lat) OVER w AS plat,
+               lag(lon) OVER w AS plon
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hop AS (
+        SELECT user_id, ts, event_id, lat, lon, prev_ts,
+               epoch(ts) - epoch(prev_ts) AS dt_s,
+               {_SEG_KM_SQL} AS seg_km
+        FROM seg
+    ),
+    sp AS (
+        SELECT *, CASE WHEN dt_s > 0
+                       THEN seg_km / (dt_s / 3600.0) END AS speed_kmh
+        FROM hop
+    )
+"""
+
+
+def q_event_track_stats(spark, sf_dir):
+    """Per-entity trajectory summary (distance / speed over ordered pings):
+    one window + one reused-partitioning groupBy, fixed-point integer hop
+    sums (bit-exact under any aggregation order)."""
+    from bufr2geojson_spark.operators.trajectory import track_stats
+
+    return track_stats(_event_track_points(spark, sf_dir)).orderBy("user_id")
+
+
+_SQL_EVENT_TRACK_STATS = f"""
+    WITH {_SQL_SEGMENTS}
+    SELECT user_id,
+           count(*) AS n_points,
+           count(seg_km) AS n_segments,
+           floor((sum(floor(seg_km * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0)
+                 * 1e4 + 0.5) / 1e4 AS total_km,
+           floor(max(seg_km) * 1e4 + 0.5) / 1e4 AS max_hop_km,
+           floor(max(speed_kmh) * 1e4 + 0.5) / 1e4 AS max_kmh,
+           CASE WHEN max(epoch(ts)) - min(epoch(ts)) > 0 THEN
+               floor((sum(floor(seg_km * 100.0 + 0.5)::BIGINT)::DOUBLE
+                      / 100.0)
+                     / ((max(epoch(ts)) - min(epoch(ts))) / 3600.0)
+                     * 1e4 + 0.5) / 1e4
+           END AS avg_kmh
+    FROM sp GROUP BY user_id ORDER BY user_id
+"""
+
+_STOPS_MAX_KMH = 2.0
+_STOPS_MIN_DWELL_S = 3600.0
+
+
+def q_event_stops(spark, sf_dir):
+    """Dwell / stay-point detection: gaps-and-islands over per-hop speed in
+    the same single shuffle as the lag window."""
+    from bufr2geojson_spark.operators.trajectory import detect_stops
+
+    return detect_stops(
+        _event_track_points(spark, sf_dir),
+        max_speed_kmh=_STOPS_MAX_KMH,
+        min_dwell_s=_STOPS_MIN_DWELL_S,
+    ).orderBy("user_id", "stop_seq")
+
+
+_SQL_EVENT_STOPS = f"""
+    WITH {_SQL_SEGMENTS},
+    fl AS (
+        SELECT *,
+               (speed_kmh IS NOT NULL AND speed_kmh <= {_STOPS_MAX_KMH!r})
+                   AS is_slow,
+               sum(CASE WHEN speed_kmh IS NOT NULL
+                             AND speed_kmh <= {_STOPS_MAX_KMH!r}
+                        THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS episode
+        FROM sp
+    ),
+    ep AS (
+        SELECT user_id, episode,
+               min(prev_ts) AS start_ts,
+               max(ts) AS end_ts,
+               floor((max(epoch(ts)) - min(epoch(prev_ts))) * 1e4 + 0.5)
+                   / 1e4 AS dwell_s,
+               floor(sum(floor(lat * 1e6 + 0.5)::BIGINT)::DOUBLE / 1e6
+                     / count(*) * 1e4 + 0.5) / 1e4 AS c_lat,
+               floor(sum(floor(lon * 1e6 + 0.5)::BIGINT)::DOUBLE / 1e6
+                     / count(*) * 1e4 + 0.5) / 1e4 AS c_lon,
+               count(*) AS n_hops
+        FROM fl WHERE is_slow
+        GROUP BY user_id, episode
+        HAVING floor((max(epoch(ts)) - min(epoch(prev_ts))) * 1e4 + 0.5)
+                   / 1e4 >= {_STOPS_MIN_DWELL_S!r}
+    )
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY start_ts, episode) AS stop_seq,
+           start_ts, end_ts, dwell_s, c_lat, c_lon, n_hops
+    FROM ep ORDER BY user_id, stop_seq
+"""
+
+_BM25_TERMS = ["merge", "stream", "table", "vector"]
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 relevance against a fixed query-term bag: query-term
+    filter BEFORE the (doc,term) shuffle, broadcast corpus stats,
+    fixed-point contribution sums."""
+    return T.bm25_scores(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS
+    ).orderBy("doc_id")
+
+
+def _sql_bm25():
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({terms}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           floor((sum(floor(contrib * 1e9 + 0.5)::BIGINT)::DOUBLE / 1e9)
+                 * 1e6 + 0.5) / 1e6 AS score,
+           count(*) AS n_hits
+    FROM contrib GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def q_geo_kde_heatmap(spark, sf_dir):
+    """Gaussian KDE heatmap on a 2-degree grid (truncated 3-sigma kernel,
+    explode-to-reachable-nodes, fixed-point weight sums)."""
+    from bufr2geojson_spark.operators.tiles import kde_heatmap
+
+    pts = _geo_points(spark, sf_dir)
+    return kde_heatmap(
+        pts, grid_deg=2.0, sigma_km=150.0, cutoff_sigmas=3.0
+    ).orderBy("gi", "gj")
+
+
+# same disc-cover + fixed-point scheme as _SQL_GEO_IDW, with the Gaussian
+# kernel (2 sigma^2 = 45000) instead of inverse-distance weights
+_SQL_GEO_KDE = f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    cov AS (
+        SELECT pid, lat, lon,
+               floor((lat - {450.0 / KM_PER_DEG!r}) / 2.0)::INT AS ci_lo,
+               floor((lat + {450.0 / KM_PER_DEG!r}) / 2.0)::INT AS ci_hi,
+               floor((lon + 180.0
+                      - {450.0 / KM_PER_DEG!r}
+                        / cos(radians(least(abs(lat)
+                                            + {450.0 / KM_PER_DEG!r},
+                                            89.999)))) / 2.0)::INT AS cj_lo,
+               least(
+                   floor((lon + 180.0
+                          + {450.0 / KM_PER_DEG!r}
+                            / cos(radians(least(abs(lat)
+                                                + {450.0 / KM_PER_DEG!r},
+                                                89.999)))) / 2.0)::INT,
+                   floor((lon + 180.0
+                          - {450.0 / KM_PER_DEG!r}
+                            / cos(radians(least(abs(lat)
+                                                + {450.0 / KM_PER_DEG!r},
+                                                89.999)))) / 2.0)::INT + 179
+               ) AS cj_hi
+        FROM pts
+    ),
+    exi AS (
+        SELECT pid, lat, lon, cj_lo, cj_hi,
+               unnest(generate_series(ci_lo, ci_hi)) AS gi
+        FROM cov
+    ),
+    exj AS (
+        SELECT pid, lat, lon, gi,
+               ((unnest(generate_series(cj_lo, cj_hi)) % 180) + 180) % 180
+                   AS gj
+        FROM exi
+    ),
+    scored AS (
+        SELECT gi, gj,
+               floor(2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians((gi + 0.5) * 2.0 - lat) / 2), 2)
+                   + cos(radians(lat)) * cos(radians((gi + 0.5) * 2.0))
+                     * pow(sin(radians((gj + 0.5) * 2.0 - 180.0 - lon) / 2),
+                           2)
+               )) * 100.0 + 0.5) / 100.0 AS d
+        FROM exj
+        WHERE abs((gi + 0.5) * 2.0) <= 90.0
+    ),
+    wts AS (
+        SELECT gi, gj,
+               floor(1e6 * exp(-(d * d) / 45000.0) + 0.5)::BIGINT AS w
+        FROM scored WHERE d <= 450.0
+    )
+    SELECT gi, gj,
+           (gi + 0.5) * 2.0 AS glat,
+           (gj + 0.5) * 2.0 - 180.0 AS glon,
+           count(*) AS n_src,
+           floor(sum(w)::DOUBLE / 1e6 * 1e4 + 0.5) / 1e4 AS density
+    FROM wts WHERE w > 0 GROUP BY gi, gj ORDER BY gi, gj
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3540,6 +3804,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
+        # trajectory analytics / retrieval / density (new round 3; appended
+        # after the gate window so slots 1-50 stay the never-checked set)
+        "event_track_stats": q_event_track_stats,
+        "event_stops": q_event_stops,
+        "bm25_scores": q_bm25_scores,
+        "geo_kde_heatmap": q_geo_kde_heatmap,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -3641,4 +3911,9 @@ def oracle_sql() -> dict[str, str]:
         "engine_audio_digest": _SQL_ENGINE_AUDIO_DIGEST,
         "engine_geojson": _SQL_ENGINE_GEOJSON,
         "engine_span_invariant": _SQL_ENGINE_SPAN_INVARIANT,
+        # trajectory analytics / retrieval / density (round 3)
+        "event_track_stats": _SQL_EVENT_TRACK_STATS,
+        "event_stops": _SQL_EVENT_STOPS,
+        "bm25_scores": _sql_bm25(),
+        "geo_kde_heatmap": _SQL_GEO_KDE,
     }

@@ -752,6 +752,79 @@ def tf_idf_top_terms(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query terms
+    (the retrieval primitive behind corpus search / RAG shortlists).
+
+    Lucene-form idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive;
+    per-term contribution = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+    A document scores even if it misses some query terms (absent term
+    contributes 0); documents matching no term are dropped.
+
+    Plan shape for 100 TB: the token explode is filtered to the query
+    terms BEFORE the (doc, term) groupBy, so the shuffle carries only
+    matching tokens, not the corpus token stream. Corpus stats (N, avgdl,
+    per-term df over the query terms) are tiny aggregates joined back via
+    broadcast. Output: (doc_id, score, n_hits), floor-rounded 6 dp; global
+    top-n is a TakeOrderedAndProject when requested.
+    """
+    terms = sorted({t for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = docs.select(
+        F.col(id_col), F.explode(words_of(F.col(text_col))).alias("term")
+    )
+    # doc length over ALL tokens (must precede the query-term filter)
+    doclen = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = tok.filter(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    # fixed-point 1e-9 contributions: the per-doc score is an exact integer
+    # sum, bit-stable under any aggregation order (and in the SQL oracle)
+    out = scored.groupBy(id_col).agg(
+        round6(
+            F.sum(
+                F.floor(F.col("contrib") * 1e9 + F.lit(0.5)).cast("long")
+            ).cast("double") / 1e9
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("score"), F.asc(id_col)).limit(top_n)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (training-batch assembly)
 # ---------------------------------------------------------------------------

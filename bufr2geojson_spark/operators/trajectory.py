@@ -1,0 +1,193 @@
+"""Trajectory analytics over (entity, timestamp, lat, lon) point streams.
+
+The geospatial engine's moving-object surface: per-entity track statistics
+(distance / speed) and dwell ("stay-point") detection. Both are single-pass
+window computations — ONE hash shuffle on the entity id, everything else
+whole-stage-codegen window/lag/aggregate — so the plan is the 100 TB shape:
+shuffle volume is the point stream itself (once), state per entity is O(1)
+for stats and O(points-in-one-dwell) for stops, and skewed entities (one
+device emitting millions of pings) stay correct because windows stream
+within a partition.
+
+Determinism / oracle parity: segment speed over a non-positive time delta
+is NULL (excluded from max/avg on both engines); window order is
+(ts, tiebreak id) so duplicate timestamps cannot reorder between runs.
+Everything SUMMED is fixed-point integer (hop lengths floor-quantized to
+``SEG_DP`` = 2 dp, centroids summed at 1e-6) — the ``idw_grid`` trick — so
+aggregates are bit-exact under any partitioning or aggregation order and a
+SQL oracle reproduces them exactly; min/max/count are order-independent
+already. Float outputs pass through floor-form ``round_dp``.
+
+No analogue in the reference (single-station observation ETL,
+`/root/reference/bufr2geojson/__init__.py`); this extends the engine the
+way its N-operators (SURVEY.md §2.2) extend decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.operators.spatial import haversine_col
+from bufr2geojson_spark.operators.textops import round_dp
+
+# hop lengths are floor-quantized to this many decimals (2 dp = 10 m) so
+# distance totals are exact integer sums under any aggregation order
+SEG_DP = 2
+
+
+def _ts_seconds(points: DataFrame, col: str):
+    """Epoch seconds as double. TIMESTAMP_NTZ (what parquet scans yield)
+    cannot be cast to a number directly; read it as UTC wall time — the
+    same semantics as DuckDB's ``epoch()`` on its naive TIMESTAMP."""
+    if dict(points.dtypes).get(col) == "timestamp_ntz":
+        return F.to_utc_timestamp(F.col(col), "UTC").cast("double")
+    return F.col(col).cast("double")
+
+
+def _segments(
+    points: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lat_col: str,
+    lon_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Per-point incoming segment: previous point's (ts, lat, lon) and the
+    haversine length / duration / speed of the hop. First point of each
+    entity has NULL segment fields. One window = one shuffle on id.
+    ``seg_km`` is floor-quantized to ``SEG_DP`` (2 dp = 10 m) so every
+    downstream sum can be an exact integer sum."""
+    w = Window.partitionBy(id_col).orderBy(F.col(ts_col), F.col(seq_col))
+    pts = points.withColumn("_ts_s", _ts_seconds(points, ts_col))
+    prev_ts = F.lag(ts_col).over(w)
+    prev_ts_s = F.lag("_ts_s").over(w)
+    prev_lat = F.lag(lat_col).over(w)
+    prev_lon = F.lag(lon_col).over(w)
+    dt_s = F.col("_ts_s") - F.col("prev_ts_s")
+    seg_km = round_dp(
+        haversine_col(prev_lat, prev_lon, F.col(lat_col), F.col(lon_col)),
+        SEG_DP,
+    )
+    speed = F.when(
+        F.col("dt_s") > 0, F.col("seg_km") / (F.col("dt_s") / 3600.0)
+    )  # NULL on first point and on non-positive deltas
+    return (
+        pts.withColumn("prev_ts", prev_ts)
+        .withColumn("prev_ts_s", prev_ts_s)
+        .withColumn("dt_s", dt_s)
+        .withColumn("seg_km", seg_km)
+        .withColumn("speed_kmh", speed)
+    )
+
+
+def track_stats(
+    points: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seq_col: str = "event_id",
+    dp: int = 4,
+) -> DataFrame:
+    """Per-entity track summary: point/segment counts, total haversine
+    distance, longest hop, max and overall average speed.
+
+    ``avg_kmh`` is total distance over total elapsed time (first→last ts),
+    not the mean of segment speeds — the quantity a fleet/telemetry user
+    actually wants. Entities whose track has no positive elapsed time get
+    NULL speeds. Output rounded to ``dp`` for exact oracle comparison.
+
+    Plan: one shuffle (window on id) + the groupBy reuses the same hash
+    partitioning, so Catalyst plans a single Exchange. At 100 TB: shuffle
+    = one pass of the point stream; no driver state; AQE handles entity
+    skew (a window partition streams, it does not materialize).
+    """
+    seg = _segments(points, id_col, ts_col, lat_col, lon_col, seq_col)
+    elapsed = F.max(F.col("_ts_s")) - F.min(F.col("_ts_s"))
+    # exact integer sum of the 2dp-quantized hops (order-independent)
+    seg_e2 = F.sum(
+        F.floor(F.col("seg_km") * F.lit(float(10 ** SEG_DP)) + F.lit(0.5))
+        .cast("long")
+    )
+    total_km = seg_e2.cast("double") / F.lit(float(10 ** SEG_DP))
+    out = seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("seg_km").alias("n_segments"),
+        round_dp(total_km, dp).alias("total_km"),
+        round_dp(F.max("seg_km"), dp).alias("max_hop_km"),
+        round_dp(F.max("speed_kmh"), dp).alias("max_kmh"),
+        round_dp(
+            F.when(elapsed > 0, total_km / (elapsed / 3600.0)), dp
+        ).alias("avg_kmh"),
+    )
+    return out
+
+
+def detect_stops(
+    points: DataFrame,
+    max_speed_kmh: float = 5.0,
+    min_dwell_s: float = 600.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seq_col: str = "event_id",
+    dp: int = 4,
+) -> DataFrame:
+    """Dwell episodes (stay-points): maximal runs of consecutive slow hops.
+
+    A hop is *slow* when its speed is defined and ≤ ``max_speed_kmh``.
+    Episode boundaries come from the classic gaps-and-islands cumulative
+    sum (no iteration): ``episode = running count of non-slow points``,
+    computed in the SAME window (and thus the same shuffle) as the lag.
+    An episode spans from its first hop's predecessor timestamp to its
+    last point; it is kept when that span ≥ ``min_dwell_s``. The reported
+    centroid is the mean of the slow hops' endpoints (rounded ``dp``).
+
+    Plan: one shuffle on id for both windows + the final groupBy
+    (same key ⇒ Catalyst reuses the partitioning), then a row_number
+    window for the per-entity stop sequence. State per entity is one
+    running counter — safe for arbitrarily long tracks.
+    """
+    seg = _segments(points, id_col, ts_col, lat_col, lon_col, seq_col)
+    slow = (
+        F.col("speed_kmh").isNotNull()
+        & (F.col("speed_kmh") <= F.lit(float(max_speed_kmh)))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col(ts_col), F.col(seq_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = seg.withColumn("is_slow", slow).withColumn(
+        "episode",
+        F.sum(F.when(F.col("is_slow"), 0).otherwise(1)).over(run),
+    )
+    ep = (
+        seg.filter("is_slow")
+        .groupBy(id_col, "episode")
+        .agg(
+            F.min("prev_ts").alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            round_dp(
+                F.max(F.col("_ts_s")) - F.min(F.col("prev_ts_s")), dp
+            ).alias("dwell_s"),
+            # centroid over fixed-point 1e-6 coordinates: exact integer
+            # sums, so the mean is aggregation-order-independent
+            round_dp(
+                F.sum(
+                    F.floor(F.col(lat_col) * 1e6 + F.lit(0.5)).cast("long")
+                ).cast("double") / 1e6 / F.count(F.lit(1)), dp
+            ).alias("c_lat"),
+            round_dp(
+                F.sum(
+                    F.floor(F.col(lon_col) * 1e6 + F.lit(0.5)).cast("long")
+                ).cast("double") / 1e6 / F.count(F.lit(1)), dp
+            ).alias("c_lon"),
+            F.count(F.lit(1)).alias("n_hops"),
+        )
+        .filter(F.col("dwell_s") >= F.lit(float(min_dwell_s)))
+    )
+    wseq = Window.partitionBy(id_col).orderBy("start_ts", "episode")
+    return ep.withColumn("stop_seq", F.row_number().over(wseq)).select(
+        id_col, "stop_seq", "start_ts", "end_ts", "dwell_s",
+        "c_lat", "c_lon", "n_hops",
+    )

@@ -715,3 +715,79 @@ class TestWeightedSample:
         a = {r.doc_id for r in T.weighted_sample(d1, "w").collect()}
         b = {r.doc_id for r in T.weighted_sample(d2, "w").collect()}
         assert a == {i for i in b if i < 100}
+
+
+class TestBm25:
+    @staticmethod
+    def _brute(rows, terms, k1=1.2, b=0.75):
+        import math
+        toks = {d: t.split(" ") for d, t in rows}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        df = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+        out = {}
+        for d, v in toks.items():
+            s, hits = 0.0, 0
+            for q in terms:
+                tf = v.count(q)
+                if tf == 0 or df[q] == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                hits += 1
+            if hits:
+                out[d] = (round(s, 6), hits)
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.textops import bm25_scores
+
+        rows = [
+            (1, "storm surge warning coastal storm"),
+            (2, "sunny calm day"),
+            (3, "storm inland warning"),
+            (4, "warning warning warning"),
+            (5, "nothing relevant here"),
+        ]
+        terms = ["storm", "warning", "surge"]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: (r["score"], r["n_hits"])
+               for r in bm25_scores(df, terms).collect()}
+        want = self._brute(rows, terms)
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][1] == want[d][1]
+            assert abs(got[d][0] - want[d][0]) < 1e-6
+
+    def test_rarer_term_outranks_common_at_equal_tf(self, spark):
+        from bufr2geojson_spark.operators.textops import bm25_scores
+
+        rows = [(i, "common filler words") for i in range(1, 9)]
+        rows += [(9, "common rare"), (10, "common boring")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {r["doc_id"]: r["score"]
+               for r in bm25_scores(df, ["rare", "common"]).collect()}
+        assert got[9] > got[10]   # rare term dominates the common one
+
+    def test_top_n_and_jvm_only_plan(self, spark):
+        from bufr2geojson_spark.operators.textops import bm25_scores
+
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 7} alpha beta") for i in range(50)],
+            "doc_id int, text string")
+        q = bm25_scores(df, ["alpha", "tok3"], top_n=5)
+        rows = q.collect()
+        assert len(rows) == 5
+        assert rows == sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_empty_terms_raise(self, spark):
+        import pytest as _pytest
+
+        from bufr2geojson_spark.operators.textops import bm25_scores
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        with _pytest.raises(ValueError):
+            bm25_scores(df, [])

@@ -880,3 +880,68 @@ class TestTilePercentilesSalted:
             percentiles=(0.5,), val_dp=2,
         ).collect()[0]
         assert abs(r["p50"] - 2.4995) <= 0.005 + 1e-9
+
+
+class TestKdeHeatmap:
+    def test_matches_bruteforce(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.tiles import kde_heatmap
+
+        pts = [(50.3, 10.2), (50.9, 10.8), (52.1, 9.7), (-33.5, 151.2)]
+        df = spark.createDataFrame(pts, "lat double, lon double")
+        g, sigma, cut = 2.0, 150.0, 3.0
+        got = {(r["gi"], r["gj"]): (r["n_src"], r["density"])
+               for r in kde_heatmap(df, grid_deg=g, sigma_km=sigma,
+                                    cutoff_sigmas=cut).collect()}
+
+        def hav(lat1, lon1, lat2, lon2):
+            p1, p2 = math.radians(lat1), math.radians(lat2)
+            a = (math.sin(math.radians(lat2 - lat1) / 2) ** 2
+                 + math.cos(p1) * math.cos(p2)
+                 * math.sin(math.radians(lon2 - lon1) / 2) ** 2)
+            return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+        want = {}
+        nlon = int(round(360 / g))
+        for la, lo in pts:
+            for gi in range(int((la - cut * sigma / 111.2) // g) - 2,
+                            int((la + cut * sigma / 111.2) // g) + 3):
+                for gj in range(nlon):
+                    glat, glon = (gi + 0.5) * g, (gj + 0.5) * g - 180.0
+                    if abs(glat) > 90:
+                        continue
+                    d = math.floor(hav(la, lo, glat, glon) * 100 + 0.5) / 100
+                    if d > cut * sigma:
+                        continue
+                    w = math.floor(1e6 * math.exp(-d * d / (2 * sigma * sigma))
+                                   + 0.5)
+                    if w <= 0:
+                        continue
+                    n, s = want.get((gi, gj), (0, 0))
+                    want[(gi, gj)] = (n + 1, s + w)
+        want = {k: (n, math.floor(s / 1e6 * 1e4 + 0.5) / 1e4)
+                for k, (n, s) in want.items()}
+        assert got == want
+
+    def test_mass_concentrates_at_point(self, spark):
+        from bufr2geojson_spark.operators.tiles import kde_heatmap
+
+        df = spark.createDataFrame([(45.0, 45.0)], "lat double, lon double")
+        rows = kde_heatmap(df, grid_deg=2.0, sigma_km=100.0).collect()
+        best = max(rows, key=lambda r: r["density"])
+        # the nearest node to (45,45) is gi=22,gj=112 (center 45,45)
+        assert (best["gi"], best["gj"]) == (22, 112)
+
+    def test_determinism_and_jvm_plan(self, spark):
+        from bufr2geojson_spark.operators.tiles import kde_heatmap
+
+        df = spark.range(200).selectExpr(
+            "CAST((id * 37) % 140 - 70 AS DOUBLE) AS lat",
+            "CAST((id * 53) % 360 - 180 AS DOUBLE) AS lon")
+        a = sorted(map(tuple, kde_heatmap(df.repartition(1)).collect()))
+        b = sorted(map(tuple, kde_heatmap(df.repartition(16)).collect()))
+        assert a == b and len(a) > 0
+        plan = (kde_heatmap(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,125 @@
+"""Trajectory analytics: track stats and dwell detection vs brute force."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.operators.trajectory import detect_stops, track_stats
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    r = 6371.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1)
+    dl = math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    # the operator floor-quantizes hops to 2 dp (SEG_DP) for exact sums
+    return math.floor(2 * r * math.asin(math.sqrt(a)) * 100 + 0.5) / 100
+
+
+def _mk_points(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(seconds=s), float(la), float(lo), i)
+         for i, (u, s, la, lo) in enumerate(rows)],
+        "user_id int, ts timestamp, lat double, lon double, event_id long",
+    )
+
+
+class TestTrackStats:
+    def test_against_brute_force(self, spark):
+        rows = [
+            # user 1: a 3-hop track
+            (1, 0, 50.0, 0.0), (1, 3600, 50.5, 0.0),
+            (1, 7200, 50.5, 1.0), (1, 10800, 51.0, 1.0),
+            # user 2: single point (no segments)
+            (2, 0, 10.0, 10.0),
+        ]
+        out = {r["user_id"]: r for r in
+               track_stats(_mk_points(spark, rows)).collect()}
+        hops = [_hav(50.0, 0, 50.5, 0), _hav(50.5, 0, 50.5, 1.0),
+                _hav(50.5, 1.0, 51.0, 1.0)]
+        u1 = out[1]
+        assert u1["n_points"] == 4 and u1["n_segments"] == 3
+        assert u1["total_km"] == pytest.approx(sum(hops), abs=2e-4)
+        assert u1["max_hop_km"] == pytest.approx(max(hops), abs=2e-4)
+        # each hop took exactly 1 h -> speed number equals hop km
+        assert u1["max_kmh"] == pytest.approx(max(hops), abs=2e-4)
+        assert u1["avg_kmh"] == pytest.approx(sum(hops) / 3.0, abs=2e-4)
+        u2 = out[2]
+        assert u2["n_points"] == 1 and u2["n_segments"] == 0
+        assert u2["total_km"] is None and u2["max_kmh"] is None
+
+    def test_duplicate_timestamp_segment_excluded_from_speed(self, spark):
+        rows = [(1, 0, 0.0, 0.0), (1, 0, 0.0, 1.0), (1, 3600, 0.0, 2.0)]
+        r = track_stats(_mk_points(spark, rows)).collect()[0]
+        # distance counts both hops; speed only the positive-duration one
+        assert r["n_segments"] == 2
+        assert r["total_km"] == pytest.approx(2 * _hav(0, 0, 0, 1), abs=2e-4)
+        assert r["max_kmh"] == pytest.approx(_hav(0, 1, 0, 2), abs=2e-4)
+
+    def test_single_shuffle_plan(self, spark):
+        rows = [(1, 0, 0.0, 0.0), (1, 60, 0.1, 0.0)]
+        plan = (track_stats(_mk_points(spark, rows))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestDetectStops:
+    def test_dwell_episode_found(self, spark):
+        # drive fast, dwell 30 min in ~0 km hops, drive fast again
+        rows = [
+            (1, 0, 50.0, 0.0),
+            (1, 3600, 51.0, 0.0),        # fast hop (~111 km/h)
+            (1, 3600 + 600, 51.001, 0.0),   # slow
+            (1, 3600 + 1200, 51.002, 0.0),  # slow
+            (1, 3600 + 1800, 51.001, 0.0),  # slow
+            (1, 7200 + 1800, 52.0, 0.0),    # fast again
+        ]
+        out = detect_stops(
+            _mk_points(spark, rows), max_speed_kmh=5.0, min_dwell_s=900
+        ).collect()
+        assert len(out) == 1
+        s = out[0]
+        assert s["stop_seq"] == 1 and s["n_hops"] == 3
+        assert s["dwell_s"] == pytest.approx(1800.0)
+        assert s["c_lat"] == pytest.approx((51.001 + 51.002 + 51.001) / 3,
+                                           abs=1e-4)
+        assert s["start_ts"] == T0 + dt.timedelta(seconds=3600)
+        assert s["end_ts"] == T0 + dt.timedelta(seconds=3600 + 1800)
+
+    def test_short_dwell_filtered_and_runs_split(self, spark):
+        rows = [
+            (1, 0, 50.0, 0.0),
+            (1, 600, 50.001, 0.0),       # slow run A (10 min -> filtered)
+            (1, 1200, 51.0, 0.0),        # fast breaks the run
+            (1, 1800, 51.001, 0.0),      # slow run B...
+            (1, 4800, 51.002, 0.0),      # ...3000 s total -> kept
+        ]
+        out = detect_stops(
+            _mk_points(spark, rows), max_speed_kmh=5.0, min_dwell_s=2000
+        ).collect()
+        assert len(out) == 1 and out[0]["dwell_s"] == pytest.approx(3600.0)
+
+    def test_multi_user_independent(self, spark):
+        rows = [(u, s, 50.0 + u + 0.0001 * (s // 600), 0.0)
+                for u in (1, 2) for s in range(0, 3600, 600)]
+        out = detect_stops(
+            _mk_points(spark, rows), max_speed_kmh=5.0, min_dwell_s=1800
+        ).collect()
+        assert {r["user_id"] for r in out} == {1, 2}
+        for r in out:
+            assert r["stop_seq"] == 1
+
+    def test_determinism_across_partitioning(self, spark):
+        rows = [(u, s * 300 + (u * 7) % 60,
+                 50.0 + u + 0.01 * ((s * 13) % 5),
+                 0.1 * ((s * 7) % 11))
+                for u in range(5) for s in range(40)]
+        a = detect_stops(_mk_points(spark, rows).repartition(1))
+        b = detect_stops(_mk_points(spark, rows).repartition(13))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
