@@ -3608,6 +3608,25 @@ def _sql_bm25():
     """
 
 
+def q_geo_kde_merge(spark, sf_dir):
+    """Continuous-aggregate property of the KDE surface: corpus split in
+    two by pid parity, each half densified with mergeable state, folded
+    with kde_merge — the oracle is the ONE-SHOT full-corpus SQL, so the
+    check proves merge == full recompute bit-for-bit."""
+    from bufr2geojson_spark.operators.tiles import kde_heatmap, kde_merge
+
+    pts = _geo_points(spark, sf_dir)
+    a = pts.filter(F.col("pid") % 2 == 0)
+    b = pts.filter(F.col("pid") % 2 == 1)
+    ka = kde_heatmap(a, grid_deg=2.0, sigma_km=150.0, keep_state=True)
+    kb = kde_heatmap(b, grid_deg=2.0, sigma_km=150.0, keep_state=True)
+    return (
+        kde_merge(ka, kb)
+        .select("gi", "gj", "glat", "glon", "n_src", "density")
+        .orderBy("gi", "gj")
+    )
+
+
 def q_geo_kde_heatmap(spark, sf_dir):
     """Gaussian KDE heatmap on a 2-degree grid (truncated 3-sigma kernel,
     explode-to-reachable-nodes, fixed-point weight sums)."""
@@ -3810,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_stops": q_event_stops,
         "bm25_scores": q_bm25_scores,
         "geo_kde_heatmap": q_geo_kde_heatmap,
+        "geo_kde_merge": q_geo_kde_merge,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -3916,4 +3936,5 @@ def oracle_sql() -> dict[str, str]:
         "event_stops": _SQL_EVENT_STOPS,
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
+        "geo_kde_merge": _SQL_GEO_KDE,
     }

@@ -548,6 +548,7 @@ def kde_heatmap(
     lat_col: str = "lat",
     lon_col: str = "lon",
     out_dp: int = 4,
+    keep_state: bool = False,
 ) -> DataFrame:
     """Gaussian kernel-density heatmap on a regular lat/lon grid — the
     density sibling of ``idw_grid`` (interpolates a value; this estimates
@@ -567,7 +568,10 @@ def kde_heatmap(
     (``floor(1e6 * exp(...) + 0.5)``; a zero-weight node outside
     numerical reach is dropped), so the density sum is an exact integer
     sum under any partitioning — and the DuckDB oracle reproduces it
-    bit-for-bit. Returns (gi, gj, glat, glon, n_src, density).
+    bit-for-bit. Returns (gi, gj, glat, glon, n_src, density). With
+    ``keep_state=True`` the integer weight sum (``sw_e6``) rides along,
+    making the surface a continuous aggregate foldable with
+    ``kde_merge`` — the density analogue of ``idw_grid(keep_state=True)``.
     """
     from bufr2geojson_spark.operators.spatial import (
         _disc_cell_cover,
@@ -616,7 +620,54 @@ def kde_heatmap(
             (F.floor(
                 F.col("_sw").cast("double") / F.lit(1e6) * m + F.lit(0.5)
             ) / m).alias("density"),
+            *([F.col("_sw").alias("sw_e6")] if keep_state else []),
         )
+    )
+
+
+def kde_merge(
+    existing: DataFrame,
+    delta: DataFrame,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Fold a delta batch's KDE surface (built with ``keep_state=True``)
+    into a standing one without rescanning history. Weight sums are exact
+    DECIMAL integer sums, so merge(kde(A), kde(B)) is bit-identical to
+    kde(A ∪ B) under any batch split. Node coordinates are CARRIED, never
+    recomputed (same contract as ``idw_merge``). One outer join on the
+    node key; with the standing surface range-partitioned by (gi, gj) the
+    shuffle moves mostly the delta."""
+    m = F.lit(float(10 ** out_dp))
+    cols = ["gi", "gj", "glat", "glon", "n_src", "sw_e6"]
+    e = existing.select(*cols)
+    d = delta.select(*cols)
+    merged = (
+        e.withColumnRenamed("n_src", "_n1")
+        .withColumnRenamed("sw_e6", "_w1")
+        .withColumnRenamed("glat", "_la1")
+        .withColumnRenamed("glon", "_lo1")
+        .join(
+            d.withColumnRenamed("n_src", "_n2")
+            .withColumnRenamed("sw_e6", "_w2")
+            .withColumnRenamed("glat", "_la2")
+            .withColumnRenamed("glon", "_lo2"),
+            ["gi", "gj"], "full_outer",
+        )
+    )
+    z = F.lit(0).cast("decimal(38,0)")
+    zl = F.lit(0).cast("long")
+    sw = F.coalesce(F.col("_w1").cast("decimal(38,0)"), z) + F.coalesce(
+        F.col("_w2").cast("decimal(38,0)"), z
+    )
+    return merged.select(
+        "gi", "gj",
+        F.coalesce(F.col("_la1"), F.col("_la2")).alias("glat"),
+        F.coalesce(F.col("_lo1"), F.col("_lo2")).alias("glon"),
+        (F.coalesce(F.col("_n1"), zl) + F.coalesce(F.col("_n2"), zl))
+        .alias("n_src"),
+        (F.floor(sw.cast("double") / F.lit(1e6) * m + F.lit(0.5)) / m)
+        .alias("density"),
+        sw.alias("sw_e6"),
     )
 
 

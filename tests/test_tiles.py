@@ -945,3 +945,37 @@ class TestKdeHeatmap:
         plan = (kde_heatmap(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestKdeMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        from bufr2geojson_spark.operators.tiles import kde_heatmap, kde_merge
+
+        pts = spark.range(300).selectExpr(
+            "id AS pid",
+            "CAST((id * 37) % 140 - 70 + ((id * 91) % 10) / 10.0 AS DOUBLE) AS lat",
+            "CAST((id * 53) % 360 - 180 + ((id * 17) % 10) / 10.0 AS DOUBLE) AS lon")
+        a = pts.filter("pid % 3 = 0")
+        b = pts.filter("pid % 3 <> 0")
+        merged = kde_merge(
+            kde_heatmap(a, keep_state=True), kde_heatmap(b, keep_state=True))
+        full = kde_heatmap(pts, keep_state=True)
+        cols = ["gi", "gj", "glat", "glon", "n_src", "density"]
+        got = sorted(map(tuple, merged.select(*cols).collect()))
+        want = sorted(map(tuple, full.select(*cols).collect()))
+        assert got == want    # bit-identical, incl. carried coordinates
+
+    def test_merge_is_associative(self, spark):
+        from bufr2geojson_spark.operators.tiles import kde_heatmap, kde_merge
+
+        pts = spark.range(120).selectExpr(
+            "id AS pid",
+            "CAST((id * 41) % 120 - 60 AS DOUBLE) AS lat",
+            "CAST((id * 59) % 360 - 180 AS DOUBLE) AS lon")
+        parts = [kde_heatmap(pts.filter(f"pid % 3 = {m}"), keep_state=True)
+                 for m in range(3)]
+        left = kde_merge(kde_merge(parts[0], parts[1]), parts[2])
+        right = kde_merge(parts[0], kde_merge(parts[1], parts[2]))
+        cols = ["gi", "gj", "n_src", "density", "sw_e6"]
+        assert sorted(map(tuple, left.select(*cols).collect())) == \
+            sorted(map(tuple, right.select(*cols).collect()))
