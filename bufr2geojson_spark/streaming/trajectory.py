@@ -1,0 +1,216 @@
+"""Custom stateful streaming operator: online stay-point detection.
+
+The streaming twin of ``operators.trajectory.detect_stops``: a point
+stream keyed by entity folds into O(1) state per entity (last point +
+the currently-open dwell episode), and a finished episode is emitted
+EXACTLY once — when motion resumes. A batch recompute touches all
+history; this touches only new pings per micro-batch, which is the shape
+a 100 TB/day telemetry feed needs (state is per-entity constants, not
+per-ping).
+
+Semantics parity: identical per-hop arithmetic to the batch operator —
+hops floor-quantized to ``SEG_DP`` (2 dp), speed NULL on non-positive
+time deltas (closing any open episode, exactly like the batch
+gaps-and-islands counter), fixed-point 1e-6 centroid sums, floor-form
+rounding — so closed episodes are value-identical to
+``detect_stops`` output (pinned by a batch-equality test across
+multi-micro-batch replays).
+
+Ordering contract: rows are sorted (ts, seq) INSIDE each micro-batch;
+across micro-batches each entity's pings must arrive in time order (the
+usual watermark/ordered-ingest assumption for trajectory feeds — the
+same one ``latest_obs_per_station`` documents for its changelog).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from bufr2geojson_spark.operators.trajectory import SEG_DP
+
+STOP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stop_seq", IntegerType()),
+        StructField("start_epoch", DoubleType()),
+        StructField("end_epoch", DoubleType()),
+        StructField("dwell_s", DoubleType()),
+        StructField("c_lat", DoubleType()),
+        StructField("c_lon", DoubleType()),
+        StructField("n_hops", LongType()),
+    ]
+)
+
+# last point + open-episode accumulators + emitted-episode counter
+_STATE_SCHEMA = (
+    "last_s DOUBLE, last_lat DOUBLE, last_lon DOUBLE, open INT, "
+    "ep_start_s DOUBLE, sum_lat_e6 LONG, sum_lon_e6 LONG, n_hops LONG, "
+    "end_s DOUBLE, n_emitted INT"
+)
+
+_SEG_SCALE = float(10 ** SEG_DP)
+
+
+def _rdp(x: float, dp: int = 4) -> float:
+    m = float(10 ** dp)
+    return math.floor(x * m + 0.5) / m
+
+
+def _hav_km(lat1, lon1, lat2, lon2) -> float:
+    a = (
+        math.sin(math.radians(lat2 - lat1) / 2) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+        * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+    )
+    d = 2.0 * 6371.0 * math.asin(math.sqrt(a))
+    return math.floor(d * _SEG_SCALE + 0.5) / _SEG_SCALE
+
+
+def _update_stops(
+    key: Tuple[int],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    max_speed_kmh: float,
+    min_dwell_s: float,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:  # silent entity: drop its state (open dwell too —
+        state.remove()     # with no further pings it can never close)
+        return
+    if state.exists:
+        (last_s, last_lat, last_lon, open_, ep_start_s,
+         sum_lat, sum_lon, n_hops, end_s, n_emitted) = state.get
+    else:
+        last_s = None
+        last_lat = last_lon = ep_start_s = end_s = 0.0
+        open_ = 0
+        sum_lat = sum_lon = n_hops = 0
+        n_emitted = 0
+
+    out = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_s = pdf["ts"].astype("datetime64[ns]").astype("int64") / 1e9
+        for cur_s, cur_lat, cur_lon in zip(
+            ts_s.tolist(), pdf["lat"].tolist(), pdf["lon"].tolist()
+        ):
+            slow = False
+            if last_s is not None:
+                dt = cur_s - last_s
+                if dt > 0:
+                    seg = _hav_km(last_lat, last_lon, cur_lat, cur_lon)
+                    slow = (seg / (dt / 3600.0)) <= max_speed_kmh
+            if slow:
+                if not open_:
+                    open_, ep_start_s = 1, last_s
+                    sum_lat = sum_lon = n_hops = 0
+                sum_lat += int(math.floor(cur_lat * 1e6 + 0.5))
+                sum_lon += int(math.floor(cur_lon * 1e6 + 0.5))
+                n_hops += 1
+                end_s = cur_s
+            elif open_:
+                dwell = _rdp(end_s - ep_start_s)
+                if dwell >= min_dwell_s:
+                    n_emitted += 1
+                    out.append({
+                        "user_id": int(key[0]),
+                        "stop_seq": n_emitted,
+                        "start_epoch": float(ep_start_s),
+                        "end_epoch": float(end_s),
+                        "dwell_s": dwell,
+                        "c_lat": _rdp(sum_lat / 1e6 / n_hops),
+                        "c_lon": _rdp(sum_lon / 1e6 / n_hops),
+                        "n_hops": int(n_hops),
+                    })
+                open_ = 0
+            last_s, last_lat, last_lon = cur_s, cur_lat, cur_lon
+
+    state.update((
+        float(last_s) if last_s is not None else None,
+        float(last_lat), float(last_lon), int(open_),
+        float(ep_start_s), int(sum_lat), int(sum_lon), int(n_hops),
+        float(end_s), int(n_emitted),
+    ))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_stops(
+    points: DataFrame,
+    max_speed_kmh: float = 5.0,
+    min_dwell_s: float = 600.0,
+    state_ttl_ms: int = 0,
+) -> DataFrame:
+    """Append-mode stream of CLOSED dwell episodes per entity.
+
+    Input stream columns: user_id, ts (timestamp), lat, lon, event_id.
+    ``state_ttl_ms > 0`` retires entities that stop pinging (their open
+    episode is discarded — without further pings it can never close).
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms > 0 else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state):
+        if state_ttl_ms > 0 and not state.hasTimedOut:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield from _update_stops(
+            key, pdfs, state, max_speed_kmh, min_dwell_s
+        )
+
+    return points.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=STOP_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def run_streaming_stops_once(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    max_speed_kmh: float = 5.0,
+    min_dwell_s: float = 600.0,
+    max_files_per_trigger: int | None = 1,
+    query_name: str = "streaming_stops",
+) -> DataFrame:
+    """AvailableNow drain into a memory sink. ``max_files_per_trigger=1``
+    replays each input file as its own micro-batch, exercising
+    cross-batch state carry (the episode that spans a batch boundary)."""
+    reader = (
+        spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP, lat DOUBLE, lon DOUBLE, "
+            "event_id LONG"
+        )
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    stops = streaming_stops(stream, max_speed_kmh, min_dwell_s)
+    q = (
+        stops.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

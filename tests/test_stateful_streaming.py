@@ -73,3 +73,90 @@ def test_latest_obs_incremental_only_advances(spark, dirs):
     assert n2 >= 1
     after = spark.read.parquet(out).count()
     assert 0 <= after - before <= 30
+
+
+class TestStreamingStops:
+    """Online stay-point detection == batch detect_stops on closed episodes,
+    across micro-batch boundaries (one file per batch)."""
+
+    @staticmethod
+    def _tracks(spark):
+        import datetime as dt
+
+        # 3 users; per user: fast approach, 30-min dwell (tiny hops),
+        # fast hop (closes ep 1), second dwell, fast FINAL hop (closes ep 2)
+        rows = []
+        t0 = dt.datetime(2024, 3, 1)
+        for u in (1, 2, 3):
+            s = 0
+            def pt(sec, la, lo):
+                rows.append((u, t0 + dt.timedelta(seconds=sec),
+                             50.0 + u + la, 0.0 + lo, len(rows)))
+            pt(0, 0.0, 0.0)
+            pt(3600, 1.0, 0.0)                    # fast (~111 km/h)
+            for i in range(1, 4):                 # dwell A: 3 slow hops
+                pt(3600 + 600 * i, 1.0 + 0.0001 * i, 0.0)
+            pt(3600 + 1800 + 600, 2.0, 0.0)       # fast -> closes A
+            base = 3600 + 2400
+            for i in range(1, 5):                 # dwell B: 4 slow hops
+                pt(base + 700 * i, 2.0, 0.0002 * i)
+            pt(base + 2800 + 600, 3.0, 0.0)       # fast FINAL -> closes B
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, lat double, lon double, "
+                  "event_id long")
+
+    def test_matches_batch_across_batches(self, spark, tmp_path):
+        from bufr2geojson_spark.operators.trajectory import detect_stops
+        from bufr2geojson_spark.streaming.trajectory import (
+            run_streaming_stops_once)
+
+        pts = self._tracks(spark)
+        path = str(tmp_path / "pts")
+        # three time-ordered appends -> three micro-batches; episodes span
+        # file boundaries (dwell A starts in batch 1, closes in batch 2).
+        # Each track is exactly 11 points appended in time order, so
+        # event_id % 11 is the in-track position; sleep keeps mod-times
+        # distinct so the file source replays the batches in write order.
+        import time as _time
+
+        import pyspark.sql.functions as F
+        for lo, hi in [(0, 4), (4, 8), (8, 11)]:
+            (pts.filter(f"event_id % 11 >= {lo} and event_id % 11 < {hi}")
+             .repartition(1).write.mode("append").parquet(path))
+            _time.sleep(1.1)
+        # stream over the dir, one file per trigger
+        got = run_streaming_stops_once(
+            spark, path, str(tmp_path / "ck"),
+            max_speed_kmh=5.0, min_dwell_s=900,
+            query_name="stops_t1",
+        ).select("user_id", "stop_seq", "start_epoch", "end_epoch",
+                 "dwell_s", "c_lat", "c_lon", "n_hops")
+        batch_pts = spark.read.parquet(path).select(
+            "user_id", "ts", "lat", "lon", "event_id")
+        exp = detect_stops(batch_pts, max_speed_kmh=5.0, min_dwell_s=900)
+        exp = exp.select(
+            "user_id", "stop_seq",
+            F.to_utc_timestamp("start_ts", "UTC").cast("double")
+             .alias("start_epoch"),
+            F.to_utc_timestamp("end_ts", "UTC").cast("double")
+             .alias("end_epoch"),
+            "dwell_s", "c_lat", "c_lon", "n_hops")
+        g = sorted(map(tuple, got.collect()))
+        e = sorted(map(tuple, exp.collect()))
+        assert len(g) == 6           # 2 closed dwells x 3 users
+        assert g == e
+
+    def test_short_dwell_not_emitted(self, spark, tmp_path):
+        from bufr2geojson_spark.streaming.trajectory import (
+            run_streaming_stops_once)
+
+        pts = self._tracks(spark)
+        path = str(tmp_path / "pts2")
+        pts.repartition(1).write.parquet(path)
+        got = run_streaming_stops_once(
+            spark, path, str(tmp_path / "ck2"),
+            max_speed_kmh=5.0, min_dwell_s=10_000,   # nothing dwells 10ks
+            max_files_per_trigger=None,
+            query_name="stops_t2",
+        )
+        assert got.count() == 0
