@@ -2265,6 +2265,50 @@ def _sql_lsh_verified_jaccard():
     """
 
 
+def q_lsh_verified_containment(spark, sf_dir):
+    """Asymmetric containment verify (quote/subset detection): the same
+    LSH-bounded candidate set, scored with |A∩B|/|A| and |A∩B|/|B| —
+    catches a short doc embedded in a long one, which Jaccard misses."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = T.lsh_candidate_pairs(d, num_hashes=4, bands=2, shingle_k=3)
+    return (
+        T.jaccard_verify_pairs(pairs, d, shingle_k=3, with_containment=True)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_lsh_verified_containment():
+    return f"""
+    WITH cand AS ({_sql_lsh_pairs()}),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+        FROM documents
+        WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a AS id_a, c.id_b AS id_b,
+           coalesce(i.inter, 0) AS inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(coalesce(i.inter, 0) * 1.0
+                 / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6) AS jaccard,
+           floor(coalesce(i.inter, 0) * 1.0 / sa.sz * 1e6 + 0.5) / 1e6
+               AS cont_a,
+           floor(coalesce(i.inter, 0) * 1.0 / sb.sz * 1e6 + 0.5) / 1e6
+               AS cont_b
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    ORDER BY 1, 2
+    """
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -3830,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "geo_kde_heatmap": q_geo_kde_heatmap,
         "geo_kde_merge": q_geo_kde_merge,
+        "lsh_verified_containment": q_lsh_verified_containment,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -3937,4 +3982,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,
+        "lsh_verified_containment": _sql_lsh_verified_containment(),
     }

@@ -629,12 +629,19 @@ def jaccard_verify_pairs(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_containment: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     the verification stage of the candidate→verify dedup pipeline (the
     100 TB path: ``lsh_candidate_pairs`` bounds the pair count, this
     confirms each survivor exactly; ``ngram_jaccard_pairs`` remains the
     all-pairs small-scale oracle form).
+
+    ``with_containment=True`` adds the ASYMMETRIC containment scores
+    ``cont_a`` = |A∩B| / |A| and ``cont_b`` = |A∩B| / |B| — the quantity
+    quote/subset detection needs: a short document fully embedded in a
+    long one has high containment but low Jaccard, so a Jaccard-threshold
+    dedup misses it. Same plan, two extra codegen columns.
 
     Plan: explode each doc's distinct shingles once, semi-join to docs that
     appear in any candidate pair (so only candidate docs pay the explode),
@@ -664,18 +671,27 @@ def jaccard_verify_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    i0 = F.coalesce("inter", F.lit(0))
+    extra = (
+        [
+            round6(i0 / F.col("sz_a")).alias("cont_a"),
+            round6(i0 / F.col("sz_b")).alias("cont_b"),
+        ]
+        if with_containment else []
+    )
     return (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .join(sa, "id_a").join(sb, "id_b")
         .select(
             "id_a", "id_b",
-            F.coalesce("inter", F.lit(0)).alias("inter"),
+            i0.alias("inter"),
             "sz_a", "sz_b",
             F.round(
-                F.coalesce("inter", F.lit(0))
-                / (F.col("sz_a") + F.col("sz_b") - F.coalesce("inter", F.lit(0))),
+                i0
+                / (F.col("sz_a") + F.col("sz_b") - i0),
                 6,
             ).alias("jaccard"),
+            *extra,
         )
     )
 

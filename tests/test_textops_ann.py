@@ -791,3 +791,46 @@ class TestBm25:
         df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
         with _pytest.raises(ValueError):
             bm25_scores(df, [])
+
+
+class TestContainment:
+    def test_subset_doc_high_containment_low_jaccard(self, spark):
+        from bufr2geojson_spark.operators.textops import jaccard_verify_pairs
+
+        short = "alpha beta gamma delta epsilon"
+        long_ = short + " " + " ".join(f"tok{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [(1, short), (2, long_)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = jaccard_verify_pairs(
+            pairs, docs, shingle_k=3, with_containment=True).collect()[0]
+        # every shingle of the short doc appears in the long one
+        assert r["cont_a"] == 1.0
+        assert r["cont_b"] < 0.1
+        assert r["jaccard"] < 0.1      # Jaccard alone would miss this dup
+
+    def test_containment_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.textops import jaccard_verify_pairs
+
+        texts = {
+            1: "a b c d e f g",
+            2: "c d e f g h i j",
+            3: "x y z w v u t",
+        }
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "id_a long, id_b long")
+        got = {(r["id_a"], r["id_b"]): r for r in jaccard_verify_pairs(
+            pairs, docs, shingle_k=3, with_containment=True).collect()}
+        import math
+        for a, b in [(1, 2), (1, 3)]:
+            inter = len(sh(texts[a]) & sh(texts[b]))
+            assert got[(a, b)]["inter"] == inter
+            want_ca = math.floor(inter / len(sh(texts[a])) * 1e6 + 0.5) / 1e6
+            want_cb = math.floor(inter / len(sh(texts[b])) * 1e6 + 0.5) / 1e6
+            assert got[(a, b)]["cont_a"] == want_ca
+            assert got[(a, b)]["cont_b"] == want_cb
