@@ -3745,6 +3745,49 @@ _SQL_GEO_KDE = f"""
 """
 
 
+def q_geo_zonal_stats(spark, sf_dir):
+    """Zonal statistics: the KDE density surface aggregated by region
+    polygon (raster×vector summary — nodes ride the broadcast PIP join,
+    one groupBy on the zone, fixed-point value sums)."""
+    from bufr2geojson_spark.operators.spatial import zonal_stats
+    from bufr2geojson_spark.operators.tiles import kde_heatmap
+
+    surface = kde_heatmap(
+        _geo_points(spark, sf_dir), grid_deg=2.0, sigma_km=150.0
+    )
+    return zonal_stats(
+        surface, _region_polys(spark), value_col="density"
+    ).orderBy("region_id")
+
+
+# zone membership via the same crossing-number SQL as _sql_geo_pip, applied
+# to the KDE node centers; fixed-point density sums match zonal_stats
+_SQL_GEO_ZONAL = f"""
+    WITH kde AS ({_SQL_GEO_KDE}),
+    crossings AS (
+        SELECT k.gi, k.gj, e.region_id, count(*) AS n_cross
+        FROM kde k
+        JOIN {_edges_values_sql()}
+          ON ((e.y1 > k.glat) <> (e.y2 > k.glat))
+         AND ((CASE WHEN e.is_anti = 1 AND k.glon < 0 THEN k.glon + 360
+                    ELSE k.glon END)
+              < (e.x2 - e.x1) * (k.glat - e.y1) / (e.y2 - e.y1) + e.x1)
+        GROUP BY k.gi, k.gj, e.region_id
+    ),
+    inz AS (SELECT gi, gj, region_id FROM crossings WHERE n_cross % 2 = 1)
+    SELECT i.region_id,
+           count(*) AS n_nodes,
+           floor(sum(floor(k.density * 1e4 + 0.5)::BIGINT)::DOUBLE / 1e4
+                 * 1e6 + 0.5) / 1e6 AS sum_val,
+           floor(sum(floor(k.density * 1e4 + 0.5)::BIGINT)::DOUBLE / 1e4
+                 / count(*) * 1e6 + 0.5) / 1e6 AS mean_val,
+           floor(max(k.density) * 1e6 + 0.5) / 1e6 AS max_val,
+           floor(min(k.density) * 1e6 + 0.5) / 1e6 AS min_val
+    FROM inz i JOIN kde k ON k.gi = i.gi AND k.gj = i.gj
+    GROUP BY i.region_id ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3875,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_kde_heatmap": q_geo_kde_heatmap,
         "geo_kde_merge": q_geo_kde_merge,
         "lsh_verified_containment": q_lsh_verified_containment,
+        "geo_zonal_stats": q_geo_zonal_stats,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -3983,4 +4027,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,
         "lsh_verified_containment": _sql_lsh_verified_containment(),
+        "geo_zonal_stats": _SQL_GEO_ZONAL,
     }

@@ -977,3 +977,51 @@ def bearing_col(lat1, lon1, lat2, lon2):
         F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dlon),
     )
     return F.pmod(F.degrees(theta) + 360.0, F.lit(360.0))
+
+
+def zonal_stats(
+    nodes: DataFrame,
+    polygons: DataFrame,
+    value_col: str,
+    lat_col: str = "glat",
+    lon_col: str = "glon",
+    val_dp: int = 4,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Zonal statistics: aggregate a raster surface (any grid of
+    (lat, lon, value) nodes — an ``idw_grid`` or ``kde_heatmap`` output)
+    by polygon zone. The classic raster×vector summary ("mean density per
+    region").
+
+    Plan: the node set rides the broadcast PIP join (only two floats
+    enter Python), then ONE groupBy on the zone id. Values are summed as
+    fixed-point integers at ``val_dp`` (both surface builders emit
+    exactly ``val_dp`` decimals), so sums are order-independent and
+    oracle-exact; min/max/count are order-independent already. A node
+    inside k overlapping zones contributes to all k (same semantics as
+    ``pip_join``). At 100 TB the node side is the raster (already
+    aggregated — orders of magnitude smaller than the observations), so
+    the broadcast PIP shape is the right one; for a huge zone layer use
+    ``pip_join_distributed`` upstream and the same groupBy.
+    """
+    from bufr2geojson_spark.operators.textops import round_dp
+
+    m = float(10 ** val_dp)
+    z = pip_join(
+        nodes.select(
+            F.col(lat_col).alias("lat"),
+            F.col(lon_col).alias("lon"),
+            F.col(value_col).alias("_v"),
+        ),
+        polygons,
+        how="inner",
+    )
+    ve = F.floor(F.col("_v") * F.lit(m) + F.lit(0.5)).cast("long")
+    total = F.sum(ve).cast("double") / F.lit(m)
+    return z.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        round_dp(total, out_dp).alias("sum_val"),
+        round_dp(total / F.count(F.lit(1)), out_dp).alias("mean_val"),
+        round_dp(F.max("_v"), out_dp).alias("max_val"),
+        round_dp(F.min("_v"), out_dp).alias("min_val"),
+    )

@@ -610,3 +610,36 @@ class TestBearing:
         assert abs(out[3] - 180.0) < 1e-9
         assert abs(out[4] - 270.0) < 1e-9
         assert 80.0 < out[5] < 100.0  # roughly east, crossing the wrap
+
+
+class TestZonalStats:
+    def test_matches_bruteforce(self, spark):
+        import math
+
+        import pandas as pd
+
+        from bufr2geojson_spark.operators.spatial import zonal_stats
+        from bufr2geojson_spark.schemas import REGION_POLYGON_SCHEMA
+
+        ring = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0),
+                (-10.0, 10.0), (-10.0, -10.0)]
+        polys = spark.createDataFrame(pd.DataFrame([{
+            "region_id": "Z1", "region_name": "zone one",
+            "ring": [{"lon": x, "lat": y} for x, y in ring],
+            "bbox": {"minx": -10.0, "miny": -10.0, "maxx": 10.0,
+                     "maxy": 10.0},
+        }]), REGION_POLYGON_SCHEMA)
+        nodes = [(-5.0, -5.0, 1.25), (5.0, 5.0, 2.5), (0.0, 0.0, 0.0001),
+                 (15.0, 0.0, 9.0),      # outside
+                 (9.0, -9.0, 3.1234)]
+        df = spark.createDataFrame(
+            nodes, "glat double, glon double, density double")
+        out = zonal_stats(df, polys, value_col="density").collect()
+        assert len(out) == 1
+        r = out[0]
+        vals = [v for la, lo, v in nodes if abs(la) < 10 and abs(lo) < 10]
+        total = sum(math.floor(v * 1e4 + 0.5) for v in vals) / 1e4
+        assert r["region_id"] == "Z1" and r["n_nodes"] == len(vals)
+        assert r["sum_val"] == math.floor(total * 1e6 + 0.5) / 1e6
+        assert r["mean_val"] == math.floor(total / len(vals) * 1e6 + 0.5) / 1e6
+        assert r["max_val"] == 3.1234 and r["min_val"] == 0.0001
