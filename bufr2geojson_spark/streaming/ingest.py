@@ -357,6 +357,52 @@ def run_idw_maintenance_once(
     return n_batches["n"]
 
 
+def run_kde_maintenance_once(
+    spark: SparkSession,
+    input_path: str,
+    surface_path: str,
+    checkpoint_path: str,
+    grid_deg: float = 2.0,
+    sigma_km: float = 150.0,
+    **decode_kw,
+) -> int:
+    """Streaming maintenance of the KDE density surface — identical
+    contract to ``run_idw_maintenance_once`` (mergeable integer state,
+    batch-id versioned, replay-idempotent): each micro-batch's decoded
+    features densify with ``kde_heatmap(keep_state=True)`` and fold into
+    the standing surface with ``kde_merge``, so the observation-density
+    map stays current without rescanning history and is BIT-IDENTICAL to
+    a one-shot full recompute (pinned by test)."""
+    from bufr2geojson_spark.operators.tiles import kde_heatmap, kde_merge
+
+    stream = read_document_stream(spark, input_path)
+    feats = decode_stream(stream, **decode_kw)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.filter(F.col("lat").isNotNull())
+        delta = kde_heatmap(
+            pts, grid_deg=grid_deg, sigma_km=sigma_km, keep_state=True
+        )
+        prev = [v for v in _tile_versions(surface_path) if v < batch_id]
+        if prev:
+            standing = spark.read.parquet(f"{surface_path}/v={prev[-1]}")
+            merged = kde_merge(standing, delta)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{surface_path}/v={batch_id}")
+        n_batches["n"] += 1
+
+    q = (
+        feats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
 def session_windowed_station_activity(
     features: DataFrame,
     gap: str = "2 hours",

@@ -324,3 +324,36 @@ def test_stream_idw_maintenance_matches_batch(spark, tmp_path):
                           keep_state=True).collect()
     }
     assert standing == want and len(want) > 10
+
+
+def test_stream_kde_maintenance_matches_batch(spark, tmp_path):
+    """Two waves folded into the standing KDE density surface must be
+    BIT-identical to the one-shot heatmap over all features."""
+    from bufr2geojson_spark.operators.tiles import kde_heatmap
+    from bufr2geojson_spark.streaming.ingest import (
+        read_standing_tiles,
+        run_kde_maintenance_once,
+    )
+
+    base = str(tmp_path)
+    docs = synth_documents(spark, 80, partitions=4)
+    wave1 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    wave2 = docs.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+    wave1.write.mode("overwrite").parquet(f"{base}/in")
+    assert run_kde_maintenance_once(
+        spark, f"{base}/in", f"{base}/kde", f"{base}/ckpt") >= 1
+    wave2.write.mode("append").parquet(f"{base}/in")
+    assert run_kde_maintenance_once(
+        spark, f"{base}/in", f"{base}/kde", f"{base}/ckpt") >= 1
+
+    standing = {
+        (r.gi, r.gj): (r.n_src, r.density, r.sw_e6)
+        for r in read_standing_tiles(spark, f"{base}/kde").collect()
+    }
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    pts = feats.filter(F.col("lat").isNotNull())
+    want = {
+        (r.gi, r.gj): (r.n_src, r.density, r.sw_e6)
+        for r in kde_heatmap(pts, keep_state=True).collect()
+    }
+    assert standing == want and len(want) > 10
