@@ -3745,6 +3745,88 @@ _SQL_GEO_KDE = f"""
 """
 
 
+_CONTOUR_THR = 1.0
+
+
+def q_geo_contours(spark, sf_dir):
+    """Isoline extraction: marching squares over the KDE density surface
+    at density = 1.0 (three co-partitioned self-joins + broadcast 16-row
+    case table + pure-Column interpolation)."""
+    from bufr2geojson_spark.operators.tiles import (
+        contour_segments,
+        kde_heatmap,
+    )
+
+    surface = kde_heatmap(
+        _geo_points(spark, sf_dir), grid_deg=2.0, sigma_km=150.0
+    )
+    return contour_segments(surface, _CONTOUR_THR, grid_deg=2.0).orderBy(
+        "gi", "gj", "seg_idx"
+    )
+
+
+def _sql_geo_contours():
+    from bufr2geojson_spark.operators.tiles import MS_SEGMENTS
+
+    thr = repr(float(_CONTOUR_THR))
+    seg_rows = ", ".join(
+        f"({c}, {s}, {e1}, {e2})" for c, s, e1, e2 in MS_SEGMENTS
+    )
+    # interpolation expressions mirror contour_segments' Column arithmetic
+    # term-for-term so both engines evaluate identical IEEE expressions
+    t_s = f"(({thr} - v_sw) / (v_se - v_sw))"
+    t_e = f"(({thr} - v_se) / (v_ne - v_se))"
+    t_n = f"(({thr} - v_nw) / (v_ne - v_nw))"
+    t_w = f"(({thr} - v_sw) / (v_nw - v_sw))"
+    lon_j = "((gj + 0.5) * 2.0 - 180.0)"
+    lon_j1 = "((gj + 1.5) * 2.0 - 180.0)"
+    lat_i = "((gi + 0.5) * 2.0)"
+    lat_i1 = "((gi + 1.5) * 2.0)"
+
+    def ex(e):
+        lon = (f"CASE {e} WHEN 0 THEN {lon_j} + {t_s} * 2.0 "
+               f"WHEN 1 THEN {lon_j1} "
+               f"WHEN 2 THEN {lon_j} + {t_n} * 2.0 "
+               f"ELSE {lon_j} END")
+        lat = (f"CASE {e} WHEN 0 THEN {lat_i} "
+               f"WHEN 1 THEN {lat_i} + {t_e} * 2.0 "
+               f"WHEN 2 THEN {lat_i1} "
+               f"ELSE {lat_i} + {t_w} * 2.0 END")
+        return lon, lat
+
+    x1, y1 = ex("e1")
+    x2, y2 = ex("e2")
+    return f"""
+    WITH kde AS ({_SQL_GEO_KDE}),
+    sq AS (
+        SELECT sw.gi AS gi, sw.gj AS gj,
+               sw.density AS v_sw, se.density AS v_se,
+               nw.density AS v_nw, ne.density AS v_ne
+        FROM kde sw
+        JOIN kde se ON se.gi = sw.gi AND se.gj = sw.gj + 1
+        JOIN kde nw ON nw.gi = sw.gi + 1 AND nw.gj = sw.gj
+        JOIN kde ne ON ne.gi = sw.gi + 1 AND ne.gj = sw.gj + 1
+    ),
+    cs AS (
+        SELECT *,
+               (CASE WHEN v_sw >= {thr} THEN 1 ELSE 0 END
+                + CASE WHEN v_se >= {thr} THEN 2 ELSE 0 END
+                + CASE WHEN v_ne >= {thr} THEN 4 ELSE 0 END
+                + CASE WHEN v_nw >= {thr} THEN 8 ELSE 0 END) AS ms_case
+        FROM sq
+    ),
+    segs(ms_case, seg_idx, e1, e2) AS (VALUES {seg_rows})
+    SELECT c.gi, c.gj, c.ms_case, s.seg_idx,
+           floor(({x1}) * 1e6 + 0.5) / 1e6 AS x1,
+           floor(({y1}) * 1e6 + 0.5) / 1e6 AS y1,
+           floor(({x2}) * 1e6 + 0.5) / 1e6 AS x2,
+           floor(({y2}) * 1e6 + 0.5) / 1e6 AS y2
+    FROM cs c JOIN segs s ON s.ms_case = c.ms_case
+    WHERE c.ms_case > 0 AND c.ms_case < 15
+    ORDER BY 1, 2, 4
+    """
+
+
 def q_geo_zonal_stats(spark, sf_dir):
     """Zonal statistics: the KDE density surface aggregated by region
     polygon (raster×vector summary — nodes ride the broadcast PIP join,
@@ -3919,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_kde_merge": q_geo_kde_merge,
         "lsh_verified_containment": q_lsh_verified_containment,
         "geo_zonal_stats": q_geo_zonal_stats,
+        "geo_contours": q_geo_contours,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4028,4 +4111,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_kde_merge": _SQL_GEO_KDE,
         "lsh_verified_containment": _sql_lsh_verified_containment(),
         "geo_zonal_stats": _SQL_GEO_ZONAL,
+        "geo_contours": _sql_geo_contours(),
     }

@@ -671,6 +671,113 @@ def kde_merge(
     )
 
 
+# marching-squares case table: corner bits SW=1, SE=2, NE=4, NW=8 (bit set
+# when corner >= threshold); edges S=0, E=1, N=2, W=3. Cases 5/10 are the
+# saddles — fixed two-segment convention, no center disambiguation, so the
+# output is deterministic and any SQL oracle can share this exact table.
+MS_SEGMENTS: list[tuple[int, int, int, int]] = [
+    # (case, seg_idx, edge1, edge2)
+    (1, 0, 3, 0), (2, 0, 0, 1), (3, 0, 3, 1), (4, 0, 1, 2),
+    (5, 0, 3, 2), (5, 1, 1, 0), (6, 0, 0, 2), (7, 0, 3, 2),
+    (8, 0, 2, 3), (9, 0, 0, 2), (10, 0, 0, 3), (10, 1, 2, 1),
+    (11, 0, 1, 2), (12, 0, 3, 1), (13, 0, 0, 1), (14, 0, 3, 0),
+]
+
+
+def contour_segments(
+    nodes: DataFrame,
+    threshold: float,
+    grid_deg: float = 2.0,
+    value_col: str = "density",
+    out_dp: int = 6,
+) -> DataFrame:
+    """Isoline extraction (marching squares) over a sparse lat/lon grid
+    surface — the contouring step every analysis map needs, over
+    ``kde_heatmap`` / ``idw_grid`` output.
+
+    Each 2x2 square of adjacent grid NODES whose four corners all exist
+    is classified against ``threshold`` (corner bits SW=1 SE=2 NE=4 NW=8)
+    and emits 0-2 line segments whose endpoints are linearly interpolated
+    along the crossed edges. Squares with a missing corner are skipped
+    (standard sparse-grid convention); saddles use the fixed
+    ``MS_SEGMENTS`` convention; squares spanning the antimeridian seam
+    (gj = nlon-1) are skipped so every segment lives in one continuous
+    longitude frame.
+
+    Plan shape: three self-equi-joins on the square key (gi, gj) — all
+    four inputs share one hash partitioning, so Catalyst plans one
+    shuffle per input and the joins are co-partitioned — then a broadcast
+    join against the 16-row case table and pure-Column interpolation
+    arithmetic (floor-rounded at ``out_dp``). No UDF; work is O(occupied
+    nodes), never O(grid).
+    """
+    g = float(grid_deg)
+    thr = F.lit(float(threshold))
+    n = nodes.select("gi", "gj", F.col(value_col).alias("v"))
+    sw = n.select("gi", "gj", F.col("v").alias("v_sw"))
+    se = n.select("gi", (F.col("gj") - 1).alias("gj"),
+                  F.col("v").alias("v_se"))
+    nw = n.select((F.col("gi") - 1).alias("gi"), "gj",
+                  F.col("v").alias("v_nw"))
+    ne = n.select((F.col("gi") - 1).alias("gi"),
+                  (F.col("gj") - 1).alias("gj"), F.col("v").alias("v_ne"))
+    sq = (
+        sw.join(se, ["gi", "gj"]).join(nw, ["gi", "gj"])
+        .join(ne, ["gi", "gj"])
+    )
+    bit = (
+        F.when(F.col("v_sw") >= thr, 1).otherwise(0)
+        + F.when(F.col("v_se") >= thr, 2).otherwise(0)
+        + F.when(F.col("v_ne") >= thr, 4).otherwise(0)
+        + F.when(F.col("v_nw") >= thr, 8).otherwise(0)
+    )
+    sq = sq.withColumn("ms_case", bit).filter(
+        (F.col("ms_case") > 0) & (F.col("ms_case") < 15)
+    )
+    spark = nodes.sparkSession
+    segs = spark.createDataFrame(
+        MS_SEGMENTS, "ms_case int, seg_idx int, e1 int, e2 int"
+    )
+    sq = sq.join(F.broadcast(segs), "ms_case")
+
+    glat_i = (F.col("gi") + 0.5) * g
+    glat_i1 = (F.col("gi") + 1.5) * g
+    glon_j = (F.col("gj") + 0.5) * g - 180.0
+    glon_j1 = (F.col("gj") + 1.5) * g - 180.0
+    # interpolation parameters along each edge (safe: an edge is crossed
+    # only when its corner values straddle the threshold, so denom != 0)
+    t_s = (thr - F.col("v_sw")) / (F.col("v_se") - F.col("v_sw"))
+    t_e = (thr - F.col("v_se")) / (F.col("v_ne") - F.col("v_se"))
+    t_n = (thr - F.col("v_nw")) / (F.col("v_ne") - F.col("v_nw"))
+    t_w = (thr - F.col("v_sw")) / (F.col("v_nw") - F.col("v_sw"))
+
+    from bufr2geojson_spark.operators.textops import round_dp
+
+    def edge_lon(e):
+        return (
+            F.when(e == 0, glon_j + t_s * g)
+            .when(e == 1, glon_j1)
+            .when(e == 2, glon_j + t_n * g)
+            .otherwise(glon_j)
+        )
+
+    def edge_lat(e):
+        return (
+            F.when(e == 0, glat_i)
+            .when(e == 1, glat_i + t_e * g)
+            .when(e == 2, glat_i1)
+            .otherwise(glat_i + t_w * g)
+        )
+
+    return sq.select(
+        "gi", "gj", "ms_case", "seg_idx",
+        round_dp(edge_lon(F.col("e1")), out_dp).alias("x1"),
+        round_dp(edge_lat(F.col("e1")), out_dp).alias("y1"),
+        round_dp(edge_lon(F.col("e2")), out_dp).alias("x2"),
+        round_dp(edge_lat(F.col("e2")), out_dp).alias("y2"),
+    )
+
+
 def idw_merge(
     existing: DataFrame,
     delta: DataFrame,

@@ -979,3 +979,95 @@ class TestKdeMerge:
         cols = ["gi", "gj", "n_src", "density", "sw_e6"]
         assert sorted(map(tuple, left.select(*cols).collect())) == \
             sorted(map(tuple, right.select(*cols).collect()))
+
+
+class TestContourSegments:
+    @staticmethod
+    def _brute(nodes, thr, g=2.0, dp=6):
+        import math
+
+        def rd(x):
+            return math.floor(x * 10**dp + 0.5) / 10**dp
+
+        from bufr2geojson_spark.operators.tiles import MS_SEGMENTS
+        table = {}
+        for c, s, e1, e2 in MS_SEGMENTS:
+            table.setdefault(c, []).append((s, e1, e2))
+        vals = {(gi, gj): v for gi, gj, v in nodes}
+        out = []
+        for (gi, gj), v_sw in vals.items():
+            try:
+                v_se = vals[(gi, gj + 1)]
+                v_nw = vals[(gi + 1, gj)]
+                v_ne = vals[(gi + 1, gj + 1)]
+            except KeyError:
+                continue
+            case = ((v_sw >= thr) + 2 * (v_se >= thr) + 4 * (v_ne >= thr)
+                    + 8 * (v_nw >= thr))
+            if case in (0, 15):
+                continue
+            la_i, la_i1 = (gi + 0.5) * g, (gi + 1.5) * g
+            lo_j, lo_j1 = (gj + 0.5) * g - 180, (gj + 1.5) * g - 180
+            def pt(e):
+                if e == 0:
+                    return (lo_j + (thr - v_sw) / (v_se - v_sw) * g, la_i)
+                if e == 1:
+                    return (lo_j1, la_i + (thr - v_se) / (v_ne - v_se) * g)
+                if e == 2:
+                    return (lo_j + (thr - v_nw) / (v_ne - v_nw) * g, la_i1)
+                return (lo_j, la_i + (thr - v_sw) / (v_nw - v_sw) * g)
+            for s, e1, e2 in table[case]:
+                (x1, y1), (x2, y2) = pt(e1), pt(e2)
+                out.append((gi, gj, case, s, rd(x1), rd(y1), rd(x2), rd(y2)))
+        return sorted(out)
+
+    def _bump_grid(self):
+        # radial bump: value = 8 / (1 + chebyshev distance from center)
+        nodes = []
+        for gi in range(20, 31):
+            for gj in range(100, 111):
+                d = max(abs(gi - 25), abs(gj - 105))
+                nodes.append((gi, gj, 8.0 / (1 + d)))
+        # punch a hole so missing-corner squares are exercised
+        return [(a, b, v) for a, b, v in nodes if (a, b) != (23, 103)]
+
+    def test_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.tiles import contour_segments
+
+        nodes = self._bump_grid()
+        df = spark.createDataFrame(nodes, "gi int, gj int, density double")
+        got = sorted(map(tuple, contour_segments(df, 2.5).collect()))
+        want = self._brute(nodes, 2.5)
+        assert got == want and len(want) > 4
+
+    def test_saddle_emits_two_segments(self, spark):
+        from bufr2geojson_spark.operators.tiles import contour_segments
+
+        # SW and NE high, SE and NW low -> case 5, two segments
+        df = spark.createDataFrame(
+            [(0, 0, 9.0), (0, 1, 1.0), (1, 0, 1.0), (1, 1, 9.0)],
+            "gi int, gj int, density double")
+        rows = contour_segments(df, 5.0).collect()
+        assert len(rows) == 2
+        assert {r["ms_case"] for r in rows} == {5}
+        assert {r["seg_idx"] for r in rows} == {0, 1}
+
+    def test_closed_loop_and_no_python_plan(self, spark):
+        from bufr2geojson_spark.operators.tiles import contour_segments
+
+        nodes = self._bump_grid()
+        df = spark.createDataFrame(nodes, "gi int, gj int, density double")
+        q = contour_segments(df, 2.5)
+        rows = q.collect()
+        # a contour of a bump is a closed loop: every endpoint appears an
+        # even number of times across segments
+        from collections import Counter
+        c = Counter()
+        for r in rows:
+            c[(r["x1"], r["y1"])] += 1
+            c[(r["x2"], r["y2"])] += 1
+        odd = [k for k, v in c.items() if v % 2 == 1]
+        # endpoints adjacent to the punched hole may dangle; all others close
+        assert len(odd) <= 4
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
