@@ -181,6 +181,19 @@ def _norm_np(a: Column) -> Column:
     return F.sqrt(_dot_np(a, a))
 
 
+def _dot_k(a: Column, b: Column, dim: int | None) -> Column:
+    """Width-aware pair-dot kernel: the numpy Arrow path for a known fixed
+    width (np.stack requires rectangular batches), the interpreted HOF fold
+    when ``dim is None`` (variable-width embeddings — slower, but the only
+    form that evaluates on ragged arrays). Both sum left-to-right, so
+    results are bit-identical."""
+    return _dot_np(a, b) if dim else _dot(a, b, None)
+
+
+def _norm_k(a: Column, dim: int | None) -> Column:
+    return _norm_np(a) if dim else _norm(a, None)
+
+
 def _bucket_array_udf(n_planes: int, n_tables: int, dim: int):
     """pandas UDF: embedding → array of ``n_tables`` LSH bucket ids (one
     per OR-ed table, each over its own ``n_planes`` hyperplanes). All
@@ -219,11 +232,11 @@ def cosine_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col), dim).alias("qv"),
-    ).withColumn("qn", _norm_np(F.col("qv")))
+    ).withColumn("qn", _norm_k(F.col("qv"), dim))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col), dim).alias("cv"),
-    ).withColumn("cn", _norm_np(F.col("cv")))
+    ).withColumn("cn", _norm_k(F.col("cv"), dim))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -231,7 +244,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cos_pre(_dot_np(F.col("qv"), F.col("cv")),
+            _cos_pre(_dot_k(F.col("qv"), F.col("cv"), dim),
                      F.col("qn"), F.col("cn")).alias("cos"),
         )
     )
@@ -302,7 +315,7 @@ def lsh_ann_topk(
         # order) — the n_planes×dim-term generated method is far past the
         # JIT's huge-method threshold (see _dot_raw_udf note)
         "bucket", F.element_at(_bucket_array_udf(n_planes, 1, dim)(F.col("v")), 1)
-    ).withColumn("vn", _norm_np(F.col("v")))
+    ).withColumn("vn", _norm_k(F.col("v"), dim))
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -316,7 +329,7 @@ def lsh_ann_topk(
               .withColumnRenamed("vn", "cn"), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                _cos_pre(_dot_np(F.col("qv"), F.col("cv")),
+                _cos_pre(_dot_k(F.col("qv"), F.col("cv"), dim),
                          F.col("qn"), F.col("cn")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -371,7 +384,7 @@ def _ivf_centroids(
         .select(
             F.col(id_col).alias("centroid_id"),
             F.col("v").alias("centv"),
-            _norm_np(F.col("v")).alias("centn"),
+            _norm_k(F.col("v"), dim).alias("centn"),
         )
     )
 
@@ -395,16 +408,16 @@ def ivf_assign(
         cents = base.filter(F.col(id_col).isin(centroids)).select(
             F.col(id_col).alias("centroid_id"),
             F.col("v").alias("centv"),
-            _norm_np(F.col("v")).alias("centn"),
+            _norm_k(F.col("v"), dim).alias("centn"),
         )
     else:
         cents = centroids
     scored = (
-        base.withColumn("vn", _norm_np(F.col("v")))
+        base.withColumn("vn", _norm_k(F.col("v"), dim))
         .join(F.broadcast(cents))
         .select(
             id_col, "v", "vn", "centroid_id",
-            _cos_pre(_dot_np(F.col("v"), F.col("centv")),
+            _cos_pre(_dot_k(F.col("v"), F.col("centv"), dim),
                      F.col("vn"), F.col("centn")).alias("ccos"),
         )
     )
@@ -467,7 +480,7 @@ def ivf_train(
             )
         )
         cents = means.select(
-            "centroid_id", "centv", _norm_np(F.col("centv")).alias("centn")
+            "centroid_id", "centv", _norm_k(F.col("centv"), dim).alias("centn")
         ).localCheckpoint()
     return cents
 
@@ -501,7 +514,7 @@ def ivf_topk(
         cents = base.filter(F.col(id_col).isin(cids)).select(
             F.col(id_col).alias("centroid_id"),
             F.col("v").alias("centv"),
-            _norm_np(F.col("v")).alias("centn"),
+            _norm_k(F.col("v"), dim).alias("centn"),
         )
     else:
         cents = _ivf_centroids(base, n_centroids, id_col, dim)
@@ -510,10 +523,10 @@ def ivf_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col), dim).alias("qv"),
-    ).withColumn("qn", _norm_np(F.col("qv")))
+    ).withColumn("qn", _norm_k(F.col("qv"), dim))
     qprobe_scored = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "qn", "centroid_id",
-        _cos_pre(_dot_np(F.col("qv"), F.col("centv")),
+        _cos_pre(_dot_k(F.col("qv"), F.col("centv"), dim),
                  F.col("qn"), F.col("centn")).alias("ccos"),
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -534,7 +547,7 @@ def ivf_topk(
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                _cos_pre(_dot_np(F.col("qv"), F.col("cv")),
+                _cos_pre(_dot_k(F.col("qv"), F.col("cv"), dim),
                          F.col("qn"), F.col("cn")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -862,11 +875,11 @@ def pq_topk(
     qdf = embeddings.sparkSession.createDataFrame(
         [(r["query_id"], list(r["qv"])) for r in q_rows],
         "query_id long, qv array<double>",
-    ).withColumn("qq", _dot_np(F.col("qv"), F.col("qv")))
+    ).withColumn("qq", _dot_k(F.col("qv"), F.col("qv"), dim))
     vdf = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col), dim).alias("nv"),
-    ).withColumn("vv", _dot_np(F.col("nv"), F.col("nv")))
+    ).withColumn("vv", _dot_k(F.col("nv"), F.col("nv"), dim))
     exact = (
         shortlist.select("query_id", "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
@@ -875,7 +888,7 @@ def pq_topk(
             "query_id", "neighbor_id",
             F.round(
                 F.col("qq") + F.col("vv")
-                - 2.0 * _dot_np(F.col("qv"), F.col("nv")), 6
+                - 2.0 * _dot_k(F.col("qv"), F.col("nv"), dim), 6
             ).alias("l2sq"),
         )
     )
@@ -924,10 +937,10 @@ def ivf_pq_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col), dim).alias("qv"),
-    ).withColumn("qn", _norm_np(F.col("qv")))
+    ).withColumn("qn", _norm_k(F.col("qv"), dim))
     qprobe_scored = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
         "query_id", "centroid_id",
-        _cos_pre(_dot_np(F.col("qv"), F.col("centv")),
+        _cos_pre(_dot_k(F.col("qv"), F.col("centv"), dim),
                  F.col("qn"), F.col("centn")).alias("ccos"),
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -971,10 +984,10 @@ def ivf_pq_topk(
     )
 
     qdf = q.select("query_id", "qv").withColumn(
-        "qq", _dot_np(F.col("qv"), F.col("qv")))
+        "qq", _dot_k(F.col("qv"), F.col("qv"), dim))
     vdf = base.select(F.col(id_col).alias("neighbor_id"),
                       F.col("v").alias("nv")).withColumn(
-        "vv", _dot_np(F.col("nv"), F.col("nv")))
+        "vv", _dot_k(F.col("nv"), F.col("nv"), dim))
     exact = (
         in_probe.select("query_id", "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
@@ -983,7 +996,7 @@ def ivf_pq_topk(
             "query_id", "neighbor_id",
             F.round(
                 F.col("qq") + F.col("vv")
-                - 2.0 * _dot_np(F.col("qv"), F.col("nv")), 6
+                - 2.0 * _dot_k(F.col("qv"), F.col("nv"), dim), 6
             ).alias("l2sq"),
         )
     )

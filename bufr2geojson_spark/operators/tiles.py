@@ -296,7 +296,12 @@ def tile_percentiles_salted(
     scale = float(10 ** val_dp)
     qv = F.floor(F.col(value_col) * scale + F.lit(0.5)) / scale
     sketch = (
-        features.groupBy(cell_col, qv.alias("_bin"))
+        # NULL values are excluded up front: they would otherwise form a
+        # NULL bin whose _freq inflates n_obs (F.percentile already skips
+        # the NULL bin, so only the count would silently diverge from
+        # tile_percentiles' F.count(value))
+        features.filter(F.col(value_col).isNotNull())
+        .groupBy(cell_col, qv.alias("_bin"))
         .agg(F.count(F.lit(1)).alias("_freq"))
     )
     out = sketch.groupBy(cell_col).agg(

@@ -57,7 +57,17 @@ def _commit_state(work: str, files: dict[str, int], version: int,
     dir — so reading an old snapshot needs no locks."""
     p = _state_path(work)
     tmp = p + ".tmp"
-    snapshots = list((prev_state or {}).get("snapshots", []))
+    if prev_state is None:
+        snapshots = []
+    else:
+        # pre-log manifests (no "snapshots" key) still committed a version:
+        # seed the log with it — the same fallback snapshot_history applies —
+        # so upgrading never orphans an already-committed snapshot directory
+        snapshots = list(prev_state.get(
+            "snapshots",
+            [{"version": prev_state["version"],
+              "n_source_files": len(prev_state["files"])}],
+        ))
     snapshots.append({"version": version, "n_source_files": len(files)})
     with open(tmp, "w") as f:
         json.dump({"files": files, "version": version,

@@ -304,44 +304,34 @@ def read_standing_tiles(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(f"{table_path}/v={vs[-1]}")
 
 
-def run_idw_maintenance_once(
+def _run_surface_maintenance_once(
     spark: SparkSession,
     input_path: str,
     surface_path: str,
     checkpoint_path: str,
-    grid_deg: float = 2.0,
-    radius_km: float = 300.0,
+    densify,
+    merge,
+    point_filter,
     **decode_kw,
 ) -> int:
-    """Streaming maintenance of the IDW analysis surface — the raster twin
-    of ``run_tile_maintenance_once``: per micro-batch, the batch's decoded
-    features are gridded with mergeable integer state
-    (``idw_grid(keep_state=True)``) and folded into the versioned standing
-    surface with ``idw_merge``, so the surface stays current without ever
-    rescanning history. Because the state is integer sums, the maintained
-    surface is BIT-IDENTICAL to a one-shot re-analysis over all documents
-    (pinned by test). Versioning/idempotence contract is identical to the
-    tile path (batch-id versions; a replayed batch recomputes from the
-    same predecessor and overwrites the same version). Returns batches
-    committed this run."""
-    from bufr2geojson_spark.operators.tiles import idw_grid, idw_merge
-
+    """Shared scaffold for streaming surface maintenance (IDW, KDE, and
+    any future keep_state grid): per micro-batch, decode -> filter ->
+    ``densify`` with mergeable integer state -> fold into the standing
+    surface with ``merge`` -> write ``v={batch_id}``. The versioning /
+    replay-idempotency contract lives HERE once: a replayed batch
+    recomputes from the same predecessor version (the newest ``v`` <
+    batch_id) and overwrites the same version directory, so redelivery
+    cannot double-fold a delta."""
     stream = read_document_stream(spark, input_path)
     feats = decode_stream(stream, **decode_kw)
     n_batches = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        pts = batch_df.filter(
-            F.col("lat").isNotNull() & F.col("result_value").isNotNull()
-        )
-        delta = idw_grid(
-            pts, value_col="result_value", grid_deg=grid_deg,
-            radius_km=radius_km, keep_state=True,
-        )
+        delta = densify(batch_df.filter(point_filter))
         prev = [v for v in _tile_versions(surface_path) if v < batch_id]
         if prev:
             standing = spark.read.parquet(f"{surface_path}/v={prev[-1]}")
-            merged = idw_merge(standing, delta)
+            merged = merge(standing, delta)
         else:
             merged = delta
         merged.write.mode("overwrite").parquet(f"{surface_path}/v={batch_id}")
@@ -355,6 +345,39 @@ def run_idw_maintenance_once(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def run_idw_maintenance_once(
+    spark: SparkSession,
+    input_path: str,
+    surface_path: str,
+    checkpoint_path: str,
+    grid_deg: float = 2.0,
+    radius_km: float = 300.0,
+    **decode_kw,
+) -> int:
+    """Streaming maintenance of the IDW analysis surface — the raster twin
+    of ``run_tile_maintenance_once``: each micro-batch's decoded features
+    are gridded with mergeable integer state (``idw_grid(keep_state=True)``)
+    and folded into the versioned standing surface with ``idw_merge``, so
+    the surface stays current without ever rescanning history. Because the
+    state is integer sums, the maintained surface is BIT-IDENTICAL to a
+    one-shot re-analysis over all documents (pinned by test). Returns
+    batches committed this run."""
+    from bufr2geojson_spark.operators.tiles import idw_grid, idw_merge
+
+    return _run_surface_maintenance_once(
+        spark, input_path, surface_path, checkpoint_path,
+        densify=lambda pts: idw_grid(
+            pts, value_col="result_value", grid_deg=grid_deg,
+            radius_km=radius_km, keep_state=True,
+        ),
+        merge=idw_merge,
+        point_filter=(
+            F.col("lat").isNotNull() & F.col("result_value").isNotNull()
+        ),
+        **decode_kw,
+    )
 
 
 def run_kde_maintenance_once(
@@ -367,40 +390,21 @@ def run_kde_maintenance_once(
     **decode_kw,
 ) -> int:
     """Streaming maintenance of the KDE density surface — identical
-    contract to ``run_idw_maintenance_once`` (mergeable integer state,
-    batch-id versioned, replay-idempotent): each micro-batch's decoded
-    features densify with ``kde_heatmap(keep_state=True)`` and fold into
-    the standing surface with ``kde_merge``, so the observation-density
-    map stays current without rescanning history and is BIT-IDENTICAL to
-    a one-shot full recompute (pinned by test)."""
+    contract to ``run_idw_maintenance_once`` (same shared scaffold):
+    each micro-batch densifies with ``kde_heatmap(keep_state=True)`` and
+    folds with ``kde_merge``; the maintained density map is BIT-IDENTICAL
+    to a one-shot full recompute (pinned by test)."""
     from bufr2geojson_spark.operators.tiles import kde_heatmap, kde_merge
 
-    stream = read_document_stream(spark, input_path)
-    feats = decode_stream(stream, **decode_kw)
-    n_batches = {"n": 0}
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        pts = batch_df.filter(F.col("lat").isNotNull())
-        delta = kde_heatmap(
-            pts, grid_deg=grid_deg, sigma_km=sigma_km, keep_state=True
-        )
-        prev = [v for v in _tile_versions(surface_path) if v < batch_id]
-        if prev:
-            standing = spark.read.parquet(f"{surface_path}/v={prev[-1]}")
-            merged = kde_merge(standing, delta)
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(f"{surface_path}/v={batch_id}")
-        n_batches["n"] += 1
-
-    q = (
-        feats.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
+    return _run_surface_maintenance_once(
+        spark, input_path, surface_path, checkpoint_path,
+        densify=lambda pts: kde_heatmap(
+            pts, grid_deg=grid_deg, sigma_km=sigma_km, keep_state=True,
+        ),
+        merge=kde_merge,
+        point_filter=F.col("lat").isNotNull(),
+        **decode_kw,
     )
-    q.awaitTermination()
-    return n_batches["n"]
 
 
 def session_windowed_station_activity(

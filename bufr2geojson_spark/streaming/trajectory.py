@@ -16,10 +16,13 @@ rounding — so closed episodes are value-identical to
 ``detect_stops`` output (pinned by a batch-equality test across
 multi-micro-batch replays).
 
-Ordering contract: rows are sorted (ts, seq) INSIDE each micro-batch;
-across micro-batches each entity's pings must arrive in time order (the
-usual watermark/ordered-ingest assumption for trajectory feeds — the
-same one ``latest_obs_per_station`` documents for its changelog).
+Ordering contract: one group's rows for a micro-batch are materialized
+and sorted (ts, seq) ONCE (the Arrow chunk iterator carries no
+cross-chunk order); across micro-batches each entity's pings must arrive
+in time order (the usual watermark/ordered-ingest assumption for
+trajectory feeds — the same one ``latest_obs_per_station`` documents
+for its changelog). Epoch seconds are computed JVM-side before Arrow so
+results are session-timezone-independent and match ``detect_stops``.
 """
 
 from __future__ import annotations
@@ -99,14 +102,19 @@ def _update_stops(
         sum_lat = sum_lon = n_hops = 0
         n_emitted = 0
 
+    # applyInPandasWithState hands one group's rows as an ITERATOR of
+    # Arrow chunks with no cross-chunk ordering guarantee (a >10k-ping
+    # entity spans several); materialize the whole micro-batch group and
+    # sort ONCE so hops never straddle an unsorted chunk boundary. Memory
+    # is one entity's rows for one micro-batch — the same bound any
+    # applyInPandas stage has.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     out = []
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts_s = pdf["ts"].astype("datetime64[ns]").astype("int64") / 1e9
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts_s", "event_id"])
         for cur_s, cur_lat, cur_lon in zip(
-            ts_s.tolist(), pdf["lat"].tolist(), pdf["lon"].tolist()
+            pdf["ts_s"].tolist(), pdf["lat"].tolist(), pdf["lon"].tolist()
         ):
             slow = False
             if last_s is not None:
@@ -161,9 +169,21 @@ def streaming_stops(
     ``state_ttl_ms > 0`` retires entities that stop pinging (their open
     episode is discarded — without further pings it can never close).
     """
+    from bufr2geojson_spark.operators.trajectory import _ts_seconds
+
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_ms > 0 else GroupStateTimeout.NoTimeout
+    )
+    # epoch seconds are derived JVM-SIDE with the batch operator's exact
+    # rule (_ts_seconds: NTZ read as UTC wall time, LTZ cast to true
+    # epoch) BEFORE rows cross Arrow — pandas would otherwise hand the
+    # UDF session-timezone wall-clock datetimes, shifting every epoch by
+    # the zone offset (and by an hour across DST folds) vs detect_stops
+    prepped = points.select(
+        "user_id",
+        _ts_seconds(points, "ts").alias("ts_s"),
+        "lat", "lon", "event_id",
     )
 
     def fn(key, pdfs, state):
@@ -173,7 +193,7 @@ def streaming_stops(
             key, pdfs, state, max_speed_kmh, min_dwell_s
         )
 
-    return points.groupBy("user_id").applyInPandasWithState(
+    return prepped.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=STOP_SCHEMA,
         stateStructType=_STATE_SCHEMA,

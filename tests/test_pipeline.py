@@ -412,3 +412,31 @@ class TestCompaction:
         assert len(rows) > 1
         for (lo1, hi1), (lo2, hi2) in zip(rows, rows[1:]):
             assert hi1 <= lo2
+
+
+class TestLegacyManifestUpgrade:
+    def test_pre_log_manifest_keeps_old_version_readable(self, spark, tmp_path):
+        """A manifest committed before the snapshot log existed must seed
+        the log on the next commit — the already-committed version stays
+        readable and expirable, never orphaned."""
+        import json as _json
+
+        from bufr2geojson_spark.plans.maintenance import (
+            load_state, read_tiles, run_maintenance, snapshot_history)
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        docs_path = str(tmp_path / "docs")
+        work = str(tmp_path / "work")
+        docs = synth_documents(spark, 40, partitions=2)
+        docs.filter(F.crc32("doc_id") % 2 == 0).write.parquet(docs_path)
+        run_maintenance(spark, docs_path, work)
+        # simulate a legacy manifest: strip the snapshot log
+        state = load_state(work)
+        del state["snapshots"]
+        with open(f"{work}/manifest.json", "w") as f:
+            _json.dump(state, f)
+        docs.filter(F.crc32("doc_id") % 2 == 1) \
+            .write.mode("append").parquet(docs_path)
+        run_maintenance(spark, docs_path, work)
+        assert [s["version"] for s in snapshot_history(work)] == [0, 1]
+        assert read_tiles(spark, work, as_of_version=0).count() > 0

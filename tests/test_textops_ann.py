@@ -834,3 +834,17 @@ class TestContainment:
             want_cb = math.floor(inter / len(sh(texts[b])) * 1e6 + 0.5) / 1e6
             assert got[(a, b)]["cont_a"] == want_ca
             assert got[(a, b)]["cont_b"] == want_cb
+
+
+def test_cosine_topk_variable_width_fallback(spark):
+    """dim=None must evaluate on ragged embeddings (the HOF fold path —
+    np.stack would crash on mixed widths)."""
+    from bufr2geojson_spark.operators.ann import cosine_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [1.0, 0.0, 0.0]),
+            (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # widths differ across rows; query 1 vs corpus of width-2 rows only
+    out = cosine_topk(df.filter("size(embedding) = 2"), [1], k=2, dim=None)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert got == [(2, 1), (4, 2)]

@@ -1071,3 +1071,21 @@ class TestContourSegments:
         assert len(odd) <= 4
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestSaltedPercentilesNulls:
+    def test_null_values_excluded_from_n_obs(self, spark):
+        from bufr2geojson_spark.operators.tiles import (
+            tile_percentiles,
+            tile_percentiles_salted,
+        )
+
+        df = spark.range(100).selectExpr(
+            "0 AS cell",
+            "CASE WHEN id % 10 = 0 THEN NULL "
+            "ELSE CAST(id AS DOUBLE) END AS v")
+        s = tile_percentiles_salted(
+            df, cell_col="cell", value_col="v").collect()[0]
+        e = tile_percentiles(
+            df, cell_col="cell", value_col="v", exact=True).collect()[0]
+        assert s["n_obs"] == 90 == e["n_obs"]
