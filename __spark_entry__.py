@@ -3608,6 +3608,45 @@ _SQL_EVENT_STOPS = f"""
     FROM ep ORDER BY user_id, stop_seq
 """
 
+def q_event_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix between detected dwell locations:
+    consecutive stops per entity -> trips, binned by origin/destination
+    grid cell (one lead-window shuffle + one tiny-key groupBy)."""
+    from bufr2geojson_spark.operators.trajectory import detect_stops, od_flows
+
+    stops = detect_stops(
+        _event_track_points(spark, sf_dir),
+        max_speed_kmh=_STOPS_MAX_KMH,
+        min_dwell_s=_STOPS_MIN_DWELL_S,
+    )
+    return od_flows(stops, grid_deg=2.0).orderBy(
+        "o_gi", "o_gj", "d_gi", "d_gj"
+    )
+
+
+def _sql_event_od_flows():
+    return f"""
+    WITH stops AS ({{stops_sql}}),
+    tr AS (
+        SELECT user_id, c_lat, c_lon, epoch(end_ts) AS end_s,
+               lead(c_lat) OVER w AS n_lat,
+               lead(c_lon) OVER w AS n_lon,
+               lead(epoch(start_ts)) OVER w AS n_start_s
+        FROM stops
+        WINDOW w AS (PARTITION BY user_id ORDER BY stop_seq)
+    )
+    SELECT floor((c_lat + 90.0) / 2.0)::INT AS o_gi,
+           floor((c_lon + 180.0) / 2.0)::INT AS o_gj,
+           floor((n_lat + 90.0) / 2.0)::INT AS d_gi,
+           floor((n_lon + 180.0) / 2.0)::INT AS d_gj,
+           count(*) AS n_trips,
+           floor(sum(n_start_s - end_s) / count(*) * 1e2 + 0.5) / 1e2
+               AS avg_transit_s
+    FROM tr WHERE n_lat IS NOT NULL
+    GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """.format(stops_sql=_SQL_EVENT_STOPS)
+
+
 _BM25_TERMS = ["merge", "stream", "table", "vector"]
 
 
@@ -4002,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_containment": q_lsh_verified_containment,
         "geo_zonal_stats": q_geo_zonal_stats,
         "geo_contours": q_geo_contours,
+        "event_od_flows": q_event_od_flows,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4112,4 +4152,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_verified_containment": _sql_lsh_verified_containment(),
         "geo_zonal_stats": _SQL_GEO_ZONAL,
         "geo_contours": _sql_geo_contours(),
+        "event_od_flows": _sql_event_od_flows(),
     }

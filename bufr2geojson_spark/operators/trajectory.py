@@ -191,3 +191,60 @@ def detect_stops(
         id_col, "stop_seq", "start_ts", "end_ts", "dwell_s",
         "c_lat", "c_lon", "n_hops",
     )
+
+
+def od_flows(
+    stops: DataFrame,
+    grid_deg: float = 2.0,
+    id_col: str = "user_id",
+    dp: int = 2,
+) -> DataFrame:
+    """Origin–destination flow matrix between dwell locations — the
+    mobility-analytics aggregate over ``detect_stops`` output: each
+    entity's consecutive stops form a trip; trips are binned by the
+    origin/destination grid cell of the stop centroids and aggregated
+    into (flow count, mean transit seconds).
+
+    Plan: one lead-window shuffle on the entity id, then a groupBy on the
+    4-part cell key — the flow matrix is tiny relative to the stop table,
+    so the second shuffle carries map-side-combined partials. Transit
+    times are exact integer-second epoch differences, so their sum (and
+    the floor-rounded mean) is aggregation-order-independent.
+    """
+    g = float(grid_deg)
+    w = Window.partitionBy(id_col).orderBy("stop_seq")
+    end_s = _ts_seconds(stops, "end_ts")
+    t = (
+        stops.withColumn("_end_s", end_s)
+        .withColumn("_start_s", _ts_seconds(stops, "start_ts"))
+    )
+    t = (
+        t.withColumn("_n_lat", F.lead("c_lat").over(w))
+        .withColumn("_n_lon", F.lead("c_lon").over(w))
+        .withColumn("_n_start_s", F.lead("_start_s").over(w))
+        .filter(F.col("_n_lat").isNotNull())
+    )
+
+    def cell(lat, lon):
+        return (
+            F.floor((lat + 90.0) / g).cast("int"),
+            F.floor((lon + 180.0) / g).cast("int"),
+        )
+
+    o_gi, o_gj = cell(F.col("c_lat"), F.col("c_lon"))
+    d_gi, d_gj = cell(F.col("_n_lat"), F.col("_n_lon"))
+    transit = F.col("_n_start_s") - F.col("_end_s")
+    return (
+        t.select(
+            o_gi.alias("o_gi"), o_gj.alias("o_gj"),
+            d_gi.alias("d_gi"), d_gj.alias("d_gj"),
+            transit.alias("_transit"),
+        )
+        .groupBy("o_gi", "o_gj", "d_gi", "d_gj")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            round_dp(
+                F.sum("_transit") / F.count(F.lit(1)), dp
+            ).alias("avg_transit_s"),
+        )
+    )

@@ -123,3 +123,47 @@ class TestDetectStops:
         a = detect_stops(_mk_points(spark, rows).repartition(1))
         b = detect_stops(_mk_points(spark, rows).repartition(13))
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestOdFlows:
+    def test_flows_between_dwells(self, spark):
+        from bufr2geojson_spark.operators.trajectory import od_flows
+
+        # two users; user 1 makes A->B and B->A trips, user 2 makes A->B
+        rows = []
+        def stop(u, seq, start_s, end_s, la, lo):
+            rows.append((u, seq, T0 + dt.timedelta(seconds=start_s),
+                         T0 + dt.timedelta(seconds=end_s), float(end_s - start_s),
+                         la, lo, 3))
+        import datetime as dt
+        A = (10.5, 20.5)    # cell (50, 100)
+        B = (30.5, 40.5)    # cell (60, 110)
+        stop(1, 1, 0, 1000, *A)
+        stop(1, 2, 2000, 3000, *B)      # A->B transit 1000 s
+        stop(1, 3, 4500, 5000, *A)      # B->A transit 1500 s
+        stop(2, 1, 0, 1000, *A)
+        stop(2, 2, 3000, 4000, *B)      # A->B transit 2000 s
+        df = spark.createDataFrame(
+            rows, "user_id int, stop_seq int, start_ts timestamp, "
+                  "end_ts timestamp, dwell_s double, c_lat double, "
+                  "c_lon double, n_hops int")
+        got = {(r["o_gi"], r["o_gj"], r["d_gi"], r["d_gj"]):
+               (r["n_trips"], r["avg_transit_s"])
+               for r in od_flows(df).collect()}
+        assert got == {
+            (50, 100, 60, 110): (2, 1500.0),   # two A->B trips, mean 1500
+            (60, 110, 50, 100): (1, 1500.0),   # one B->A trip
+        }
+
+    def test_single_stop_user_emits_nothing(self, spark):
+        import datetime as dt
+
+        from bufr2geojson_spark.operators.trajectory import od_flows
+
+        df = spark.createDataFrame(
+            [(1, 1, T0, T0 + dt.timedelta(seconds=900), 900.0,
+              10.0, 10.0, 2)],
+            "user_id int, stop_seq int, start_ts timestamp, "
+            "end_ts timestamp, dwell_s double, c_lat double, "
+            "c_lon double, n_hops int")
+        assert od_flows(df).count() == 0
