@@ -3647,6 +3647,167 @@ def _sql_event_od_flows():
     """.format(stops_sql=_SQL_EVENT_STOPS)
 
 
+# --- spatial autocorrelation over the 5-degree track-density grid ---------
+
+_HOT_GRID_DEG = 5.0
+_HOT_NLON = 72  # 360 / 5
+
+# gj is wrapped into [0, nlon): the synthetic lon can land fractionally
+# outside [-180, 180), and the hotspot operators require canonical
+# longitude indices (their neighbor scatter wraps modulo nlon)
+_SQL_HOT_CELLS = f"""
+    cells AS (
+        SELECT floor((lat + 90.0) / 5.0)::INT AS gi,
+               ((floor((lon + 180.0) / 5.0)::INT % {_HOT_NLON})
+                + {_HOT_NLON}) % {_HOT_NLON} AS gj,
+               count(*)::BIGINT AS x
+        FROM pts GROUP BY 1, 2
+    )
+"""
+
+
+def _hot_cells(spark, sf_dir):
+    pts = _event_track_points(spark, sf_dir)
+    g = _HOT_GRID_DEG
+    return (
+        pts.groupBy(
+            F.floor((F.col("lat") + 90.0) / g).cast("int").alias("gi"),
+            F.pmod(
+                F.floor((F.col("lon") + 180.0) / g), F.lit(_HOT_NLON)
+            ).cast("int").alias("gj"),
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+
+
+def q_geo_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores over the track-density grid:
+    9x neighbor scatter + one map-side-combined groupBy, broadcast
+    global-moment row, exact integer moments (Gi* is scale-invariant so
+    the fixed-point quantization cancels)."""
+    from bufr2geojson_spark.operators.hotspot import getis_ord_gi
+
+    return getis_ord_gi(
+        _hot_cells(spark, sf_dir), nlon=_HOT_NLON, val_dp=0
+    ).orderBy("gi", "gj")
+
+
+def _sql_geo_hotspot_gi():
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    {_SQL_HOT_CELLS},
+    gm AS (
+        SELECT count(*)::BIGINT AS n_raw, count(*)::DOUBLE AS n,
+               sum(x)::DOUBLE AS sv, sum(x * x)::DOUBLE AS svv
+        FROM cells
+    ),
+    nb AS (
+        SELECT c.gi, c.gj, c.x,
+               count(*)::BIGINT AS w_i, sum(d.x)::BIGINT AS s1
+        FROM cells c JOIN cells d
+          ON d.gi BETWEEN c.gi - 1 AND c.gi + 1
+         AND ((d.gj - c.gj + {_HOT_NLON + 1}) % {_HOT_NLON}) <= 2
+        GROUP BY c.gi, c.gj, c.x
+    )
+    SELECT gi, gj, x, w_i, s1,
+           CASE WHEN n_raw > 1 AND
+                     sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0))
+                     * sqrt((n * w_i::DOUBLE - w_i::DOUBLE * w_i::DOUBLE)
+                            / (n - 1.0)) > 0.0
+                THEN floor((s1::DOUBLE - sv / n * w_i::DOUBLE)
+                           / (sqrt(greatest(svv / n - (sv / n) * (sv / n),
+                                            0.0))
+                              * sqrt((n * w_i::DOUBLE
+                                      - w_i::DOUBLE * w_i::DOUBLE)
+                                     / (n - 1.0)))
+                           * 1e6 + 0.5) / 1e6
+           END AS gi_star
+    FROM nb, gm ORDER BY gi, gj
+    """
+
+
+def q_geo_morans_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation of track density: 8x
+    neighbor scatter, exact integer cross-product moments (DECIMAL
+    accumulate), one closed-form double combination."""
+    from bufr2geojson_spark.operators.hotspot import morans_i
+
+    return morans_i(_hot_cells(spark, sf_dir), nlon=_HOT_NLON, val_dp=0)
+
+
+def _sql_geo_morans_i():
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    {_SQL_HOT_CELLS},
+    nb AS (
+        SELECT c.gi, c.gj, c.x,
+               count(d.gi)::BIGINT AS w, coalesce(sum(d.x), 0)::BIGINT AS ns
+        FROM cells c LEFT JOIN cells d
+          ON d.gi BETWEEN c.gi - 1 AND c.gi + 1
+         AND ((d.gj - c.gj + {_HOT_NLON + 1}) % {_HOT_NLON}) <= 2
+         AND NOT (d.gi = c.gi AND d.gj = c.gj)
+        GROUP BY c.gi, c.gj, c.x
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n_cells, sum(w)::BIGINT AS s0,
+               count(*)::DOUBLE AS n, sum(w)::DOUBLE AS s0d,
+               sum(x)::DOUBLE AS sv, sum(x * x)::DOUBLE AS svv,
+               sum(x * ns)::DOUBLE AS cp, sum(x * w)::DOUBLE AS rs
+        FROM nb
+    )
+    SELECT n_cells, s0,
+           CASE WHEN s0 > 0 AND svv - sv * sv / n > 0.0
+                THEN floor(n / s0d
+                           * (cp - 2.0 * (sv / n) * rs
+                              + (sv / n) * (sv / n) * s0d)
+                           / (svv - sv * sv / n) * 1e6 + 0.5) / 1e6
+           END AS morans_i,
+           CASE WHEN n_cells > 1
+                THEN floor(-1.0 / (n - 1.0) * 1e6 + 0.5) / 1e6
+           END AS expected_i
+    FROM agg
+    """
+
+
+def q_geo_track_similarity(spark, sf_dir):
+    """Co-traveler detection: pairwise Jaccard over each entity's set of
+    visited 1-degree cells via a cell-keyed inverted-index join (cost is
+    sum of per-cell user-pairs, never entities^2)."""
+    from bufr2geojson_spark.operators.trajectory import track_similarity
+
+    return track_similarity(
+        _event_track_points(spark, sf_dir), grid_deg=5.0
+    ).orderBy("user_a", "user_b")
+
+
+def _sql_geo_track_similarity():
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    cells AS (
+        SELECT DISTINCT user_id AS u,
+               floor((lat + 90.0) / 5.0)::INT AS gi,
+               floor((lon + 180.0) / 5.0)::INT AS gj
+        FROM pts
+    ),
+    sizes AS (SELECT u, count(*)::BIGINT AS n_cells FROM cells GROUP BY u),
+    pairs AS (
+        SELECT a.u AS user_a, b.u AS user_b, count(*)::BIGINT AS shared_cells
+        FROM cells a JOIN cells b
+          ON a.gi = b.gi AND a.gj = b.gj AND a.u < b.u
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, shared_cells,
+           sa.n_cells AS cells_a, sb.n_cells AS cells_b,
+           floor(shared_cells::DOUBLE
+                 / (sa.n_cells + sb.n_cells - shared_cells)::DOUBLE
+                 * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.u = user_a
+    JOIN sizes sb ON sb.u = user_b
+    ORDER BY user_a, user_b
+    """
+
+
 _BM25_TERMS = ["merge", "stream", "table", "vector"]
 
 
@@ -4042,6 +4203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zonal_stats": q_geo_zonal_stats,
         "geo_contours": q_geo_contours,
         "event_od_flows": q_event_od_flows,
+        "geo_hotspot_gi": q_geo_hotspot_gi,
+        "geo_morans_i": q_geo_morans_i,
+        "geo_track_similarity": q_geo_track_similarity,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4153,4 +4317,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_zonal_stats": _SQL_GEO_ZONAL,
         "geo_contours": _sql_geo_contours(),
         "event_od_flows": _sql_event_od_flows(),
+        "geo_hotspot_gi": _sql_geo_hotspot_gi(),
+        "geo_morans_i": _sql_geo_morans_i(),
+        "geo_track_similarity": _sql_geo_track_similarity(),
     }

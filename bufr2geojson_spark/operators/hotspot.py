@@ -1,0 +1,224 @@
+"""Spatial-autocorrelation statistics over a sparse regular grid.
+
+Getis-Ord Gi* hot-spot scores and global Moran's I, the two classic
+"where is activity significantly clustered" analyses a geospatial engine
+is expected to ship (reference scope: the engine-side tile analytics of
+SURVEY.md §2.2 N5-N7; the reference itself stops at per-tile aggregation,
+these extend the same grid model to neighborhood statistics).
+
+Both operators take a *sparse* grid of observed cells ``(gi, gj, value)``
+— the output shape of a cell-count aggregation or ``idw_grid``, with ONE
+row per cell and ``gj`` canonical in ``[0, nlon)`` (the neighbor scatter
+wraps longitudes modulo ``nlon``, so a cell indexed at ``gj = -1`` would
+never receive its own neighborhood; wrap with ``pmod`` upstream) — with
+binary weights over the 3x3 neighborhood (longitudes wrap modulo
+``nlon``, latitudes clamp at the poles). Missing cells are simply not
+neighbors: on sparse data the population is "observed cells", the
+standard formulation for event grids.
+
+Exactness contract (repo-wide convention, see tiles.tile_trend): values
+are re-quantized to their declared fixed point so every distributed sum
+(neighbor sums, global moments, cross-products) is an INTEGER sum —
+bit-exact under any partitioning — and the final statistic is one
+closed-form double expression evaluated with a fixed association, then
+floor-rounded. Gi* and Moran's I are scale-invariant in x, so the
+quantization scale cancels and never appears in the result.
+
+Scale shape: one 9x (8x for Moran) explode + one groupBy keyed on the
+target cell (map-side combined), a semi/inner join back to observed
+cells, and a broadcast of the single global-moment row. Shuffle volume
+is O(9 * cells), never O(cells^2); no UDF, no window, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+_DEC = "decimal(38,0)"
+
+
+def _neighbor_scatter(
+    cells: DataFrame,
+    nlon: int,
+    gi_col: str,
+    gj_col: str,
+    value_col: str,
+    val_dp: int,
+    include_self: bool,
+) -> DataFrame:
+    """Scatter each observed cell's quantized value to its 3x3 neighbor
+    positions; returns (gi, gj, _v) rows addressed to the *receiving*
+    cell. Longitude wraps modulo ``nlon``; out-of-range latitudes are
+    emitted and later dropped by the join back to observed cells."""
+    v = F.floor(
+        F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
+    ).cast("long")
+    offsets = [
+        (di, dj)
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+        if include_self or (di, dj) != (0, 0)
+    ]
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di, dj in offsets
+    ])
+    return (
+        cells.select(
+            F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
+            v.alias("_v"),
+        )
+        .select("_i", "_j", "_v", F.explode(offs).alias("_o"))
+        .select(
+            (F.col("_i") + F.col("_o.di")).alias("gi"),
+            F.pmod(F.col("_j") + F.col("_o.dj"), F.lit(nlon)).alias("gj"),
+            "_v",
+        )
+    )
+
+
+def _quantized(cells: DataFrame, gi_col: str, gj_col: str,
+               value_col: str, val_dp: int) -> DataFrame:
+    v = F.floor(
+        F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
+    ).cast("long")
+    return cells.select(
+        F.col(gi_col).alias("gi"), F.col(gj_col).alias("gj"), v.alias("_x")
+    )
+
+
+def getis_ord_gi(
+    cells: DataFrame,
+    nlon: int,
+    gi_col: str = "gi",
+    gj_col: str = "gj",
+    value_col: str = "value",
+    val_dp: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Getis-Ord Gi* per observed cell (Ord & Getis 1995, the ArcGIS
+    "hot spot analysis" statistic) with binary 3x3 weights including
+    self:
+
+        Gi* = (S1_i - xbar*W_i)
+              / ( S * sqrt((n*W_i - W_i^2) / (n-1)) )
+
+    where S1_i is the neighborhood value sum, W_i the count of observed
+    neighbors (incl. self), xbar/S the global mean/std over observed
+    cells. Positive scores are hot spots, negative are cold spots;
+    |Gi*| > 1.96 is the usual 95% significance cut.
+
+    Plan: neighbor scatter + one groupBy for (S1_i, W_i), a broadcast
+    cross-join of the single global-moment row, one projection. Returns
+    (gi, gj, x, w_i, s1, gi_star) with null gi_star when the variance is
+    degenerate (all cells equal, or n < 2). ``x`` and ``s1`` are exact
+    longs on the quantized scale (``value * 10^val_dp``); Gi* is
+    scale-invariant, so the statistic itself is on the natural scale.
+    """
+    q = _quantized(cells, gi_col, gj_col, value_col, val_dp)
+    nb = (
+        _neighbor_scatter(cells, nlon, gi_col, gj_col, value_col, val_dp,
+                          include_self=True)
+        .groupBy("gi", "gj")
+        .agg(F.count(F.lit(1)).alias("w_i"), F.sum("_v").alias("s1"))
+        .join(q, ["gi", "gj"])
+    )
+    glob = q.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sv"),
+        F.sum(F.col("_x").cast(_DEC) * F.col("_x")).alias("_svv"),
+    )
+    n = F.col("_n").cast("double")
+    sv = F.col("_sv").cast("double")
+    svv = F.col("_svv").cast("double")
+    w = F.col("w_i").cast("double")
+    s1 = F.col("s1").cast("double")
+    xbar = sv / n
+    s = F.sqrt(F.greatest(svv / n - xbar * xbar, F.lit(0.0)))
+    den = s * F.sqrt((n * w - w * w) / (n - F.lit(1.0)))
+    p = F.lit(float(10 ** out_dp))
+    return (
+        nb.join(F.broadcast(glob))
+        .select(
+            "gi", "gj", F.col("_x").alias("x"), "w_i", "s1",
+            F.when(
+                (F.col("_n") > 1) & (den > 0.0),
+                F.floor((s1 - xbar * w) / den * p + F.lit(0.5)) / p,
+            ).alias("gi_star"),
+        )
+    )
+
+
+def morans_i(
+    cells: DataFrame,
+    nlon: int,
+    gi_col: str = "gi",
+    gj_col: str = "gj",
+    value_col: str = "value",
+    val_dp: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Global Moran's I over the observed cells with symmetric binary
+    3x3 weights (self excluded):
+
+        I = (n / S0) * sum_ij w_ij (x_i-xbar)(x_j-xbar)
+                     / sum_i (x_i-xbar)^2
+
+    Computed from exact integer moments via the expansion
+
+        num = CP - 2*xbar*RS + xbar^2*S0
+
+    where CP = sum_ij w_ij x_i x_j, RS = sum_i W_i x_i and S0 = sum_i W_i
+    (weights are symmetric, so the row- and column-weighted sums are both
+    RS). Every moment is an integer sum — CP accumulates as
+    DECIMAL(38,0) — so the result is bit-stable under any partitioning.
+
+    Returns ONE row (n_cells, s0, morans_i, expected_i); morans_i is
+    null when the variance or S0 is degenerate. expected_i = -1/(n-1) is
+    the no-autocorrelation reference value.
+    """
+    q = _quantized(cells, gi_col, gj_col, value_col, val_dp)
+    nbagg = (
+        _neighbor_scatter(cells, nlon, gi_col, gj_col, value_col, val_dp,
+                          include_self=False)
+        .groupBy("gi", "gj")
+        .agg(F.count(F.lit(1)).alias("_wn"), F.sum("_v").alias("_nsn"))
+    )
+    # left join: cells with no observed neighbor keep _w = 0 and still
+    # contribute to the global moments
+    allc = q.join(nbagg, ["gi", "gj"], "left").select(
+        "gi", "gj",
+        F.coalesce(F.col("_wn"), F.lit(0)).alias("_w"),
+        F.coalesce(F.col("_nsn"), F.lit(0).cast("long")).alias("_ns"),
+        "_x",
+    )
+    agg = allc.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("_w").alias("s0"),
+        F.sum("_x").alias("_sv"),
+        F.sum(F.col("_x").cast(_DEC) * F.col("_x")).alias("_svv"),
+        F.sum(F.col("_x").cast(_DEC) * F.col("_ns")).alias("_cp"),
+        F.sum(F.col("_x").cast(_DEC) * F.col("_w")).alias("_rs"),
+    )
+    n = F.col("n_cells").cast("double")
+    s0 = F.col("s0").cast("double")
+    sv = F.col("_sv").cast("double")
+    svv = F.col("_svv").cast("double")
+    cp = F.col("_cp").cast("double")
+    rs = F.col("_rs").cast("double")
+    xbar = sv / n
+    num = cp - F.lit(2.0) * xbar * rs + xbar * xbar * s0
+    den = svv - sv * sv / n
+    p = F.lit(float(10 ** out_dp))
+    return agg.select(
+        "n_cells", "s0",
+        F.when(
+            (F.col("s0") > 0) & (den > 0.0),
+            F.floor(n / s0 * num / den * p + F.lit(0.5)) / p,
+        ).alias("morans_i"),
+        F.when(
+            F.col("n_cells") > 1,
+            F.floor(F.lit(-1.0) / (n - F.lit(1.0)) * p + F.lit(0.5)) / p,
+        ).alias("expected_i"),
+    )

@@ -248,3 +248,78 @@ def od_flows(
             ).alias("avg_transit_s"),
         )
     )
+
+
+def track_similarity(
+    points: DataFrame,
+    grid_deg: float = 1.0,
+    min_jaccard: float = 0.0,
+    min_shared: int = 1,
+    max_users_per_cell: int | None = None,
+    id_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dp: int = 6,
+) -> DataFrame:
+    """Co-traveler detection: pairwise Jaccard similarity between the
+    *sets of grid cells* each entity visited. The spatial twin of the
+    n-gram Jaccard dedup operator (textops.ngram_jaccard_pairs): an
+    inverted index cell -> entities generates candidate pairs, so cost is
+    O(sum over cells of users^2-in-cell), never O(entities^2).
+
+    Scale levers: ``max_users_per_cell`` drops cells hotter than the cap
+    from PAIR GENERATION only (an airport cell shared by every entity
+    adds no discriminating signal but quadratic pairs — the classic
+    stopword cut); the per-entity cell-set size still counts all cells,
+    so Jaccard stays a true upper bound when the cap binds. Shuffles:
+    distinct on (entity, cell), the bounded self-join keyed on the cell,
+    one groupBy per pair — all map-side combinable.
+
+    Returns (user_a, user_b, shared_cells, cells_a, cells_b, jaccard)
+    with user_a < user_b, filtered to >= min_shared and >= min_jaccard.
+    """
+    g = float(grid_deg)
+    cells = (
+        points.select(
+            F.col(id_col).alias("u"),
+            F.floor((F.col(lat_col) + 90.0) / g).cast("int").alias("gi"),
+            F.floor((F.col(lon_col) + 180.0) / g).cast("int").alias("gj"),
+        )
+        .distinct()
+    )
+    sizes = cells.groupBy("u").agg(F.count(F.lit(1)).alias("n_cells"))
+    idx = cells
+    if max_users_per_cell is not None:
+        hot = (
+            cells.groupBy("gi", "gj")
+            .agg(F.count(F.lit(1)).alias("_nu"))
+            .filter(F.col("_nu") > int(max_users_per_cell))
+            .select("gi", "gj")
+        )
+        idx = cells.join(hot, ["gi", "gj"], "left_anti")
+    a = idx.select("gi", "gj", F.col("u").alias("user_a"))
+    b = idx.select("gi", "gj", F.col("u").alias("user_b"))
+    pairs = (
+        a.join(b, ["gi", "gj"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("shared_cells"))
+        .filter(F.col("shared_cells") >= int(min_shared))
+    )
+    out = (
+        pairs
+        .join(sizes.withColumnsRenamed({"u": "user_a",
+                                        "n_cells": "cells_a"}), "user_a")
+        .join(sizes.withColumnsRenamed({"u": "user_b",
+                                        "n_cells": "cells_b"}), "user_b")
+    )
+    jac = F.col("shared_cells").cast("double") / (
+        F.col("cells_a") + F.col("cells_b") - F.col("shared_cells")
+    ).cast("double")
+    return (
+        out.select(
+            "user_a", "user_b", "shared_cells", "cells_a", "cells_b",
+            round_dp(jac, dp).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= float(min_jaccard))
+    )

@@ -1,0 +1,171 @@
+"""Spatial-autocorrelation operators: Getis-Ord Gi* and Moran's I
+(operators/hotspot.py) against an independent dense-numpy reference, plus
+degenerate / invariance properties."""
+
+import math
+
+import numpy as np
+import pytest
+
+from bufr2geojson_spark.operators.hotspot import getis_ord_gi, morans_i
+
+NLON = 8  # small wrap modulus so wrap cases are easy to construct
+
+
+def _cells_df(spark, cells):
+    return spark.createDataFrame(
+        [(gi, gj, float(x)) for gi, gj, x in cells],
+        "gi int, gj int, value double",
+    )
+
+
+def _neighbors(cells, include_self):
+    """Dense reference: observed-cell 3x3 neighborhoods with lon wrap."""
+    idx = {(gi, gj): x for gi, gj, x in cells}
+    out = {}
+    for gi, gj, _ in cells:
+        nb = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if not include_self and (di, dj) == (0, 0):
+                    continue
+                key = (gi + di, (gj + dj) % NLON)
+                if key in idx:
+                    nb.append(idx[key])
+        out[(gi, gj)] = nb
+    return out
+
+
+def _ref_gi_star(cells):
+    xs = np.array([float(x) for _, _, x in cells])
+    n = len(xs)
+    xbar = xs.sum() / n
+    s = math.sqrt(max((xs * xs).sum() / n - xbar * xbar, 0.0))
+    nbs = _neighbors(cells, include_self=True)
+    out = {}
+    for (gi, gj, _x) in cells:
+        nb = nbs[(gi, gj)]
+        w = len(nb)
+        den = s * math.sqrt((n * w - w * w) / (n - 1))
+        num = sum(nb) - xbar * w
+        out[(gi, gj)] = num / den if den > 0 else None
+    return out
+
+
+def _ref_morans_i(cells):
+    xs = np.array([float(x) for _, _, x in cells])
+    n = len(xs)
+    xbar = xs.mean()
+    z = {(gi, gj): x - xbar for gi, gj, x in cells}
+    nbs = _neighbors(cells, include_self=False)
+    num = sum(
+        z[(gi, gj)] * (nb - xbar)
+        for gi, gj, _x in cells
+        for nb in nbs[(gi, gj)]
+    )
+    s0 = sum(len(v) for v in nbs.values())
+    den = float(((xs - xbar) ** 2).sum())
+    return (n / s0) * num / den if s0 and den else None
+
+
+CELLS = [
+    # a hot 2x2 block...
+    (10, 1, 9.0), (10, 2, 8.0), (11, 1, 7.0), (11, 2, 9.0),
+    # ...a pair straddling the antimeridian (gj 7 and 0 are neighbors)...
+    (20, 7, 5.0), (20, 0, 6.0),
+    # ...and scattered cold singletons
+    (30, 4, 1.0), (40, 2, 1.0), (50, 6, 2.0),
+]
+
+
+class TestGetisOrdGi:
+    def test_matches_dense_reference(self, spark):
+        got = {
+            (r["gi"], r["gj"]): r["gi_star"]
+            for r in getis_ord_gi(_cells_df(spark, CELLS), NLON).collect()
+        }
+        ref = _ref_gi_star(CELLS)
+        assert set(got) == set(ref)
+        for k, v in ref.items():
+            assert got[k] == pytest.approx(v, abs=1e-6), k
+
+    def test_wrap_neighborhood_counted(self, spark):
+        rows = {
+            (r["gi"], r["gj"]): r
+            for r in getis_ord_gi(_cells_df(spark, CELLS), NLON).collect()
+        }
+        # (20,7) and (20,0) see each other across the wrap: w_i = 2
+        assert rows[(20, 7)]["w_i"] == 2 and rows[(20, 0)]["w_i"] == 2
+        # s1 is on the val_dp=2 fixed-point scale: (5.0 + 6.0) * 100
+        assert rows[(20, 7)]["s1"] == 1100 and rows[(20, 0)]["s1"] == 1100
+
+    def test_hot_block_scores_highest(self, spark):
+        rows = getis_ord_gi(_cells_df(spark, CELLS), NLON).collect()
+        top = max(rows, key=lambda r: r["gi_star"])
+        assert (top["gi"], top["gj"]) in {(10, 1), (10, 2), (11, 1), (11, 2)}
+        cold = {r["gi_star"] for r in rows if r["gi"] in (30, 40, 50)}
+        assert all(v < 0 for v in cold)
+
+    def test_scale_invariance(self, spark):
+        """Gi* is invariant to a uniform rescaling of x (the property
+        that lets the fixed-point quantization cancel)."""
+        scaled = [(gi, gj, x * 100.0) for gi, gj, x in CELLS]
+        a = getis_ord_gi(_cells_df(spark, CELLS), NLON, val_dp=2)
+        b = getis_ord_gi(_cells_df(spark, scaled), NLON, val_dp=0)
+        ga = {(r["gi"], r["gj"]): r["gi_star"] for r in a.collect()}
+        gb = {(r["gi"], r["gj"]): r["gi_star"] for r in b.collect()}
+        for k in ga:
+            assert ga[k] == pytest.approx(gb[k], abs=2e-6)
+
+    def test_constant_field_is_null(self, spark):
+        flat = [(gi, gj, 5.0) for gi, gj, _ in CELLS]
+        rows = getis_ord_gi(_cells_df(spark, flat), NLON).collect()
+        assert all(r["gi_star"] is None for r in rows)
+
+    def test_single_cell_is_null(self, spark):
+        rows = getis_ord_gi(_cells_df(spark, [(3, 3, 7.0)]), NLON).collect()
+        assert len(rows) == 1 and rows[0]["gi_star"] is None
+
+    def test_partitioning_invariance(self, spark):
+        df = _cells_df(spark, CELLS)
+        a = getis_ord_gi(df.coalesce(1), NLON).collect()
+        b = getis_ord_gi(df.repartition(7), NLON).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestMoransI:
+    def test_matches_dense_reference(self, spark):
+        row = morans_i(_cells_df(spark, CELLS), NLON).collect()[0]
+        ref = _ref_morans_i(CELLS)
+        assert row["n_cells"] == len(CELLS)
+        assert row["morans_i"] == pytest.approx(ref, abs=1e-6)
+        assert row["expected_i"] == pytest.approx(-1 / (len(CELLS) - 1),
+                                                  abs=1e-6)
+
+    def test_clustered_field_positive(self, spark):
+        # smooth gradient: neighbors alike -> strong positive I
+        cells = [(i, j, float(10 * i + j)) for i in range(4)
+                 for j in range(4)]
+        row = morans_i(_cells_df(spark, cells), NLON).collect()[0]
+        assert row["morans_i"] > 0.3
+
+    def test_stripes_negative(self, spark):
+        # horizontal stripes, not a checkerboard: under queen (8-neighbor)
+        # weights a checkerboard's diagonal neighbors AGREE and mostly
+        # cancel the rook disagreement (dense ref: -0.14); stripes
+        # disagree on 6 of 8 neighbors (dense ref: -0.43)
+        cells = [(i, j, float(i % 2)) for i in range(4) for j in range(4)]
+        row = morans_i(_cells_df(spark, cells), NLON).collect()[0]
+        assert row["morans_i"] == pytest.approx(_ref_morans_i(cells),
+                                                abs=1e-6)
+        assert row["morans_i"] < -0.3
+
+    def test_isolated_cells_keep_global_moments(self, spark):
+        # two far-apart cells: no neighbor pairs -> s0 = 0 -> null I,
+        # but both cells still counted
+        row = morans_i(
+            _cells_df(spark, [(0, 0, 1.0), (50, 4, 9.0)]), NLON
+        ).collect()[0]
+        assert row["n_cells"] == 2 and row["s0"] == 0
+        assert row["morans_i"] is None
+        assert row["expected_i"] == pytest.approx(-1.0, abs=1e-6)

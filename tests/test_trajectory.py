@@ -167,3 +167,68 @@ class TestOdFlows:
             "end_ts timestamp, dwell_s double, c_lat double, "
             "c_lon double, n_hops int")
         assert od_flows(df).count() == 0
+
+
+class TestTrackSimilarity:
+    def _pts(self, spark, rows):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(u, t0 + dt.timedelta(seconds=i), float(la), float(lo))
+             for i, (u, la, lo) in enumerate(rows)],
+            "user_id int, ts timestamp, lat double, lon double")
+
+    def test_jaccard_over_cell_sets(self, spark):
+        from bufr2geojson_spark.operators.trajectory import track_similarity
+
+        # 1-degree cells; duplicates within a cell collapse (set semantics)
+        pts = self._pts(spark, [
+            (1, 10.2, 20.2), (1, 10.8, 20.8),   # same cell, counted once
+            (1, 11.5, 20.5), (1, 12.5, 20.5),   # user 1: 3 cells
+            (2, 10.4, 20.4), (2, 11.1, 20.1),   # user 2: 2 cells, 2 shared
+            (3, 50.5, 60.5),                    # user 3: disjoint
+        ])
+        rows = track_similarity(pts, grid_deg=1.0).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["user_a"], r["user_b"]) == (1, 2)
+        assert (r["shared_cells"], r["cells_a"], r["cells_b"]) == (2, 3, 2)
+        assert r["jaccard"] == pytest.approx(2 / 3, abs=1e-6)
+
+    def test_hot_cell_cap_prunes_pairs_not_sizes(self, spark):
+        from bufr2geojson_spark.operators.trajectory import track_similarity
+
+        # cell (10,20) visited by everyone (the "airport"), plus a
+        # discriminating cell shared only by users 1 and 2
+        pts = self._pts(spark, [
+            (u, 10.5, 20.5) for u in (1, 2, 3, 4)
+        ] + [(1, 30.5, 40.5), (2, 30.5, 40.5)])
+        uncapped = track_similarity(pts, grid_deg=1.0)
+        assert uncapped.count() == 6  # all C(4,2) pairs share the airport
+        capped = {
+            (r["user_a"], r["user_b"]):
+                (r["shared_cells"], r["cells_a"], r["cells_b"], r["jaccard"])
+            for r in track_similarity(
+                pts, grid_deg=1.0, max_users_per_cell=3).collect()
+        }
+        # only the discriminating cell survives pair generation, but the
+        # airport still counts toward cell-set sizes (jaccard stays an
+        # upper bound: 1 / (2 + 2 - 1))
+        assert set(capped) == {(1, 2)}
+        sc, ca, cb, jac = capped[(1, 2)]
+        assert (sc, ca, cb) == (1, 2, 2)
+        assert jac == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_thresholds(self, spark):
+        from bufr2geojson_spark.operators.trajectory import track_similarity
+
+        pts = self._pts(spark, [
+            (1, 10.5, 20.5), (1, 11.5, 20.5),
+            (2, 10.5, 20.5), (2, 50.5, 60.5),
+        ])
+        # one shared cell, jaccard 1/3
+        assert track_similarity(pts, grid_deg=1.0, min_shared=2).count() == 0
+        assert track_similarity(
+            pts, grid_deg=1.0, min_jaccard=0.5).count() == 0
+        assert track_similarity(
+            pts, grid_deg=1.0, min_jaccard=0.3).count() == 1
