@@ -3769,6 +3769,129 @@ def _sql_geo_morans_i():
     """
 
 
+_EMERGING_BIN_DAYS = 14
+_EMERGING_HOT_Z = 1.2  # lowered from 1.96: at sf<=0.1 the track grid has
+# ~127 cells, where the classic 95% cut leaves almost every category
+# empty; the classification logic is identical, only the cut moves
+
+
+def _hot_cells_binned(spark, sf_dir):
+    pts = _event_track_points(spark, sf_dir)
+    g = _HOT_GRID_DEG
+    t_bin = F.floor(
+        F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+        / _EMERGING_BIN_DAYS
+    ).cast("long")
+    return (
+        pts.groupBy(
+            t_bin.alias("t_bin"),
+            F.floor((F.col("lat") + 90.0) / g).cast("int").alias("gi"),
+            F.pmod(
+                F.floor((F.col("lon") + 180.0) / g), F.lit(_HOT_NLON)
+            ).cast("int").alias("gj"),
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+
+
+def q_geo_emerging_hotspots(spark, sf_dir):
+    """Emerging hot-spot analysis (space-time pattern mining): per-14-day
+    Gi* slices + Mann-Kendall trend per cell + deterministic category.
+    The per-bin stage is the binned neighbor scatter; the MK pair join is
+    O(bins^2) per cell with bins a small constant."""
+    from bufr2geojson_spark.operators.hotspot import emerging_hotspots
+
+    return emerging_hotspots(
+        _hot_cells_binned(spark, sf_dir), nlon=_HOT_NLON,
+        val_dp=0, hot_z=_EMERGING_HOT_Z,
+    ).orderBy("gi", "gj")
+
+
+def _sql_geo_emerging_hotspots():
+    hz = _EMERGING_HOT_Z
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    cells AS (
+        SELECT floor(floor(epoch(ts) / 86400) / {_EMERGING_BIN_DAYS})::BIGINT
+                   AS t_bin,
+               floor((lat + 90.0) / 5.0)::INT AS gi,
+               ((floor((lon + 180.0) / 5.0)::INT % {_HOT_NLON})
+                + {_HOT_NLON}) % {_HOT_NLON} AS gj,
+               count(*)::BIGINT AS x
+        FROM pts GROUP BY 1, 2, 3
+    ),
+    gm AS (
+        SELECT t_bin, count(*)::BIGINT AS n_raw, count(*)::DOUBLE AS n,
+               sum(x)::DOUBLE AS sv, sum(x * x)::DOUBLE AS svv
+        FROM cells GROUP BY t_bin
+    ),
+    nb AS (
+        SELECT c.t_bin, c.gi, c.gj,
+               count(*)::BIGINT AS w_i, sum(d.x)::BIGINT AS s1
+        FROM cells c JOIN cells d
+          ON d.t_bin = c.t_bin
+         AND d.gi BETWEEN c.gi - 1 AND c.gi + 1
+         AND ((d.gj - c.gj + {_HOT_NLON + 1}) % {_HOT_NLON}) <= 2
+        GROUP BY 1, 2, 3
+    ),
+    z AS (
+        SELECT nb.t_bin, nb.gi, nb.gj,
+               CASE WHEN n_raw > 1 AND
+                         sqrt(greatest(svv / n - (sv / n) * (sv / n), 0.0))
+                         * sqrt((n * w_i::DOUBLE
+                                 - w_i::DOUBLE * w_i::DOUBLE)
+                                / (n - 1.0)) > 0.0
+                    THEN floor((s1::DOUBLE - sv / n * w_i::DOUBLE)
+                               / (sqrt(greatest(
+                                      svv / n - (sv / n) * (sv / n), 0.0))
+                                  * sqrt((n * w_i::DOUBLE
+                                          - w_i::DOUBLE * w_i::DOUBLE)
+                                         / (n - 1.0)))
+                               * 1e6 + 0.5) / 1e6
+               END AS gi_star
+        FROM nb JOIN gm ON gm.t_bin = nb.t_bin
+    ),
+    zz AS (SELECT * FROM z WHERE gi_star IS NOT NULL),
+    mk AS (
+        SELECT a.gi, a.gj,
+               sum(sign(b.gi_star - a.gi_star)::BIGINT)::BIGINT AS mk_s
+        FROM zz a JOIN zz b
+          ON a.gi = b.gi AND a.gj = b.gj AND a.t_bin < b.t_bin
+        GROUP BY a.gi, a.gj
+    ),
+    per AS (
+        SELECT gi, gj, count(*)::BIGINT AS n_bins,
+               sum((gi_star > {hz!r})::INT)::BIGINT AS n_hot,
+               sum((gi_star < -{hz!r})::INT)::BIGINT AS n_cold,
+               arg_max(gi_star, t_bin) AS last_z
+        FROM zz GROUP BY gi, gj
+    )
+    SELECT per.gi, per.gj, n_bins, n_hot, n_cold,
+           coalesce(mk_s, 0)::BIGINT AS mk_s, last_z,
+           CASE
+             WHEN n_hot > 0 AND last_z > {hz!r} AND n_hot = 1
+                 THEN 'new_hot'
+             WHEN n_hot > 0 AND last_z > {hz!r} AND mk_s > 0
+                 THEN 'intensifying_hot'
+             WHEN n_hot > 0 AND last_z > {hz!r} AND mk_s < 0
+                 THEN 'diminishing_hot'
+             WHEN n_hot > 0 AND last_z > {hz!r} THEN 'persistent_hot'
+             WHEN n_hot > 0 THEN 'sporadic_hot'
+             WHEN n_cold > 0 AND last_z < -{hz!r} AND n_cold = 1
+                 THEN 'new_cold'
+             WHEN n_cold > 0 AND last_z < -{hz!r} AND mk_s < 0
+                 THEN 'intensifying_cold'
+             WHEN n_cold > 0 AND last_z < -{hz!r} AND mk_s > 0
+                 THEN 'diminishing_cold'
+             WHEN n_cold > 0 AND last_z < -{hz!r} THEN 'persistent_cold'
+             WHEN n_cold > 0 THEN 'sporadic_cold'
+             ELSE 'none'
+           END AS category
+    FROM per LEFT JOIN mk ON mk.gi = per.gi AND mk.gj = per.gj
+    ORDER BY per.gi, per.gj
+    """
+
+
 def q_geo_track_similarity(spark, sf_dir):
     """Co-traveler detection: pairwise Jaccard over each entity's set of
     visited 1-degree cells via a cell-keyed inverted-index join (cost is
@@ -4206,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hotspot_gi": q_geo_hotspot_gi,
         "geo_morans_i": q_geo_morans_i,
         "geo_track_similarity": q_geo_track_similarity,
+        "geo_emerging_hotspots": q_geo_emerging_hotspots,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4320,4 +4444,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_hotspot_gi": _sql_geo_hotspot_gi(),
         "geo_morans_i": _sql_geo_morans_i(),
         "geo_track_similarity": _sql_geo_track_similarity(),
+        "geo_emerging_hotspots": _sql_geo_emerging_hotspots(),
     }

@@ -46,11 +46,15 @@ def _neighbor_scatter(
     value_col: str,
     val_dp: int,
     include_self: bool,
+    bin_col: str | None = None,
 ) -> DataFrame:
     """Scatter each observed cell's quantized value to its 3x3 neighbor
-    positions; returns (gi, gj, _v) rows addressed to the *receiving*
-    cell. Longitude wraps modulo ``nlon``; out-of-range latitudes are
-    emitted and later dropped by the join back to observed cells."""
+    positions; returns (gi, gj[, _b], _v) rows addressed to the
+    *receiving* cell. Longitude wraps modulo ``nlon``; out-of-range
+    latitudes are emitted and later dropped by the join back to observed
+    cells. With ``bin_col`` the scatter stays within the time bin (the
+    space-TIME neighborhood of emerging-hotspot analysis is spatial-only
+    per slice)."""
     v = F.floor(
         F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
     ).cast("long")
@@ -64,27 +68,33 @@ def _neighbor_scatter(
         F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
         for di, dj in offsets
     ])
+    bins = [F.col(bin_col).alias("_b")] if bin_col else []
+    src = cells.select(
+        F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
+        *bins, v.alias("_v"),
+    )
+    keep = ["_b"] if bin_col else []
     return (
-        cells.select(
-            F.col(gi_col).alias("_i"), F.col(gj_col).alias("_j"),
-            v.alias("_v"),
-        )
-        .select("_i", "_j", "_v", F.explode(offs).alias("_o"))
+        src.select("_i", "_j", *keep, "_v", F.explode(offs).alias("_o"))
         .select(
             (F.col("_i") + F.col("_o.di")).alias("gi"),
             F.pmod(F.col("_j") + F.col("_o.dj"), F.lit(nlon)).alias("gj"),
+            *keep,
             "_v",
         )
     )
 
 
 def _quantized(cells: DataFrame, gi_col: str, gj_col: str,
-               value_col: str, val_dp: int) -> DataFrame:
+               value_col: str, val_dp: int,
+               bin_col: str | None = None) -> DataFrame:
     v = F.floor(
         F.col(value_col) * F.lit(float(10 ** val_dp)) + F.lit(0.5)
     ).cast("long")
+    bins = [F.col(bin_col).alias("_b")] if bin_col else []
     return cells.select(
-        F.col(gi_col).alias("gi"), F.col(gj_col).alias("gj"), v.alias("_x")
+        F.col(gi_col).alias("gi"), F.col(gj_col).alias("gj"),
+        *bins, v.alias("_x")
     )
 
 
@@ -96,6 +106,7 @@ def getis_ord_gi(
     value_col: str = "value",
     val_dp: int = 2,
     out_dp: int = 6,
+    bin_col: str | None = None,
 ) -> DataFrame:
     """Getis-Ord Gi* per observed cell (Ord & Getis 1995, the ArcGIS
     "hot spot analysis" statistic) with binary 3x3 weights including
@@ -109,22 +120,29 @@ def getis_ord_gi(
     cells. Positive scores are hot spots, negative are cold spots;
     |Gi*| > 1.96 is the usual 95% significance cut.
 
+    With ``bin_col`` the whole computation runs independently PER TIME
+    BIN (neighborhoods, moments, and the population n are per-slice) —
+    the per-slice stage of emerging-hotspot analysis.
+
     Plan: neighbor scatter + one groupBy for (S1_i, W_i), a broadcast
-    cross-join of the single global-moment row, one projection. Returns
-    (gi, gj, x, w_i, s1, gi_star) with null gi_star when the variance is
-    degenerate (all cells equal, or n < 2). ``x`` and ``s1`` are exact
-    longs on the quantized scale (``value * 10^val_dp``); Gi* is
-    scale-invariant, so the statistic itself is on the natural scale.
+    join of the per-bin (or single) global-moment row, one projection.
+    Returns ([bin,] gi, gj, x, w_i, s1, gi_star) with null gi_star when
+    the variance is degenerate (all cells equal, or n < 2). ``x`` and
+    ``s1`` are exact longs on the quantized scale
+    (``value * 10^val_dp``); Gi* is scale-invariant, so the statistic
+    itself is on the natural scale.
     """
-    q = _quantized(cells, gi_col, gj_col, value_col, val_dp)
+    q = _quantized(cells, gi_col, gj_col, value_col, val_dp, bin_col)
+    keys = (["_b"] if bin_col else []) + ["gi", "gj"]
     nb = (
         _neighbor_scatter(cells, nlon, gi_col, gj_col, value_col, val_dp,
-                          include_self=True)
-        .groupBy("gi", "gj")
+                          include_self=True, bin_col=bin_col)
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("w_i"), F.sum("_v").alias("s1"))
-        .join(q, ["gi", "gj"])
+        .join(q, keys)
     )
-    glob = q.agg(
+    gb = q.groupBy("_b") if bin_col else q.groupBy()
+    glob = gb.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").alias("_sv"),
         F.sum(F.col("_x").cast(_DEC) * F.col("_x")).alias("_svv"),
@@ -138,15 +156,16 @@ def getis_ord_gi(
     s = F.sqrt(F.greatest(svv / n - xbar * xbar, F.lit(0.0)))
     den = s * F.sqrt((n * w - w * w) / (n - F.lit(1.0)))
     p = F.lit(float(10 ** out_dp))
-    return (
-        nb.join(F.broadcast(glob))
-        .select(
-            "gi", "gj", F.col("_x").alias("x"), "w_i", "s1",
-            F.when(
-                (F.col("_n") > 1) & (den > 0.0),
-                F.floor((s1 - xbar * w) / den * p + F.lit(0.5)) / p,
-            ).alias("gi_star"),
-        )
+    joined = (nb.join(F.broadcast(glob), "_b") if bin_col
+              else nb.join(F.broadcast(glob)))
+    head = [F.col("_b").alias(bin_col)] if bin_col else []
+    return joined.select(
+        *head,
+        "gi", "gj", F.col("_x").alias("x"), "w_i", "s1",
+        F.when(
+            (F.col("_n") > 1) & (den > 0.0),
+            F.floor((s1 - xbar * w) / den * p + F.lit(0.5)) / p,
+        ).alias("gi_star"),
     )
 
 
@@ -222,3 +241,87 @@ def morans_i(
             F.floor(F.lit(-1.0) / (n - F.lit(1.0)) * p + F.lit(0.5)) / p,
         ).alias("expected_i"),
     )
+
+
+def emerging_hotspots(
+    cells: DataFrame,
+    nlon: int,
+    bin_col: str = "t_bin",
+    gi_col: str = "gi",
+    gj_col: str = "gj",
+    value_col: str = "value",
+    val_dp: int = 2,
+    hot_z: float = 1.96,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Emerging hot-spot analysis (the ESRI space-time pattern mining
+    tool, simplified): per-time-bin Gi* scores, then a Mann-Kendall
+    trend over each cell's score sequence
+
+        MK_S = sum over bin pairs (t1 < t2) of sign(z_t2 - z_t1)
+
+    and a deterministic classification: new / intensifying / diminishing
+    / persistent / sporadic hot (symmetrically cold) or none, keyed off
+    whether the LAST bin is significant (|z| > hot_z), how many bins
+    were, and the trend sign.
+
+    Oracle-parity note: gi_star is floor-rounded to ``out_dp`` BEFORE the
+    sign comparisons, so MK_S and the classification depend only on
+    already-exact values — a SQL oracle reproduces them bit-for-bit.
+
+    Scale shape: the per-bin Gi* stage is the binned scatter (shuffle
+    O(9 * cell-bins)); the MK pair join is keyed on the cell and costs
+    O(bins^2) rows per cell — bins is a small constant (weeks, months),
+    so this is linear in cells. Degenerate slices (null gi_star) are
+    excluded from both the trend and the bin counts.
+
+    Returns (gi, gj, n_bins, n_hot, n_cold, mk_s, last_z, category).
+    """
+    z = getis_ord_gi(
+        cells, nlon, gi_col=gi_col, gj_col=gj_col, value_col=value_col,
+        val_dp=val_dp, out_dp=out_dp, bin_col=bin_col,
+    ).filter(F.col("gi_star").isNotNull()) \
+     .select(F.col(bin_col).alias("_t"), "gi", "gj", "gi_star")
+    a = z.select("gi", "gj", F.col("_t").alias("_t1"),
+                 F.col("gi_star").alias("_z1"))
+    b = z.select("gi", "gj", F.col("_t").alias("_t2"),
+                 F.col("gi_star").alias("_z2"))
+    mk = (
+        a.join(b, ["gi", "gj"])
+        .filter(F.col("_t1") < F.col("_t2"))
+        .groupBy("gi", "gj")
+        .agg(F.sum(
+            F.signum(F.col("_z2") - F.col("_z1")).cast("long")
+        ).alias("mk_s"))
+    )
+    hz = F.lit(float(hot_z))
+    per = z.groupBy("gi", "gj").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum((F.col("gi_star") > hz).cast("long")).alias("n_hot"),
+        F.sum((F.col("gi_star") < -hz).cast("long")).alias("n_cold"),
+        F.max_by("gi_star", "_t").alias("last_z"),
+    )
+    out = per.join(mk, ["gi", "gj"], "left").select(
+        "gi", "gj", "n_bins", "n_hot", "n_cold",
+        F.coalesce(F.col("mk_s"), F.lit(0).cast("long")).alias("mk_s"),
+        "last_z",
+    )
+    n_hot, n_cold = F.col("n_hot"), F.col("n_cold")
+    last = F.col("last_z")
+    mk_s = F.col("mk_s")
+    cat = (
+        F.when((n_hot > 0) & (last > hz) & (n_hot == 1), "new_hot")
+        .when((n_hot > 0) & (last > hz) & (mk_s > 0), "intensifying_hot")
+        .when((n_hot > 0) & (last > hz) & (mk_s < 0), "diminishing_hot")
+        .when((n_hot > 0) & (last > hz), "persistent_hot")
+        .when(n_hot > 0, "sporadic_hot")
+        .when((n_cold > 0) & (last < -hz) & (n_cold == 1), "new_cold")
+        .when((n_cold > 0) & (last < -hz) & (mk_s < 0),
+              "intensifying_cold")
+        .when((n_cold > 0) & (last < -hz) & (mk_s > 0),
+              "diminishing_cold")
+        .when((n_cold > 0) & (last < -hz), "persistent_cold")
+        .when(n_cold > 0, "sporadic_cold")
+        .otherwise("none")
+    )
+    return out.withColumn("category", cat)

@@ -169,3 +169,128 @@ class TestMoransI:
         assert row["n_cells"] == 2 and row["s0"] == 0
         assert row["morans_i"] is None
         assert row["expected_i"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def _floor6(v):
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def _ref_emerging(binned, hot_z):
+    """Dense reference of the whole emerging-hotspot pipeline: per-bin
+    Gi* (rounded to 6dp like the engine), Mann-Kendall over the rounded
+    scores, same classification CASE."""
+    by_bin = {}
+    for b, gi, gj, x in binned:
+        by_bin.setdefault(b, []).append((gi, gj, x))
+    z = {}  # (gi, gj) -> [(bin, z6)]
+    for b, cells in by_bin.items():
+        ref = _ref_gi_star(cells)
+        for k, v in ref.items():
+            if v is not None:
+                z.setdefault(k, []).append((b, _floor6(v)))
+    out = {}
+    for k, seq in z.items():
+        seq.sort()
+        zs = [v for _, v in seq]
+        mk = sum(
+            (zs[j] > zs[i]) - (zs[j] < zs[i])
+            for i in range(len(zs)) for j in range(i + 1, len(zs))
+        )
+        n_hot = sum(v > hot_z for v in zs)
+        n_cold = sum(v < -hot_z for v in zs)
+        last = zs[-1]
+        if n_hot > 0 and last > hot_z and n_hot == 1:
+            cat = "new_hot"
+        elif n_hot > 0 and last > hot_z and mk > 0:
+            cat = "intensifying_hot"
+        elif n_hot > 0 and last > hot_z and mk < 0:
+            cat = "diminishing_hot"
+        elif n_hot > 0 and last > hot_z:
+            cat = "persistent_hot"
+        elif n_hot > 0:
+            cat = "sporadic_hot"
+        elif n_cold > 0 and last < -hot_z and n_cold == 1:
+            cat = "new_cold"
+        elif n_cold > 0 and last < -hot_z and mk < 0:
+            cat = "intensifying_cold"
+        elif n_cold > 0 and last < -hot_z and mk > 0:
+            cat = "diminishing_cold"
+        elif n_cold > 0 and last < -hot_z:
+            cat = "persistent_cold"
+        elif n_cold > 0:
+            cat = "sporadic_cold"
+        else:
+            cat = "none"
+        out[k] = (len(zs), n_hot, n_cold, mk, last, cat)
+    return out
+
+
+class TestEmergingHotspots:
+    # scattered singleton background plus a ramping "city" cell and a
+    # fading one; 5 time bins
+    BACKGROUND = [(10 * i, (3 * i) % NLON) for i in range(2, 12)]
+    CITY = (55, 3)
+    FADE = (75, 5)
+
+    def _binned(self):
+        rows = []
+        ramp = [5.0, 10.0, 20.0, 40.0, 80.0]
+        for b in range(5):
+            for gi, gj in self.BACKGROUND:
+                rows.append((b, gi, gj, 5.0))
+            rows.append((b, *self.CITY, ramp[b]))
+            rows.append((b, *self.FADE, ramp[4 - b]))
+        return rows
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(b, gi, gj, float(x)) for b, gi, gj, x in rows],
+            "t_bin int, gi int, gj int, value double",
+        )
+
+    def test_matches_dense_reference(self, spark):
+        from bufr2geojson_spark.operators.hotspot import emerging_hotspots
+
+        rows = self._binned()
+        got = {
+            (r["gi"], r["gj"]):
+                (r["n_bins"], r["n_hot"], r["n_cold"], r["mk_s"],
+                 r["last_z"], r["category"])
+            for r in emerging_hotspots(
+                self._df(spark, rows), NLON, hot_z=1.5).collect()
+        }
+        ref = _ref_emerging(rows, hot_z=1.5)
+        assert set(got) == set(ref)
+        for k in ref:
+            rb, rh, rc, rmk, rlast, rcat = ref[k]
+            gb, gh, gc, gmk, glast, gcat = got[k]
+            assert (gb, gh, gc, gmk, gcat) == (rb, rh, rc, rmk, rcat), k
+            assert glast == pytest.approx(rlast, abs=1e-9), k
+
+    def test_city_intensifies_fade_fades(self, spark):
+        from bufr2geojson_spark.operators.hotspot import emerging_hotspots
+
+        got = {
+            (r["gi"], r["gj"]): r
+            for r in emerging_hotspots(
+                self._df(spark, self._binned()), NLON, hot_z=1.5).collect()
+        }
+        city, fade = got[self.CITY], got[self.FADE]
+        assert city["category"] == "intensifying_hot"
+        assert city["mk_s"] > 0
+        assert fade["mk_s"] < 0
+        assert fade["category"] in ("sporadic_hot", "diminishing_hot")
+        # background never significant
+        for k in self.BACKGROUND:
+            assert got[k]["category"] == "none", k
+
+    def test_binned_single_bin_equals_unbinned(self, spark):
+        from bufr2geojson_spark.operators.hotspot import getis_ord_gi
+
+        one = [(0, gi, gj, x) for gi, gj, x in CELLS]
+        binned = getis_ord_gi(
+            self._df(spark, one), NLON, val_dp=2, bin_col="t_bin"
+        ).drop("t_bin")
+        plain = getis_ord_gi(_cells_df(spark, CELLS), NLON, val_dp=2)
+        assert sorted(map(tuple, binned.collect())) == \
+            sorted(map(tuple, plain.collect()))
