@@ -3769,6 +3769,57 @@ def _sql_geo_morans_i():
     """
 
 
+_CONVOY_BIN_S = 604800  # 7-day bins over the ~140-day event span
+
+
+def q_geo_convoys(spark, sf_dir):
+    """Convoy detection: entity pairs co-located in the same 5-degree
+    cell for >= 2 consecutive 7-day bins (pair generation keyed on
+    (bin, cell); longest-run via gaps-and-islands sharing the pair
+    partitioning)."""
+    from bufr2geojson_spark.operators.trajectory import detect_convoys
+
+    return detect_convoys(
+        _event_track_points(spark, sf_dir), grid_deg=5.0,
+        bin_s=_CONVOY_BIN_S, min_run=2,
+    ).orderBy("user_a", "user_b")
+
+
+def _sql_geo_convoys():
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    pres AS (
+        SELECT DISTINCT user_id AS u,
+               floor(epoch(ts) / {float(_CONVOY_BIN_S)!r})::BIGINT AS b,
+               floor((lat + 90.0) / 5.0)::INT AS gi,
+               floor((lon + 180.0) / 5.0)::INT AS gj
+        FROM pts
+    ),
+    tog AS (
+        SELECT DISTINCT a.u AS user_a, b2.u AS user_b, a.b AS b
+        FROM pres a JOIN pres b2
+          ON a.b = b2.b AND a.gi = b2.gi AND a.gj = b2.gj AND a.u < b2.u
+    ),
+    isl AS (
+        SELECT user_a, user_b, b,
+               b - row_number() OVER (PARTITION BY user_a, user_b
+                                      ORDER BY b) AS isl
+        FROM tog
+    ),
+    runs AS (
+        SELECT user_a, user_b, isl, count(*)::BIGINT AS run,
+               min(b) AS rfirst, max(b) AS rlast
+        FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT user_a, user_b, sum(run)::BIGINT AS n_bins_together,
+           max(run)::BIGINT AS longest_run,
+           min(rfirst)::BIGINT AS first_bin,
+           max(rlast)::BIGINT AS last_bin
+    FROM runs GROUP BY 1, 2 HAVING max(run) >= 2
+    ORDER BY user_a, user_b
+    """
+
+
 _EMERGING_BIN_DAYS = 14
 _EMERGING_HOT_Z = 1.2  # lowered from 1.96: at sf<=0.1 the track grid has
 # ~127 cells, where the classic 95% cut leaves almost every category
@@ -4330,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_morans_i": q_geo_morans_i,
         "geo_track_similarity": q_geo_track_similarity,
         "geo_emerging_hotspots": q_geo_emerging_hotspots,
+        "geo_convoys": q_geo_convoys,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4445,4 +4497,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_morans_i": _sql_geo_morans_i(),
         "geo_track_similarity": _sql_geo_track_similarity(),
         "geo_emerging_hotspots": _sql_geo_emerging_hotspots(),
+        "geo_convoys": _sql_geo_convoys(),
     }

@@ -323,3 +323,80 @@ def track_similarity(
         )
         .filter(F.col("jaccard") >= float(min_jaccard))
     )
+
+
+def detect_convoys(
+    points: DataFrame,
+    grid_deg: float = 1.0,
+    bin_s: int = 3600,
+    min_run: int = 2,
+    max_users_per_cell: int | None = None,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Convoy / travelling-companion detection: entity pairs co-located
+    in the same grid cell for at least ``min_run`` CONSECUTIVE time bins
+    (the convoy-query pattern of the moving-object literature — stricter
+    than cell-set Jaccard, which ignores time).
+
+    Plan: distinct (entity, bin, cell) presence -> pair generation keyed
+    on (bin, cell) (cost proportional to co-located pairs per bin, never
+    entities^2; ``max_users_per_cell`` caps pathological cells the same
+    way as ``track_similarity``) -> per-pair longest consecutive run via
+    gaps-and-islands (bin - row_number is constant within a run). The
+    window and both follow-up groupBys share the pair hash partitioning,
+    so the run analysis adds no extra shuffle.
+
+    Returns (user_a, user_b, n_bins_together, longest_run, first_bin,
+    last_bin) filtered to longest_run >= min_run.
+    """
+    g = float(grid_deg)
+    pres = (
+        points.select(
+            F.col(id_col).alias("u"),
+            F.floor(_ts_seconds(points, ts_col) / float(bin_s))
+             .cast("long").alias("b"),
+            F.floor((F.col(lat_col) + 90.0) / g).cast("int").alias("gi"),
+            F.floor((F.col(lon_col) + 180.0) / g).cast("int").alias("gj"),
+        )
+        .distinct()
+    )
+    if max_users_per_cell is not None:
+        hot = (
+            pres.groupBy("b", "gi", "gj")
+            .agg(F.count(F.lit(1)).alias("_nu"))
+            .filter(F.col("_nu") > int(max_users_per_cell))
+            .select("b", "gi", "gj")
+        )
+        pres = pres.join(hot, ["b", "gi", "gj"], "left_anti")
+    a = pres.select("b", "gi", "gj", F.col("u").alias("user_a"))
+    bb = pres.select("b", "gi", "gj", F.col("u").alias("user_b"))
+    # a pair may share several cells in one bin -> collapse to one row
+    together = (
+        a.join(bb, ["b", "gi", "gj"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", "b")
+        .distinct()
+    )
+    w = Window.partitionBy("user_a", "user_b").orderBy("b")
+    runs = (
+        together
+        .withColumn("_isl", F.col("b") - F.row_number().over(w))
+        .groupBy("user_a", "user_b", "_isl")
+        .agg(
+            F.count(F.lit(1)).alias("_run"),
+            F.min("b").alias("_rfirst"),
+            F.max("b").alias("_rlast"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.sum("_run").alias("n_bins_together"),
+            F.max("_run").alias("longest_run"),
+            F.min("_rfirst").alias("first_bin"),
+            F.max("_rlast").alias("last_bin"),
+        )
+        .filter(F.col("longest_run") >= int(min_run))
+    )
+    return runs

@@ -232,3 +232,69 @@ class TestTrackSimilarity:
             pts, grid_deg=1.0, min_jaccard=0.5).count() == 0
         assert track_similarity(
             pts, grid_deg=1.0, min_jaccard=0.3).count() == 1
+
+
+class TestDetectConvoys:
+    def _pts(self, spark, rows):
+        """rows: (user, bin, lat, lon) with bin_s=100 -> ts = bin*100."""
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(u, base + dt.timedelta(seconds=b * 100 + 5),
+              float(la), float(lo)) for u, b, la, lo in rows],
+            "user_id int, ts timestamp, lat double, lon double")
+
+    def test_longest_consecutive_run(self, spark):
+        from bufr2geojson_spark.operators.trajectory import detect_convoys
+
+        A = (10.5, 20.5)
+        rows = []
+        # users 1,2 together in bins 0,1,2 then apart in 3, together in 5
+        for b in (0, 1, 2, 5):
+            rows += [(1, b, *A), (2, b, *A)]
+        rows += [(1, 3, *A), (2, 3, 50.5, 60.5)]
+        out = detect_convoys(
+            self._pts(spark, rows), grid_deg=1.0, bin_s=100, min_run=2
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["user_a"], r["user_b"]) == (1, 2)
+        assert r["n_bins_together"] == 4      # bins 0,1,2,5
+        assert r["longest_run"] == 3          # 0-2
+        assert (r["first_bin"], r["last_bin"]) == (
+            r["first_bin"], r["first_bin"] + 5)
+
+    def test_non_consecutive_filtered(self, spark):
+        from bufr2geojson_spark.operators.trajectory import detect_convoys
+
+        A = (10.5, 20.5)
+        rows = [(1, 0, *A), (2, 0, *A), (1, 2, *A), (2, 2, *A)]
+        assert detect_convoys(
+            self._pts(spark, rows), grid_deg=1.0, bin_s=100, min_run=2
+        ).count() == 0
+
+    def test_multi_cell_same_bin_counts_once(self, spark):
+        from bufr2geojson_spark.operators.trajectory import detect_convoys
+
+        rows = []
+        for b in (0, 1):
+            # together in TWO cells within each bin
+            for cell in ((10.5, 20.5), (30.5, 40.5)):
+                rows += [(1, b, *cell), (2, b, *cell)]
+        r = detect_convoys(
+            self._pts(spark, rows), grid_deg=1.0, bin_s=100, min_run=2
+        ).collect()[0]
+        assert r["n_bins_together"] == 2 and r["longest_run"] == 2
+
+    def test_hot_cell_cap(self, spark):
+        from bufr2geojson_spark.operators.trajectory import detect_convoys
+
+        A = (10.5, 20.5)
+        rows = [(u, b, *A) for u in (1, 2, 3) for b in (0, 1)]
+        assert detect_convoys(
+            self._pts(spark, rows), grid_deg=1.0, bin_s=100, min_run=2
+        ).count() == 3
+        assert detect_convoys(
+            self._pts(spark, rows), grid_deg=1.0, bin_s=100, min_run=2,
+            max_users_per_cell=2,
+        ).count() == 0
