@@ -3982,6 +3982,250 @@ def _sql_geo_track_similarity():
     """
 
 
+# --- movement integrity / segmentation / inference over the track stream --
+
+_ANOM_MAX_KMH = 10.0  # p97 of the synthetic hop-speed distribution
+_TRIP_MAX_GAP_S = 43200.0  # 12 h: splits ~1/3 of hops into trip boundaries
+
+
+def q_event_speed_anomalies(spark, sf_dir):
+    """Impossible-travel detection: hops whose implied speed exceeds a
+    threshold — one segment-window shuffle + a codegen filter; the speed
+    derives from the 2 dp hop quantization and exact epoch deltas, so
+    the cut is engine-stable."""
+    from bufr2geojson_spark.operators.textops import round_dp
+    from bufr2geojson_spark.operators.trajectory import speed_anomalies
+
+    out = speed_anomalies(
+        _event_track_points(spark, sf_dir), max_kmh=_ANOM_MAX_KMH
+    )
+    return out.select(
+        "user_id", "event_id", "prev_ts", "ts", "dt_s", "seg_km",
+        "speed_kmh",
+        round_dp(F.col("lat"), 6).alias("lat"),
+        round_dp(F.col("lon"), 6).alias("lon"),
+    ).orderBy("user_id", "event_id")
+
+
+_SQL_EVENT_SPEED_ANOMALIES = f"""
+    WITH {_SQL_SEGMENTS}
+    SELECT user_id, event_id, prev_ts, ts, dt_s::DOUBLE AS dt_s, seg_km,
+           floor(speed_kmh * 1e4 + 0.5) / 1e4 AS speed_kmh,
+           floor(lat * 1e6 + 0.5) / 1e6 AS lat,
+           floor(lon * 1e6 + 0.5) / 1e6 AS lon
+    FROM sp WHERE speed_kmh > {_ANOM_MAX_KMH!r}
+    ORDER BY user_id, event_id
+"""
+
+
+def q_event_trips(spark, sf_dir):
+    """Trip segmentation (the dual of dwell detection): split each track
+    where the device went dark > 12 h, summarize each continuous journey
+    — gaps-and-islands in the same single shuffle as the lag window,
+    exact integer hop sums."""
+    from bufr2geojson_spark.operators.trajectory import detect_trips
+
+    return detect_trips(
+        _event_track_points(spark, sf_dir), max_gap_s=_TRIP_MAX_GAP_S
+    ).orderBy("user_id", "trip_seq")
+
+
+_SQL_EVENT_TRIPS = f"""
+    WITH {_SQL_SEGMENTS},
+    fl AS (
+        SELECT *,
+               (dt_s IS NOT NULL AND dt_s <= {_TRIP_MAX_GAP_S!r})
+                   AS is_linked,
+               sum(CASE WHEN dt_s IS NOT NULL
+                             AND dt_s <= {_TRIP_MAX_GAP_S!r}
+                        THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS episode
+        FROM sp
+    ),
+    ep AS (
+        SELECT user_id, episode,
+               min(prev_ts) AS start_ts,
+               max(ts) AS end_ts,
+               floor((max(epoch(ts)) - min(epoch(prev_ts))) * 1e4 + 0.5)
+                   / 1e4 AS duration_s,
+               floor((sum(floor(seg_km * 100.0 + 0.5)::BIGINT)::DOUBLE
+                      / 100.0) * 1e4 + 0.5) / 1e4 AS trip_km,
+               count(*)::BIGINT AS n_hops,
+               CASE WHEN max(epoch(ts)) - min(epoch(prev_ts)) > 0 THEN
+                   floor((sum(floor(seg_km * 100.0 + 0.5)::BIGINT)::DOUBLE
+                          / 100.0)
+                         / ((max(epoch(ts)) - min(epoch(prev_ts)))
+                            / 3600.0) * 1e4 + 0.5) / 1e4
+               END AS avg_kmh
+        FROM fl WHERE is_linked
+        GROUP BY user_id, episode
+    )
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY start_ts, episode) AS trip_seq,
+           start_ts, end_ts, duration_s, trip_km, n_hops, avg_kmh
+    FROM ep ORDER BY user_id, trip_seq
+"""
+
+
+def q_event_home_cells(spark, sf_dir):
+    """Home-location inference: modal 1-degree night-hour cell per
+    entity (two entity-keyed shuffles, deterministic tiebreak)."""
+    from bufr2geojson_spark.operators.trajectory import infer_home_cells
+
+    return infer_home_cells(
+        _event_track_points(spark, sf_dir), grid_deg=1.0
+    ).orderBy("user_id")
+
+
+_SQL_EVENT_HOME_CELLS = f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    night AS (
+        SELECT user_id,
+               floor((lat + 90.0) / 1.0)::INT AS gi,
+               floor((lon + 180.0) / 1.0)::INT AS gj
+        FROM pts WHERE hour(ts) BETWEEN 0 AND 5
+    ),
+    counts AS (
+        SELECT user_id, gi, gj, count(*)::BIGINT AS n_pings
+        FROM night GROUP BY 1, 2, 3
+    ),
+    top AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY n_pings DESC, gi, gj) AS rk
+        FROM counts
+    )
+    SELECT user_id, gi, gj, n_pings,
+           floor(((gi + 0.5) * 1.0 - 90.0) * 1e4 + 0.5) / 1e4 AS home_lat,
+           floor(((gj + 0.5) * 1.0 - 180.0) * 1e4 + 0.5) / 1e4 AS home_lon
+    FROM top WHERE rk = 1 ORDER BY user_id
+"""
+
+
+# axis-aligned geofence boxes: integer edges sit exactly on the 0.0-
+# fractional user centers, so their jitter oscillates across the edge
+_GEOFENCES = [
+    (1, -70.0, -30.0, -180.0, -90.0),
+    (2, -30.0, 0.0, -90.0, 0.0),
+    (3, 0.0, 30.0, 0.0, 90.0),
+    (4, 30.0, 70.0, 90.0, 180.0),
+    (5, -20.0, 20.0, -180.0, 180.0),
+    (6, 10.0, 50.0, -50.0, 50.0),
+]
+
+
+def q_event_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit stream: membership-set differences between
+    consecutive ranked pings (anti-joins on the shifted rank) — shuffle
+    tracks the membership table, never pings x fences."""
+    from bufr2geojson_spark.operators.trajectory import (
+        geofence_transitions,
+    )
+
+    fences = spark.createDataFrame(
+        _GEOFENCES,
+        "fence_id int, lat_min double, lat_max double, "
+        "lon_min double, lon_max double",
+    )
+    return geofence_transitions(
+        _event_track_points(spark, sf_dir), fences
+    ).orderBy("user_id", "fence_id", "ts", "transition")
+
+
+def _sql_event_geofence_transitions():
+    rows = ", ".join(
+        f"({i}, {a!r}, {b!r}, {c!r}, {d!r})" for i, a, b, c, d in _GEOFENCES
+    )
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS r
+        FROM pts
+    ),
+    fences(fence_id, lat_min, lat_max, lon_min, lon_max) AS
+        (VALUES {rows}),
+    mem AS (
+        SELECT p.user_id, p.r, p.ts, f.fence_id
+        FROM ranked p JOIN fences f
+          ON p.lat >= f.lat_min AND p.lat < f.lat_max
+         AND p.lon >= f.lon_min AND p.lon < f.lon_max
+    ),
+    enters AS (
+        SELECT m.user_id, m.fence_id, m.ts, 'enter' AS transition
+        FROM mem m LEFT JOIN mem p
+          ON p.user_id = m.user_id AND p.fence_id = m.fence_id
+         AND p.r = m.r - 1
+        WHERE p.r IS NULL
+    ),
+    exits AS (
+        SELECT m.user_id, m.fence_id, n.ts, 'exit' AS transition
+        FROM mem m
+        JOIN ranked n ON n.user_id = m.user_id AND n.r = m.r + 1
+        LEFT JOIN mem q
+          ON q.user_id = m.user_id AND q.fence_id = m.fence_id
+         AND q.r = m.r + 1
+        WHERE q.r IS NULL
+    )
+    SELECT * FROM (SELECT * FROM enters UNION ALL SELECT * FROM exits)
+    ORDER BY user_id, fence_id, ts, transition
+    """
+
+
+def q_geo_lisa(spark, sf_dir):
+    """Local Moran's I (Anselin LISA) cluster/outlier map over the
+    track-density grid: the same 8x scatter + broadcast-moment shape as
+    the global statistic, exact integer deviations, HH/LL/HL/LH
+    quadrant labels."""
+    from bufr2geojson_spark.operators.hotspot import local_morans
+
+    return local_morans(
+        _hot_cells(spark, sf_dir), nlon=_HOT_NLON, val_dp=0
+    ).orderBy("gi", "gj")
+
+
+def _sql_geo_lisa():
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    {_SQL_HOT_CELLS},
+    nb AS (
+        SELECT c.gi, c.gj, c.x,
+               count(d.gi)::BIGINT AS w, coalesce(sum(d.x), 0)::BIGINT AS ns
+        FROM cells c LEFT JOIN cells d
+          ON d.gi BETWEEN c.gi - 1 AND c.gi + 1
+         AND ((d.gj - c.gj + {_HOT_NLON + 1}) % {_HOT_NLON}) <= 2
+         AND NOT (d.gi = c.gi AND d.gj = c.gj)
+        GROUP BY c.gi, c.gj, c.x
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sv,
+               sum(x * x)::BIGINT AS svv
+        FROM nb
+    )
+    SELECT gi, gj, x, w AS w_i,
+           CASE WHEN n > 1
+                 AND (n::HUGEINT * n * svv - n::HUGEINT * sv * sv) > 0
+                THEN floor(n::DOUBLE
+                           * (n::HUGEINT * x - sv)::DOUBLE
+                           * (n::HUGEINT * ns - w::HUGEINT * sv)::DOUBLE
+                           / (n::HUGEINT * n * svv
+                              - n::HUGEINT * sv * sv)::DOUBLE
+                           * 1e6 + 0.5) / 1e6
+           END AS lisa_i,
+           CASE WHEN w = 0 OR (n::HUGEINT * x - sv) = 0
+                     OR (n::HUGEINT * ns - w::HUGEINT * sv) = 0 THEN 'NS'
+                WHEN (n::HUGEINT * x - sv) > 0
+                     AND (n::HUGEINT * ns - w::HUGEINT * sv) > 0 THEN 'HH'
+                WHEN (n::HUGEINT * x - sv) < 0
+                     AND (n::HUGEINT * ns - w::HUGEINT * sv) < 0 THEN 'LL'
+                WHEN (n::HUGEINT * x - sv) > 0 THEN 'HL'
+                ELSE 'LH'
+           END AS quadrant
+    FROM nb, agg ORDER BY gi, gj
+    """
+
+
 _BM25_TERMS = ["merge", "stream", "table", "vector"]
 
 
@@ -4382,6 +4626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_track_similarity": q_geo_track_similarity,
         "geo_emerging_hotspots": q_geo_emerging_hotspots,
         "geo_convoys": q_geo_convoys,
+        "event_speed_anomalies": q_event_speed_anomalies,
+        "event_trips": q_event_trips,
+        "event_home_cells": q_event_home_cells,
+        "event_geofence_transitions": q_event_geofence_transitions,
+        "geo_lisa": q_geo_lisa,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4498,4 +4747,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_track_similarity": _sql_geo_track_similarity(),
         "geo_emerging_hotspots": _sql_geo_emerging_hotspots(),
         "geo_convoys": _sql_geo_convoys(),
+        "event_speed_anomalies": _SQL_EVENT_SPEED_ANOMALIES,
+        "event_trips": _SQL_EVENT_TRIPS,
+        "event_home_cells": _SQL_EVENT_HOME_CELLS,
+        "event_geofence_transitions": _sql_event_geofence_transitions(),
+        "geo_lisa": _sql_geo_lisa(),
     }

@@ -325,3 +325,83 @@ def emerging_hotspots(
         .otherwise("none")
     )
     return out.withColumn("category", cat)
+
+
+def local_morans(
+    cells: DataFrame,
+    nlon: int,
+    gi_col: str = "gi",
+    gj_col: str = "gj",
+    value_col: str = "value",
+    val_dp: int = 2,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per observed cell with binary
+    3x3 weights (self excluded) — the cluster/outlier map that pairs
+    with the global ``morans_i``:
+
+        I_i = n * (x_i - xbar) * sum_j w_ij (x_j - xbar)
+                / sum_k (x_k - xbar)^2
+
+    Exact-arithmetic form: with quantized integer values x, S = sum x,
+    the n-scaled deviations n*z_i = n*x_i - S and n-scaled lag
+    n*L_i = n*NS_i - W_i*S (NS_i = neighbor sum, W_i = neighbor count)
+    are integers, and
+
+        I_i = n * (n*z_i) * (n*L_i) / (n^2*sum x^2 - n*S^2)
+
+    — every term an integer (DECIMAL(38,0) products), one double
+    division at the end, floor-rounded. The quadrant label classifies
+    the (deviation, lag) signs: HH/LL clusters, HL/LH outliers, NS when
+    either side is exactly zero or the cell has no observed neighbor.
+
+    Plan: identical to ``morans_i`` — one 8x scatter + groupBy, a left
+    join back (isolated cells keep W_i = 0), a broadcast of the single
+    global-moment row. Shuffle O(8 * cells); no UDF, no window.
+    """
+    q = _quantized(cells, gi_col, gj_col, value_col, val_dp)
+    nbagg = (
+        _neighbor_scatter(cells, nlon, gi_col, gj_col, value_col, val_dp,
+                          include_self=False)
+        .groupBy("gi", "gj")
+        .agg(F.count(F.lit(1)).alias("_wn"), F.sum("_v").alias("_nsn"))
+    )
+    allc = q.join(nbagg, ["gi", "gj"], "left").select(
+        "gi", "gj",
+        F.coalesce(F.col("_wn"), F.lit(0)).alias("_w"),
+        F.coalesce(F.col("_nsn"), F.lit(0).cast("long")).alias("_ns"),
+        "_x",
+    )
+    glob = allc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sv"),
+        F.sum(F.col("_x").cast(_DEC) * F.col("_x")).alias("_svv"),
+    )
+    joined = allc.join(F.broadcast(glob))
+    n_d = F.col("_n").cast(_DEC)
+    nz = n_d * F.col("_x") - F.col("_sv").cast(_DEC)          # n*z_i
+    nlag = n_d * F.col("_ns") - F.col("_w").cast(_DEC) * F.col("_sv")
+    den = (
+        n_d * n_d * F.col("_svv")
+        - n_d * F.col("_sv").cast(_DEC) * F.col("_sv")
+    )
+    p = F.lit(float(10 ** out_dp))
+    lisa = (
+        F.col("_n").cast("double")
+        * nz.cast("double") * nlag.cast("double") / den.cast("double")
+    )
+    quadrant = (
+        F.when((F.col("_w") == 0) | (nz == 0) | (nlag == 0), "NS")
+        .when((nz > 0) & (nlag > 0), "HH")
+        .when((nz < 0) & (nlag < 0), "LL")
+        .when((nz > 0) & (nlag < 0), "HL")
+        .otherwise("LH")
+    )
+    return joined.select(
+        "gi", "gj", F.col("_x").alias("x"), F.col("_w").alias("w_i"),
+        F.when(
+            (F.col("_n") > 1) & (den > 0),
+            F.floor(lisa * p + F.lit(0.5)) / p,
+        ).alias("lisa_i"),
+        quadrant.alias("quadrant"),
+    )

@@ -400,3 +400,220 @@ def detect_convoys(
         .filter(F.col("longest_run") >= int(min_run))
     )
     return runs
+
+
+def speed_anomalies(
+    points: DataFrame,
+    max_kmh: float = 900.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seq_col: str = "event_id",
+    dp: int = 4,
+) -> DataFrame:
+    """Impossible-travel detection: hops whose implied speed exceeds
+    ``max_kmh`` (the classic telemetry-integrity / account-compromise
+    analytic — two pings too far apart for the elapsed time).
+
+    Pure segment filter: the one ``_segments`` window shuffle, then a
+    codegen filter+projection — nothing else. The speed is derived from
+    the 2 dp-quantized hop length and the exact epoch-second delta, so
+    the threshold comparison is bit-identical on any engine and under
+    any partitioning. Emits one row per offending hop with both
+    endpoints' timestamps and the landing coordinates.
+    """
+    seg = _segments(points, id_col, ts_col, lat_col, lon_col, seq_col)
+    return seg.filter(F.col("speed_kmh") > F.lit(float(max_kmh))).select(
+        id_col,
+        F.col(seq_col),
+        "prev_ts",
+        F.col(ts_col),
+        F.col("dt_s"),
+        "seg_km",
+        round_dp(F.col("speed_kmh"), dp).alias("speed_kmh"),
+        F.col(lat_col),
+        F.col(lon_col),
+    )
+
+
+def detect_trips(
+    points: DataFrame,
+    max_gap_s: float = 21600.0,
+    min_km: float = 0.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seq_col: str = "event_id",
+    dp: int = 4,
+) -> DataFrame:
+    """Trip segmentation: maximal runs of consecutive hops whose time
+    delta is ≤ ``max_gap_s`` (the dual of ``detect_stops`` — split the
+    track where the device went dark, summarize each continuous journey).
+
+    Same gaps-and-islands shape as ``detect_stops``: the episode counter
+    is a running sum in the SAME window (same shuffle) as the lag; the
+    per-trip aggregate reuses the partitioning. Trip distance is the
+    exact integer sum of the 2 dp-quantized hops (order-independent);
+    ``avg_kmh`` is trip distance over first→last elapsed time. Trips
+    shorter than ``min_km`` are dropped.
+    """
+    seg = _segments(points, id_col, ts_col, lat_col, lon_col, seq_col)
+    linked = (
+        F.col("dt_s").isNotNull()
+        & (F.col("dt_s") <= F.lit(float(max_gap_s)))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col(ts_col), F.col(seq_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = seg.withColumn("is_linked", linked).withColumn(
+        "episode",
+        F.sum(F.when(F.col("is_linked"), 0).otherwise(1)).over(run),
+    )
+    scale = float(10 ** SEG_DP)
+    km_e2 = F.sum(
+        F.floor(F.col("seg_km") * F.lit(scale) + F.lit(0.5)).cast("long")
+    )
+    total_km = km_e2.cast("double") / F.lit(scale)
+    elapsed = F.max(F.col("_ts_s")) - F.min(F.col("prev_ts_s"))
+    ep = (
+        seg.filter("is_linked")
+        .groupBy(id_col, "episode")
+        .agg(
+            F.min("prev_ts").alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            round_dp(elapsed, dp).alias("duration_s"),
+            round_dp(total_km, dp).alias("trip_km"),
+            F.count(F.lit(1)).alias("n_hops"),
+            round_dp(
+                F.when(elapsed > 0, total_km / (elapsed / 3600.0)), dp
+            ).alias("avg_kmh"),
+        )
+        .filter(F.col("trip_km") >= F.lit(float(min_km)))
+    )
+    wseq = Window.partitionBy(id_col).orderBy("start_ts", "episode")
+    return ep.withColumn("trip_seq", F.row_number().over(wseq)).select(
+        id_col, "trip_seq", "start_ts", "end_ts", "duration_s",
+        "trip_km", "n_hops", "avg_kmh",
+    )
+
+
+def infer_home_cells(
+    points: DataFrame,
+    grid_deg: float = 1.0,
+    night_hours: tuple[int, int] = (0, 5),
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dp: int = 4,
+) -> DataFrame:
+    """Home-location inference: each entity's modal grid cell among
+    night-hour pings (hour in ``[night_hours[0], night_hours[1]]``,
+    inclusive) — the standard mobility prior ("where does this device
+    sleep"). Ties break to the smallest (gi, gj), so the answer is
+    deterministic.
+
+    Plan: codegen filter + cell projection, one groupBy on
+    (entity, cell) (map-side combined), one top-1 window on the entity —
+    two shuffles total, both keyed on the entity id, output one row per
+    entity. ``home_lat``/``home_lon`` are the cell center.
+    """
+    g = float(grid_deg)
+    h = F.hour(F.col(ts_col))
+    counts = (
+        points.filter(
+            (h >= int(night_hours[0])) & (h <= int(night_hours[1]))
+        )
+        .select(
+            F.col(id_col),
+            F.floor((F.col(lat_col) + 90.0) / g).cast("int").alias("gi"),
+            F.floor((F.col(lon_col) + 180.0) / g).cast("int").alias("gj"),
+        )
+        .groupBy(id_col, "gi", "gj")
+        .agg(F.count(F.lit(1)).alias("n_pings"))
+    )
+    wtop = Window.partitionBy(id_col).orderBy(
+        F.col("n_pings").desc(), F.col("gi"), F.col("gj")
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(wtop))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col, "gi", "gj", "n_pings",
+            round_dp((F.col("gi") + 0.5) * g - 90.0, dp).alias("home_lat"),
+            round_dp((F.col("gj") + 0.5) * g - 180.0, dp).alias("home_lon"),
+        )
+    )
+
+
+def geofence_transitions(
+    points: DataFrame,
+    fences: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Geofence enter/exit events: for each entity's ordered ping stream
+    and each fence (an axis-aligned box ``(fence_id, lat_min, lat_max,
+    lon_min, lon_max)``, half-open on the max edges), emit a row when
+    fence membership CHANGES between consecutive pings — 'enter' at the
+    first ping observed inside, 'exit' at the first ping observed
+    outside after being inside.
+
+    Set-difference formulation (no per-(entity, fence) dense stream):
+    rank pings per entity (one window shuffle), join the ranked stream
+    to the broadcast fence table on containment — membership rows are
+    O(matches), not O(pings x fences) — then
+
+    * enter at rank k  = member at k with no membership at k-1
+      (an anti-join on the shifted rank; rank 1 counts as an enter),
+    * exit after rank k = member at k, a ping exists at k+1, and no
+      membership at k+1 (inner join to the next ping for its timestamp
+      + the same shifted anti-join).
+
+    Every join is an equi-join on (entity, fence, rank) — hash shuffles
+    proportional to the membership table. For a continent-sized fence
+    layer, replace the broadcast with a cell-prefix join (fences cover
+    few grid cells; pings carry their cell) and keep the identical
+    downstream anti-join algebra.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col(ts_col), F.col(seq_col))
+    ranked = points.select(
+        F.col(id_col), F.col(ts_col), F.col(lat_col), F.col(lon_col),
+        F.col(seq_col),
+    ).withColumn("_r", F.row_number().over(w))
+    mem = ranked.join(
+        F.broadcast(fences),
+        (F.col(lat_col) >= F.col("lat_min"))
+        & (F.col(lat_col) < F.col("lat_max"))
+        & (F.col(lon_col) >= F.col("lon_min"))
+        & (F.col(lon_col) < F.col("lon_max")),
+    ).select(id_col, "fence_id", "_r", ts_col)
+    shifted = mem.select(
+        F.col(id_col), F.col("fence_id"), (F.col("_r") + 1).alias("_r")
+    )
+    enters = mem.join(
+        shifted, [id_col, "fence_id", "_r"], "left_anti"
+    ).select(
+        id_col, "fence_id", F.col(ts_col),
+        F.lit("enter").alias("transition"),
+    )
+    nxt = ranked.select(
+        F.col(id_col), (F.col("_r") - 1).alias("_r"),
+        F.col(ts_col).alias("_next_ts"),
+    )
+    back_shifted = mem.select(
+        F.col(id_col), F.col("fence_id"), (F.col("_r") - 1).alias("_r")
+    )
+    exits = (
+        mem.join(nxt, [id_col, "_r"])
+        .join(back_shifted, [id_col, "fence_id", "_r"], "left_anti")
+        .select(
+            id_col, "fence_id", F.col("_next_ts").alias(ts_col),
+            F.lit("exit").alias("transition"),
+        )
+    )
+    return enters.unionByName(exits)

@@ -294,3 +294,61 @@ class TestEmergingHotspots:
         plain = getis_ord_gi(_cells_df(spark, CELLS), NLON, val_dp=2)
         assert sorted(map(tuple, binned.collect())) == \
             sorted(map(tuple, plain.collect()))
+
+
+def _ref_local_morans(cells):
+    xs = np.array([float(x) for _, _, x in cells])
+    n = len(xs)
+    xbar = xs.mean()
+    m2 = float(((xs - xbar) ** 2).sum()) / n
+    nbs = _neighbors(cells, include_self=False)
+    out = {}
+    for gi, gj, x in cells:
+        lag = sum(v - xbar for v in nbs[(gi, gj)])
+        out[(gi, gj)] = ((x - xbar) * lag / m2) if m2 > 0 else None
+    return out
+
+
+class TestLocalMorans:
+    def test_matches_dense_reference(self, spark):
+        from bufr2geojson_spark.operators.hotspot import local_morans
+
+        got = {
+            (r["gi"], r["gj"]): r
+            for r in local_morans(_cells_df(spark, CELLS), nlon=NLON,
+                                  val_dp=2).collect()
+        }
+        ref = _ref_local_morans(CELLS)
+        assert set(got) == set(ref)
+        for k, want in ref.items():
+            assert got[k]["lisa_i"] == pytest.approx(want, abs=2e-5), k
+
+    def test_quadrant_labels(self, spark):
+        from bufr2geojson_spark.operators.hotspot import local_morans
+
+        got = {
+            (r["gi"], r["gj"]): r["quadrant"]
+            for r in local_morans(_cells_df(spark, CELLS), nlon=NLON,
+                                  val_dp=2).collect()
+        }
+        # the hot 2x2 block members are high values in high neighborhoods
+        assert got[(10, 1)] == "HH" and got[(11, 2)] == "HH"
+        # isolated cells (no observed neighbor) are NS
+        assert got[(30, 4)] == "NS" and got[(40, 2)] == "NS"
+
+    def test_constant_field_is_null(self, spark):
+        from bufr2geojson_spark.operators.hotspot import local_morans
+
+        flat = [(gi, gj, 3.0) for gi, gj, _ in CELLS]
+        rows = local_morans(_cells_df(spark, flat), nlon=NLON).collect()
+        assert all(r["lisa_i"] is None for r in rows)
+        assert all(r["quadrant"] == "NS" for r in rows)
+
+    def test_partitioning_invariance(self, spark):
+        from bufr2geojson_spark.operators.hotspot import local_morans
+
+        a = local_morans(_cells_df(spark, CELLS).repartition(1),
+                         nlon=NLON).orderBy("gi", "gj").collect()
+        b = local_morans(_cells_df(spark, CELLS).repartition(13),
+                         nlon=NLON).orderBy("gi", "gj").collect()
+        assert a == b

@@ -298,3 +298,141 @@ class TestDetectConvoys:
             self._pts(spark, rows), grid_deg=1.0, bin_s=100, min_run=2,
             max_users_per_cell=2,
         ).count() == 0
+
+
+class TestSpeedAnomalies:
+    def test_fast_hop_flagged(self, spark):
+        from bufr2geojson_spark.operators.trajectory import speed_anomalies
+
+        rows = [
+            # hop 1: ~55.6 km in 1 h -> ~55.6 km/h; hop 2: ~11 km in 1 h
+            (1, 0, 50.0, 0.0), (1, 3600, 50.5, 0.0), (1, 7200, 50.6, 0.0),
+        ]
+        out = speed_anomalies(_mk_points(spark, rows), max_kmh=30.0).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["user_id"] == 1 and r["dt_s"] == 3600.0
+        assert r["speed_kmh"] == pytest.approx(
+            _hav(50.0, 0, 50.5, 0), abs=2e-4
+        )
+        assert (r["lat"], r["lon"]) == (50.5, 0.0)
+
+    def test_first_ping_and_zero_dt_never_flagged(self, spark):
+        from bufr2geojson_spark.operators.trajectory import speed_anomalies
+
+        # second point duplicates the timestamp: dt = 0 -> speed NULL
+        rows = [(1, 0, 0.0, 0.0), (1, 0, 10.0, 10.0)]
+        assert speed_anomalies(_mk_points(spark, rows), max_kmh=0.1).count() == 0
+
+
+class TestDetectTrips:
+    def test_split_at_gap(self, spark):
+        from bufr2geojson_spark.operators.trajectory import detect_trips
+
+        rows = [
+            (1, 0, 50.0, 0.0), (1, 3600, 50.5, 0.0), (1, 7200, 51.0, 0.0),
+            # 26 h of darkness, then one more hop
+            (1, 7200 + 26 * 3600, 60.0, 0.0),
+            (1, 7200 + 27 * 3600, 60.5, 0.0),
+        ]
+        out = detect_trips(
+            _mk_points(spark, rows), max_gap_s=43200.0
+        ).orderBy("trip_seq").collect()
+        assert [r["trip_seq"] for r in out] == [1, 2]
+        t1, t2 = out
+        assert t1["n_hops"] == 2 and t2["n_hops"] == 1
+        assert t1["duration_s"] == 7200.0 and t2["duration_s"] == 3600.0
+        assert t1["trip_km"] == pytest.approx(
+            _hav(50.0, 0, 50.5, 0) + _hav(50.5, 0, 51.0, 0), abs=2e-4
+        )
+        assert t1["avg_kmh"] == pytest.approx(t1["trip_km"] / 2.0, abs=2e-4)
+
+    def test_min_km_filter_and_single_point(self, spark):
+        from bufr2geojson_spark.operators.trajectory import detect_trips
+
+        rows = [
+            (1, 0, 0.0, 0.0), (1, 3600, 0.001, 0.0),  # ~0.11 km trip
+            (2, 0, 10.0, 10.0),  # single point: no hops at all
+        ]
+        out = detect_trips(_mk_points(spark, rows), min_km=1.0).collect()
+        assert out == []
+
+
+class TestInferHomeCells:
+    def test_modal_night_cell(self, spark):
+        from bufr2geojson_spark.operators.trajectory import infer_home_cells
+
+        rows = (
+            # 3 night pings (hours 0-2) in cell (140, 190) = lat 50.x lon 10.x
+            [(1, h * 3600, 50.2, 10.2) for h in range(3)]
+            # 2 night pings in a different cell
+            + [(1, (3 + h) * 3600, 20.5, 30.5) for h in range(2)]
+            # 5 daytime pings elsewhere (hour 12) must not count
+            + [(1, 12 * 3600 + i, -40.5, -60.5) for i in range(5)]
+        )
+        out = infer_home_cells(_mk_points(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["gi"], r["gj"]) == (140, 190) and r["n_pings"] == 3
+        assert r["home_lat"] == 50.5 and r["home_lon"] == 10.5
+
+    def test_tie_breaks_to_smallest_cell(self, spark):
+        from bufr2geojson_spark.operators.trajectory import infer_home_cells
+
+        rows = [(1, 0, 50.2, 10.2), (1, 3600, 20.5, 30.5)]
+        r = infer_home_cells(_mk_points(spark, rows)).collect()[0]
+        assert (r["gi"], r["gj"]) == (110, 210)  # lat 20.5 sorts first
+
+
+class TestGeofenceTransitions:
+    def _fences(self, spark):
+        return spark.createDataFrame(
+            [(1, 0.0, 10.0, 0.0, 10.0)],
+            "fence_id int, lat_min double, lat_max double, "
+            "lon_min double, lon_max double",
+        )
+
+    def test_enter_exit_reenter(self, spark):
+        from bufr2geojson_spark.operators.trajectory import (
+            geofence_transitions,
+        )
+
+        rows = [
+            (1, 0, -5.0, 5.0),     # outside
+            (1, 60, 5.0, 5.0),     # enter
+            (1, 120, 6.0, 5.0),    # still inside: no event
+            (1, 180, 15.0, 5.0),   # exit
+            (1, 240, 5.0, 5.0),    # re-enter; track ends inside: no exit
+        ]
+        out = geofence_transitions(
+            _mk_points(spark, rows), self._fences(spark)
+        ).orderBy("ts").collect()
+        assert [(r["transition"], r["ts"]) for r in out] == [
+            ("enter", T0 + dt.timedelta(seconds=60)),
+            ("exit", T0 + dt.timedelta(seconds=180)),
+            ("enter", T0 + dt.timedelta(seconds=240)),
+        ]
+        assert all(r["fence_id"] == 1 for r in out)
+
+    def test_first_ping_inside_is_enter(self, spark):
+        from bufr2geojson_spark.operators.trajectory import (
+            geofence_transitions,
+        )
+
+        rows = [(1, 0, 5.0, 5.0), (1, 60, 6.0, 6.0)]
+        out = geofence_transitions(
+            _mk_points(spark, rows), self._fences(spark)
+        ).collect()
+        assert [(r["transition"],) for r in out] == [("enter",)]
+
+    def test_half_open_edges(self, spark):
+        from bufr2geojson_spark.operators.trajectory import (
+            geofence_transitions,
+        )
+
+        # lat 10.0 is OUTSIDE [0, 10); lat 0.0 is inside
+        rows = [(1, 0, 0.0, 5.0), (1, 60, 10.0, 5.0)]
+        out = geofence_transitions(
+            _mk_points(spark, rows), self._fences(spark)
+        ).orderBy("ts").collect()
+        assert [r["transition"] for r in out] == ["enter", "exit"]
