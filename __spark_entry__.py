@@ -4558,16 +4558,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- representative already-green subset (r1/r2 driver rows) ------
         "pricing_summary": q_pricing_summary,
         "scalar_function_gallery": q_scalar_function_gallery,
-        "event_hourly_windows": q_event_hourly_windows,
         "geo_knn": q_geo_knn,
         "geo_pip": q_geo_pip,
-        "geo_range_join": q_geo_range_join,
-        "geo_dbscan": q_geo_dbscan,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "dedup_exact": q_dedup_exact,
-        "minhash_signature": q_minhash_signature,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "lsh_verified_jaccard": q_lsh_verified_jaccard,
+        # round-3 additions, oracled but never driver-checked: take the
+        # window slots of five r2-green representatives (moved to the tail)
+        "event_speed_anomalies": q_event_speed_anomalies,
+        "event_trips": q_event_trips,
+        "event_home_cells": q_event_home_cells,
+        "event_geofence_transitions": q_event_geofence_transitions,
+        "geo_lisa": q_geo_lisa,
         # ---------------- 50-entry driver window ends here ----------------
         # §2.3 relational surface (green r1+r2)
         "top_revenue_orders": q_top_revenue_orders,
@@ -4604,6 +4606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_merge": q_geo_tile_merge,
         "region_measures": q_region_measures,
         # dedup / text analysis first wave (green r2)
+        "event_hourly_windows": q_event_hourly_windows,
+        "geo_range_join": q_geo_range_join,
+        "geo_dbscan": q_geo_dbscan,
+        "minhash_signature": q_minhash_signature,
+        "lsh_verified_jaccard": q_lsh_verified_jaccard,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "simhash": q_simhash,
@@ -4626,11 +4633,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_track_similarity": q_geo_track_similarity,
         "geo_emerging_hotspots": q_geo_emerging_hotspots,
         "geo_convoys": q_geo_convoys,
-        "event_speed_anomalies": q_event_speed_anomalies,
-        "event_trips": q_event_trips,
-        "event_home_cells": q_event_home_cells,
-        "event_geofence_transitions": q_event_geofence_transitions,
-        "geo_lisa": q_geo_lisa,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
