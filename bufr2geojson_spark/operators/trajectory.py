@@ -563,57 +563,64 @@ def geofence_transitions(
     first ping observed inside, 'exit' at the first ping observed
     outside after being inside.
 
-    Set-difference formulation (no per-(entity, fence) dense stream):
-    rank pings per entity (one window shuffle), join the ranked stream
-    to the broadcast fence table on containment — membership rows are
-    O(matches), not O(pings x fences) — then
-
-    * enter at rank k  = member at k with no membership at k-1
-      (an anti-join on the shifted rank; rank 1 counts as an enter),
-    * exit after rank k = member at k, a ping exists at k+1, and no
-      membership at k+1 (inner join to the next ping for its timestamp
-      + the same shifted anti-join).
-
-    Every join is an equi-join on (entity, fence, rank) — hash shuffles
-    proportional to the membership table. For a continent-sized fence
-    layer, replace the broadcast with a cell-prefix join (fences cover
-    few grid cells; pings carry their cell) and keep the identical
-    downstream anti-join algebra.
+    Single-pass rank-gap formulation (no per-(entity, fence) dense
+    stream, no self-joins): rank pings per entity and carry the NEXT
+    ping's timestamp in the same window (one shuffle), join once to the
+    broadcast fence table on containment — membership rows are
+    O(matches), not O(pings x fences) — then one window over
+    (entity, fence) ordered by rank reads both transitions off the rank
+    gaps: a row whose predecessor rank isn't r-1 starts a visit
+    ('enter' at its own ts); a row whose successor rank isn't r+1 ends
+    one ('exit' at the carried next-ping ts — absent when the track
+    simply ends inside). Both events emit from one
+    ``explode(array(...))`` projection. The executed plan is ONE hash
+    exchange total: the (entity, fence) window's clustering is satisfied
+    by the entity partitioning already in place (subset rule), so it
+    costs only a partition-local sort (verified). For a continent-sized fence
+    layer, replace the broadcast with a cell-prefix join and keep the
+    identical window algebra.
     """
     w = Window.partitionBy(id_col).orderBy(F.col(ts_col), F.col(seq_col))
-    ranked = points.select(
-        F.col(id_col), F.col(ts_col), F.col(lat_col), F.col(lon_col),
-        F.col(seq_col),
-    ).withColumn("_r", F.row_number().over(w))
+    ranked = (
+        points.select(
+            F.col(id_col), F.col(ts_col), F.col(lat_col), F.col(lon_col),
+            F.col(seq_col),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn("_next_ts", F.lead(ts_col).over(w))
+    )
     mem = ranked.join(
         F.broadcast(fences),
         (F.col(lat_col) >= F.col("lat_min"))
         & (F.col(lat_col) < F.col("lat_max"))
         & (F.col(lon_col) >= F.col("lon_min"))
         & (F.col(lon_col) < F.col("lon_max")),
-    ).select(id_col, "fence_id", "_r", ts_col)
-    shifted = mem.select(
-        F.col(id_col), F.col("fence_id"), (F.col("_r") + 1).alias("_r")
+    ).select(id_col, "fence_id", "_r", ts_col, "_next_ts")
+    wf = Window.partitionBy(id_col, "fence_id").orderBy("_r")
+    mem = mem.withColumn("_prev_r", F.lag("_r").over(wf)).withColumn(
+        "_next_r", F.lead("_r").over(wf)
     )
-    enters = mem.join(
-        shifted, [id_col, "fence_id", "_r"], "left_anti"
-    ).select(
-        id_col, "fence_id", F.col(ts_col),
-        F.lit("enter").alias("transition"),
+    enter = F.when(
+        F.col("_prev_r").isNull() | (F.col("_prev_r") != F.col("_r") - 1),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.lit("enter").alias("transition")
+        ),
     )
-    nxt = ranked.select(
-        F.col(id_col), (F.col("_r") - 1).alias("_r"),
-        F.col(ts_col).alias("_next_ts"),
+    exit_ = F.when(
+        (F.col("_next_r").isNull() | (F.col("_next_r") != F.col("_r") + 1))
+        & F.col("_next_ts").isNotNull(),
+        F.struct(
+            F.col("_next_ts").alias("ts"), F.lit("exit").alias("transition")
+        ),
     )
-    back_shifted = mem.select(
-        F.col(id_col), F.col("fence_id"), (F.col("_r") - 1).alias("_r")
-    )
-    exits = (
-        mem.join(nxt, [id_col, "_r"])
-        .join(back_shifted, [id_col, "fence_id", "_r"], "left_anti")
+    return (
+        mem.select(
+            F.col(id_col), F.col("fence_id"),
+            F.explode(F.array(enter, exit_)).alias("_e"),
+        )
+        .filter(F.col("_e").isNotNull())
         .select(
-            id_col, "fence_id", F.col("_next_ts").alias(ts_col),
-            F.lit("exit").alias("transition"),
+            id_col, "fence_id",
+            F.col("_e.ts").alias(ts_col), F.col("_e.transition"),
         )
     )
-    return enters.unionByName(exits)
