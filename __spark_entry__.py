@@ -4226,6 +4226,212 @@ def _sql_geo_lisa():
     """
 
 
+# --- mobility metrics / proximity mining over the track stream ------------
+
+_CONTACT_KM = 250.0
+_CONTACT_WINDOW_S = 86400.0
+_CONTACT_BAND_DEG = _CONTACT_KM / 111.19  # >= dist in latitude degrees
+
+
+def q_event_radius_gyration(spark, sf_dir):
+    """Radius of gyration per entity (RMS distance from the track
+    centroid): one entity-keyed shuffle (unbounded window + reused
+    groupBy), 1e-6 centroid + 2dp squared-distance fixed points."""
+    from bufr2geojson_spark.operators.trajectory import radius_of_gyration
+
+    return radius_of_gyration(
+        _event_track_points(spark, sf_dir)
+    ).orderBy("user_id")
+
+
+_SQL_EVENT_RADIUS_GYRATION = f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    c AS (
+        SELECT user_id, lat, lon,
+               floor(sum(floor(lat * 1e6 + 0.5)::BIGINT) OVER w::DOUBLE
+                     / 1e6 / (count(*) OVER w) * 1e6 + 0.5) / 1e6 AS clat,
+               floor(sum(floor(lon * 1e6 + 0.5)::BIGINT) OVER w::DOUBLE
+                     / 1e6 / (count(*) OVER w) * 1e6 + 0.5) / 1e6 AS clon
+        FROM pts WINDOW w AS (PARTITION BY user_id)
+    ),
+    d0 AS (
+        SELECT user_id, clat, clon,
+               2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(lat - clat) / 2), 2)
+                   + cos(radians(clat)) * cos(radians(lat))
+                     * pow(sin(radians(lon - clon) / 2), 2)
+               )) AS dk
+        FROM c
+    ),
+    d AS (
+        SELECT user_id, clat, clon,
+               floor(dk * dk * 100.0 + 0.5)::BIGINT AS d2e2
+        FROM d0
+    ),
+    agg AS (
+        SELECT user_id, count(*)::BIGINT AS n_pings,
+               min(clat) AS c_lat, min(clon) AS c_lon,
+               sum(d2e2)::BIGINT AS s
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_pings, c_lat, c_lon,
+           floor(sqrt(s::DOUBLE / 100.0 / n_pings::DOUBLE) * 1e4 + 0.5)
+               / 1e4 AS rg_km
+    FROM agg ORDER BY user_id
+"""
+
+
+def q_event_visit_entropy(spark, sf_dir):
+    """Mobility predictability: Shannon entropy of each entity's
+    visited-cell distribution, per-cell n*ln(n) terms quantized to 1e-9
+    and integer-summed (bit-stable)."""
+    from bufr2geojson_spark.operators.trajectory import visit_entropy
+
+    return visit_entropy(
+        _event_track_points(spark, sf_dir), grid_deg=1.0
+    ).orderBy("user_id")
+
+
+_SQL_EVENT_VISIT_ENTROPY = f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    counts AS (
+        SELECT user_id,
+               floor((lat + 90.0) / 1.0)::INT AS gi,
+               floor((lon + 180.0) / 1.0)::INT AS gj,
+               count(*)::BIGINT AS n_c
+        FROM pts GROUP BY 1, 2, 3
+    ),
+    t AS (
+        SELECT user_id, n_c,
+               floor(n_c::DOUBLE * ln(n_c::DOUBLE) * 1e9 + 0.5)::BIGINT
+                   AS tq
+        FROM counts
+    ),
+    agg AS (
+        SELECT user_id, sum(n_c)::BIGINT AS n_pings,
+               count(*)::BIGINT AS n_cells, sum(tq)::BIGINT AS ts
+        FROM t GROUP BY user_id
+    )
+    SELECT user_id, n_pings, n_cells,
+           floor((ln(n_pings::DOUBLE)
+                  - ts::DOUBLE / 1e9 / n_pings::DOUBLE) * 1e6 + 0.5)
+               / 1e6 AS entropy
+    FROM agg ORDER BY user_id
+"""
+
+
+def q_event_contacts(spark, sf_dir):
+    """Proximity contact mining (pings within 250 km and 24 h):
+    (latitude band, time bin) bucketed candidate join with a one-sided
+    3x3 neighbor explode — a pair can match in exactly one bucket, so
+    candidates need no dedup; exact filter on quantized distances."""
+    from bufr2geojson_spark.operators.trajectory import contact_events
+
+    return contact_events(
+        _event_track_points(spark, sf_dir),
+        dist_km=_CONTACT_KM, window_s=_CONTACT_WINDOW_S,
+    ).orderBy("user_a", "user_b")
+
+
+def _sql_event_contacts():
+    offs = ", ".join(
+        f"({di}, {dj})" for di in (-1, 0, 1) for dj in (-1, 0, 1)
+    )
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    base AS (
+        SELECT user_id AS u, ts AS t, event_id AS e, lat AS la,
+               lon AS lo, epoch(ts) AS sec,
+               floor((lat + 90.0) / {_CONTACT_BAND_DEG!r})::INT AS bb,
+               floor(epoch(ts) / {_CONTACT_WINDOW_S!r})::BIGINT AS tb
+        FROM pts
+    ),
+    offs(di, dj) AS (VALUES {offs}),
+    l AS (
+        SELECT u AS user_a, t AS ts_a, la AS la_a, lo AS lo_a,
+               sec AS s_a, bb + di AS bb, tb + dj AS tb
+        FROM base CROSS JOIN offs
+    ),
+    r AS (
+        SELECT u AS user_b, t AS ts_b, la AS la_b, lo AS lo_b,
+               sec AS s_b, bb, tb
+        FROM base
+    ),
+    cand AS (
+        SELECT user_a, user_b, ts_a, ts_b,
+               floor(2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(la_b - la_a) / 2), 2)
+                   + cos(radians(la_a)) * cos(radians(la_b))
+                     * pow(sin(radians(lo_b - lo_a) / 2), 2)
+               )) * 100.0 + 0.5) / 100.0 AS d
+        FROM l JOIN r USING (bb, tb)
+        WHERE user_a < user_b AND abs(s_a - s_b) <= {_CONTACT_WINDOW_S!r}
+    )
+    SELECT user_a, user_b, count(*)::BIGINT AS n_contacts,
+           min(least(ts_a, ts_b)) AS first_ts,
+           max(greatest(ts_a, ts_b)) AS last_ts,
+           min(d) AS min_km
+    FROM cand WHERE d <= {_CONTACT_KM!r}
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q_geo_track_hausdorff(spark, sf_dir):
+    """Exact symmetric Hausdorff track distance on inverted-index
+    candidate pairs (shared 5-degree cells): both directed maxima reduce
+    one pair-keyed distance table with reused partitioning."""
+    from bufr2geojson_spark.operators.trajectory import track_hausdorff
+
+    return track_hausdorff(
+        _event_track_points(spark, sf_dir), grid_deg=5.0, min_shared=1
+    ).orderBy("user_a", "user_b")
+
+
+def _sql_geo_track_hausdorff():
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    cells AS (
+        SELECT DISTINCT user_id AS u,
+               floor((lat + 90.0) / 5.0)::INT AS gi,
+               floor((lon + 180.0) / 5.0)::INT AS gj
+        FROM pts
+    ),
+    pairs AS (
+        SELECT a.u AS user_a, b.u AS user_b
+        FROM cells a JOIN cells b
+          ON a.gi = b.gi AND a.gj = b.gj AND a.u < b.u
+        GROUP BY 1, 2 HAVING count(*) >= 1
+    ),
+    dists AS (
+        SELECT p.user_a, p.user_b, pa.event_id AS ra, pb.event_id AS rb,
+               floor(2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(pb.lat - pa.lat) / 2), 2)
+                   + cos(radians(pa.lat)) * cos(radians(pb.lat))
+                     * pow(sin(radians(pb.lon - pa.lon) / 2), 2)
+               )) * 100.0 + 0.5) / 100.0 AS d
+        FROM pairs p
+        JOIN pts pa ON pa.user_id = p.user_a
+        JOIN pts pb ON pb.user_id = p.user_b
+    ),
+    hab AS (
+        SELECT user_a, user_b, max(m) AS h_ab FROM (
+            SELECT user_a, user_b, ra, min(d) AS m
+            FROM dists GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    ),
+    hba AS (
+        SELECT user_a, user_b, max(m) AS h_ba FROM (
+            SELECT user_a, user_b, rb, min(d) AS m
+            FROM dists GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, h_ab, h_ba,
+           greatest(h_ab, h_ba) AS hausdorff_km
+    FROM hab JOIN hba USING (user_a, user_b)
+    ORDER BY user_a, user_b
+    """
+
+
 _BM25_TERMS = ["merge", "stream", "table", "vector"]
 
 
@@ -4633,6 +4839,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_track_similarity": q_geo_track_similarity,
         "geo_emerging_hotspots": q_geo_emerging_hotspots,
         "geo_convoys": q_geo_convoys,
+        "event_radius_gyration": q_event_radius_gyration,
+        "event_visit_entropy": q_event_visit_entropy,
+        "event_contacts": q_event_contacts,
+        "geo_track_hausdorff": q_geo_track_hausdorff,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4754,4 +4964,8 @@ def oracle_sql() -> dict[str, str]:
         "event_home_cells": _SQL_EVENT_HOME_CELLS,
         "event_geofence_transitions": _sql_event_geofence_transitions(),
         "geo_lisa": _sql_geo_lisa(),
+        "event_radius_gyration": _SQL_EVENT_RADIUS_GYRATION,
+        "event_visit_entropy": _SQL_EVENT_VISIT_ENTROPY,
+        "event_contacts": _sql_event_contacts(),
+        "geo_track_hausdorff": _sql_geo_track_hausdorff(),
     }

@@ -624,3 +624,270 @@ def geofence_transitions(
             F.col("_e.ts").alias(ts_col), F.col("_e.transition"),
         )
     )
+
+
+def radius_of_gyration(
+    points: DataFrame,
+    id_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dp: int = 4,
+) -> DataFrame:
+    """Radius of gyration per entity (Gonzalez et al. 2008, the standard
+    mobility-range metric): the RMS haversine distance of an entity's
+    pings from its centroid.
+
+    Exactness: the centroid is the mean of 1e-6-quantized coordinates
+    (integer sums, floor-rounded to 6 dp) so both engines feed haversine
+    identical doubles; squared distances are floor-quantized to 2 dp and
+    integer-summed, so the RMS is aggregation-order-independent.
+
+    Plan: ONE hash shuffle on the entity — the centroid comes from an
+    unbounded window over the entity partition, and the final groupBy
+    reuses that partitioning. No join, no driver state.
+    """
+    w = Window.partitionBy(id_col)
+    lat6 = F.floor(F.col(lat_col) * 1e6 + F.lit(0.5)).cast("long")
+    lon6 = F.floor(F.col(lon_col) * 1e6 + F.lit(0.5)).cast("long")
+    n_w = F.count(F.lit(1)).over(w)
+    c_lat = round_dp(
+        F.sum(lat6).over(w).cast("double") / 1e6 / n_w, 6
+    )
+    c_lon = round_dp(
+        F.sum(lon6).over(w).cast("double") / 1e6 / n_w, 6
+    )
+    pts = points.withColumn("_clat", c_lat).withColumn("_clon", c_lon)
+    d = haversine_col(
+        F.col("_clat"), F.col("_clon"), F.col(lat_col), F.col(lon_col)
+    )
+    d2_e2 = F.floor(d * d * F.lit(100.0) + F.lit(0.5)).cast("long")
+    g = pts.withColumn("_d2e2", d2_e2).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.first("_clat").alias("c_lat"),
+        F.first("_clon").alias("c_lon"),
+        F.sum("_d2e2").alias("_s"),
+    )
+    rg = F.sqrt(
+        F.col("_s").cast("double") / F.lit(100.0)
+        / F.col("n_pings").cast("double")
+    )
+    return g.select(
+        id_col, "n_pings", "c_lat", "c_lon",
+        round_dp(rg, dp).alias("rg_km"),
+    )
+
+
+def visit_entropy(
+    points: DataFrame,
+    grid_deg: float = 1.0,
+    id_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dp: int = 6,
+) -> DataFrame:
+    """Shannon entropy of each entity's visited-cell distribution — the
+    classic mobility-predictability score (Song et al. 2010): low
+    entropy = a routine-bound entity, high = an erratic one.
+
+    Uses H = ln(N) - (sum_c n_c ln n_c) / N with each per-cell term
+    floor-quantized to 1e-9 and integer-summed (the BM25 trick), so the
+    distributed sum is bit-stable under any partitioning.
+
+    Plan: one map-side-combined groupBy on (entity, cell), one tiny
+    groupBy on the entity. All codegen; no UDF.
+    """
+    g = float(grid_deg)
+    counts = (
+        points.select(
+            F.col(id_col),
+            F.floor((F.col(lat_col) + 90.0) / g).cast("int").alias("gi"),
+            F.floor((F.col(lon_col) + 180.0) / g).cast("int").alias("gj"),
+        )
+        .groupBy(id_col, "gi", "gj")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    term = F.floor(
+        F.col("n_c").cast("double") * F.log(F.col("n_c").cast("double"))
+        * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    agg = counts.withColumn("_t", term).groupBy(id_col).agg(
+        F.sum("n_c").alias("n_pings"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("_t").alias("_ts"),
+    )
+    n_d = F.col("n_pings").cast("double")
+    ent = F.log(n_d) - F.col("_ts").cast("double") / F.lit(1e9) / n_d
+    return agg.select(
+        id_col, "n_pings", "n_cells", round_dp(ent, dp).alias("entropy")
+    )
+
+
+def contact_events(
+    points: DataFrame,
+    dist_km: float = 250.0,
+    window_s: float = 86400.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seq_col: str = "event_id",
+    dp: int = 2,
+) -> DataFrame:
+    """Proximity contact mining: entity pairs with pings within
+    ``dist_km`` AND ``window_s`` of each other, aggregated per pair
+    (contact count, first/last contact time, closest approach).
+
+    Bucketed candidate join, never all-pairs: each ping keys on
+    (latitude band, time bin) with band width >= dist_km / 111.19 km/deg
+    (a spherical bound: any pair within dist_km differs by <= 1 band)
+    and bin width = window_s. ONE side explodes to its 3x3
+    (band, bin) neighborhood; the other keeps its exact bucket — a ping
+    pair can therefore match in exactly ONE bucket (the right side's),
+    so no candidate dedup is needed. The exact haversine/time filter
+    runs on candidates only; distances are floor-quantized to ``dp``
+    before the threshold so the cut is engine-stable.
+
+    Plan: explode (9x one side) -> hash join on (band, bin) -> codegen
+    filter -> map-side-combined pair groupBy. Shuffle is candidates, not
+    |pings|^2. At polar latitudes a longitude band key stretched by
+    sec(lat) would tighten candidates further; the latitude band alone
+    is already correct (longitude never increases great-circle
+    distance bounds).
+    """
+    import math
+
+    band_deg = max(float(dist_km) / 111.19, 1e-6)
+    n_bands = int(math.ceil(180.0 / band_deg))
+    ws = float(window_s)
+    s = _ts_seconds(points, ts_col)
+    base = points.select(
+        F.col(id_col).alias("u"), F.col(ts_col).alias("t"),
+        F.col(seq_col).alias("e"), F.col(lat_col).alias("la"),
+        F.col(lon_col).alias("lo"), s.alias("sec"),
+        F.floor((F.col(lat_col) + 90.0) / band_deg).cast("int").alias("bb"),
+        F.floor(s / ws).cast("long").alias("tb"),
+    )
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in (-1, 0, 1) for dj in (-1, 0, 1)
+    ])
+    left = base.select(
+        "u", "t", "e", "la", "lo", "sec",
+        F.explode(offs).alias("_o"), "bb", "tb",
+    ).select(
+        F.col("u").alias("user_a"), F.col("t").alias("ts_a"),
+        F.col("e").alias("e_a"), F.col("la").alias("la_a"),
+        F.col("lo").alias("lo_a"), F.col("sec").alias("s_a"),
+        # no clamping: an out-of-range band simply never matches the
+        # unexploded side, and clamping could alias two offsets onto one
+        # bucket and double-count a pair
+        (F.col("bb") + F.col("_o.di")).alias("bb"),
+        (F.col("tb") + F.col("_o.dj")).alias("tb"),
+    )
+    right = base.select(
+        F.col("u").alias("user_b"), F.col("t").alias("ts_b"),
+        F.col("e").alias("e_b"), F.col("la").alias("la_b"),
+        F.col("lo").alias("lo_b"), F.col("sec").alias("s_b"), "bb", "tb",
+    )
+    d = round_dp(
+        haversine_col(
+            F.col("la_a"), F.col("lo_a"), F.col("la_b"), F.col("lo_b")
+        ),
+        dp,
+    )
+    cand = (
+        left.join(right, ["bb", "tb"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter(F.abs(F.col("s_a") - F.col("s_b")) <= F.lit(ws))
+        .withColumn("_d", d)
+        .filter(F.col("_d") <= F.lit(float(dist_km)))
+    )
+    return cand.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_contacts"),
+        F.min(F.least("ts_a", "ts_b")).alias("first_ts"),
+        F.max(F.greatest("ts_a", "ts_b")).alias("last_ts"),
+        F.min("_d").alias("min_km"),
+    )
+
+
+def track_hausdorff(
+    points: DataFrame,
+    grid_deg: float = 5.0,
+    min_shared: int = 1,
+    id_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    seq_col: str = "event_id",
+    dp: int = 2,
+) -> DataFrame:
+    """Symmetric Hausdorff distance between entity tracks (as point
+    sets), exact on LSH-style candidate pairs: the standard trajectory
+    -clustering distance, computed only for pairs that share >=
+    ``min_shared`` grid cells (the ``track_similarity`` inverted-index
+    candidate generation), never for all entity pairs.
+
+    H(A,B) = max(h(A->B), h(B->A)), h(A->B) = max_a min_b d(a, b).
+    Distances are floor-quantized to ``dp``; min/max are order-
+    independent, so no further fixed-point care is needed.
+
+    Plan: candidate pairs (cell-keyed inverted index) join the ping
+    table twice; the |A|x|B| distance table is keyed on the pair, and
+    both directed maxima reduce it with (pair, ping) then (pair)
+    groupBys that reuse the pair-hash partitioning. Shuffle is
+    sum over candidate pairs of |A|x|B| — bounded by candidate
+    generation, tunable via ``grid_deg`` / ``min_shared``.
+    """
+    g = float(grid_deg)
+    cells = (
+        points.select(
+            F.col(id_col).alias("u"),
+            F.floor((F.col(lat_col) + 90.0) / g).cast("int").alias("gi"),
+            F.floor((F.col(lon_col) + 180.0) / g).cast("int").alias("gj"),
+        )
+        .distinct()
+    )
+    a = cells.select("gi", "gj", F.col("u").alias("user_a"))
+    b = cells.select("gi", "gj", F.col("u").alias("user_b"))
+    pairs = (
+        a.join(b, ["gi", "gj"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= int(min_shared))
+        .select("user_a", "user_b")
+    )
+    pa = points.select(
+        F.col(id_col).alias("user_a"), F.col(lat_col).alias("la_a"),
+        F.col(lon_col).alias("lo_a"), F.col(seq_col).alias("_ra"),
+    )
+    pb = points.select(
+        F.col(id_col).alias("user_b"), F.col(lat_col).alias("la_b"),
+        F.col(lon_col).alias("lo_b"), F.col(seq_col).alias("_rb"),
+    )
+    d = round_dp(
+        haversine_col(
+            F.col("la_a"), F.col("lo_a"), F.col("la_b"), F.col("lo_b")
+        ),
+        dp,
+    )
+    dists = (
+        pairs.join(pa, "user_a").join(pb, "user_b").withColumn("_d", d)
+        .select("user_a", "user_b", "_ra", "_rb", "_d")
+    )
+    h_ab = (
+        dists.groupBy("user_a", "user_b", "_ra")
+        .agg(F.min("_d").alias("_m"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("_m").alias("h_ab"))
+    )
+    h_ba = (
+        dists.groupBy("user_a", "user_b", "_rb")
+        .agg(F.min("_d").alias("_m"))
+        .groupBy("user_a", "user_b")
+        .agg(F.max("_m").alias("h_ba"))
+    )
+    out = h_ab.join(h_ba, ["user_a", "user_b"])
+    return out.select(
+        "user_a", "user_b", "h_ab", "h_ba",
+        F.greatest("h_ab", "h_ba").alias("hausdorff_km"),
+    )

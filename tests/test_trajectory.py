@@ -436,3 +436,128 @@ class TestGeofenceTransitions:
             _mk_points(spark, rows), self._fences(spark)
         ).orderBy("ts").collect()
         assert [r["transition"] for r in out] == ["enter", "exit"]
+
+
+class TestRadiusOfGyration:
+    def test_two_point_track(self, spark):
+        from bufr2geojson_spark.operators.trajectory import radius_of_gyration
+
+        rows = [(1, 0, 0.0, 0.0), (1, 3600, 0.0, 1.0)]
+        r = radius_of_gyration(_mk_points(spark, rows)).collect()[0]
+        # centroid (0, 0.5); both pings sit half the 1-degree arc away
+        half = _hav(0.0, 0.0, 0.0, 0.5)
+        assert r["n_pings"] == 2
+        assert (r["c_lat"], r["c_lon"]) == (0.0, 0.5)
+        assert r["rg_km"] == pytest.approx(half, abs=0.05)
+
+    def test_single_point_is_zero(self, spark):
+        from bufr2geojson_spark.operators.trajectory import radius_of_gyration
+
+        r = radius_of_gyration(
+            _mk_points(spark, [(1, 0, 10.0, 20.0)])
+        ).collect()[0]
+        assert r["rg_km"] == 0.0
+
+    def test_partitioning_invariance(self, spark):
+        from bufr2geojson_spark.operators.trajectory import radius_of_gyration
+
+        rows = [(u, s * 60, 10.0 + u + s / 7.0, 20.0 + s / 11.0)
+                for u in (1, 2, 3) for s in range(9)]
+        a = radius_of_gyration(_mk_points(spark, rows).repartition(1)
+                               ).orderBy("user_id").collect()
+        b = radius_of_gyration(_mk_points(spark, rows).repartition(7)
+                               ).orderBy("user_id").collect()
+        assert a == b
+
+
+class TestVisitEntropy:
+    def test_single_cell_zero(self, spark):
+        from bufr2geojson_spark.operators.trajectory import visit_entropy
+
+        rows = [(1, s, 10.1, 20.1) for s in range(5)]
+        r = visit_entropy(_mk_points(spark, rows)).collect()[0]
+        assert r["n_cells"] == 1 and r["entropy"] == 0.0
+
+    def test_uniform_two_cells_ln2(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.trajectory import visit_entropy
+
+        rows = [(1, s, 10.5, 20.5) for s in range(3)] + \
+               [(1, 10 + s, 40.5, 60.5) for s in range(3)]
+        r = visit_entropy(_mk_points(spark, rows)).collect()[0]
+        assert r["n_cells"] == 2
+        assert r["entropy"] == pytest.approx(math.log(2.0), abs=1e-5)
+
+
+class TestContactEvents:
+    def test_close_pair_found_far_pair_not(self, spark):
+        from bufr2geojson_spark.operators.trajectory import contact_events
+
+        rows = [
+            (1, 0, 10.0, 20.0),
+            (2, 1800, 10.5, 20.0),    # ~55 km, 30 min apart -> contact
+            (3, 0, -60.0, 150.0),     # far away
+        ]
+        out = contact_events(
+            _mk_points(spark, rows), dist_km=100.0, window_s=3600.0
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["user_a"], r["user_b"]) == (1, 2) and r["n_contacts"] == 1
+        assert r["min_km"] == pytest.approx(_hav(10.0, 20.0, 10.5, 20.0),
+                                            abs=0.05)
+
+    def test_time_window_excludes(self, spark):
+        from bufr2geojson_spark.operators.trajectory import contact_events
+
+        rows = [(1, 0, 10.0, 20.0), (2, 7200, 10.1, 20.0)]
+        assert contact_events(
+            _mk_points(spark, rows), dist_km=100.0, window_s=3600.0
+        ).count() == 0
+
+    def test_adjacent_band_pair_found_once(self, spark):
+        from bufr2geojson_spark.operators.trajectory import contact_events
+
+        # 100 km band ~ 0.9 deg; put the pair astride a band boundary
+        rows = [(1, 0, 0.88, 0.0), (2, 60, 0.92, 0.0)]
+        out = contact_events(
+            _mk_points(spark, rows), dist_km=100.0, window_s=3600.0
+        ).collect()
+        assert len(out) == 1 and out[0]["n_contacts"] == 1
+
+
+class TestTrackHausdorff:
+    def test_matches_brute_force(self, spark):
+        from bufr2geojson_spark.operators.trajectory import track_hausdorff
+
+        tracks = {
+            1: [(0.0, 0.0), (0.0, 1.0), (0.5, 0.5)],
+            2: [(0.0, 0.5), (0.2, 0.5)],
+            3: [(1.0, 3.0)],
+        }
+        rows = [(u, 60 * i, la, lo)
+                for u, ps in tracks.items() for i, (la, lo) in enumerate(ps)]
+        out = {(r["user_a"], r["user_b"]): r
+               for r in track_hausdorff(_mk_points(spark, rows)).collect()}
+
+        def directed(a, b):
+            return max(min(_hav(x1, y1, x2, y2) for x2, y2 in b)
+                       for x1, y1 in a)
+
+        for (ua, ub), r in out.items():
+            ta, tb = tracks[ua], tracks[ub]
+            assert r["h_ab"] == pytest.approx(directed(ta, tb), abs=0.05)
+            assert r["h_ba"] == pytest.approx(directed(tb, ta), abs=0.05)
+            assert r["hausdorff_km"] == pytest.approx(
+                max(directed(ta, tb), directed(tb, ta)), abs=0.05)
+        # all three tracks share the 5-degree cell around the origin-ish
+        assert (1, 2) in out
+
+    def test_identical_tracks_zero(self, spark):
+        from bufr2geojson_spark.operators.trajectory import track_hausdorff
+
+        rows = [(u, 60 * i, la, lo) for u in (1, 2)
+                for i, (la, lo) in enumerate([(0.0, 0.0), (0.0, 1.0)])]
+        r = track_hausdorff(_mk_points(spark, rows)).collect()[0]
+        assert r["hausdorff_km"] == 0.0
