@@ -225,6 +225,8 @@ def headline_queries() -> list[str]:
         "event_track_stats",
         "bm25_scores",
         "geo_kde_heatmap",
+        "event_contacts",
+        "geo_track_hausdorff",
     ]
 
 

@@ -795,8 +795,13 @@ def contact_events(
         ),
         dp,
     )
+    # force a SHUFFLED hash join on (band, bin) building the un-exploded
+    # side: Catalyst underestimates the 9x explode and otherwise
+    # broadcasts 9x|pings| rows (driver-built hashed relation — measured
+    # 17 s vs 3 s at sf0.1); at 100 TB both sides are huge and the
+    # shuffled join is the only right shape anyway
     cand = (
-        left.join(right, ["bb", "tb"])
+        left.join(right.hint("shuffle_hash"), ["bb", "tb"])
         .filter(F.col("user_a") < F.col("user_b"))
         .filter(F.abs(F.col("s_a") - F.col("s_b")) <= F.lit(ws))
         .withColumn("_d", d)
