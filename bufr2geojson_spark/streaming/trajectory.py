@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -226,6 +227,154 @@ def run_streaming_stops_once(
     stops = streaming_stops(stream, max_speed_kmh, min_dwell_s)
     q = (
         stops.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+GEOFENCE_EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("fence_id", IntegerType()),
+        StructField("ts_epoch", DoubleType()),
+        StructField("transition", StringType()),
+    ]
+)
+
+# the membership set the entity was last observed inside, as a sorted
+# comma-joined id string (state schemas are flat — no array columns)
+_GEOFENCE_STATE_SCHEMA = "inside STRING"
+
+
+def _update_geofences(
+    key: Tuple[int],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    fences: list,
+) -> Iterator[pd.DataFrame]:
+    """Online membership-set diffing: per ping (sorted within the
+    micro-batch), the set of containing fences is compared with the
+    previous ping's set; additions emit 'enter' at the current ping,
+    removals emit 'exit' at the current ping (the first ping observed
+    outside — identical to the batch rank-gap semantics, including the
+    first-ever ping counting as an enter). State is one short string per
+    entity, O(entities) total."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    prev: set = set()
+    if state.exists:
+        raw = state.get[0]
+        if raw:
+            prev = {int(x) for x in raw.split(",")}
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts_s", "event_id"])
+        uid = int(key[0])
+        for ts_s, la, lo in zip(
+            pdf["ts_s"].tolist(), pdf["lat"].tolist(), pdf["lon"].tolist()
+        ):
+            cur = {
+                fid
+                for fid, la0, la1, lo0, lo1 in fences
+                if la0 <= la < la1 and lo0 <= lo < lo1
+            }
+            for fid in sorted(cur - prev):
+                out.append({"user_id": uid, "fence_id": int(fid),
+                            "ts_epoch": float(ts_s),
+                            "transition": "enter"})
+            for fid in sorted(prev - cur):
+                out.append({"user_id": uid, "fence_id": int(fid),
+                            "ts_epoch": float(ts_s),
+                            "transition": "exit"})
+            prev = cur
+
+    state.update((",".join(str(x) for x in sorted(prev)),))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_geofences(
+    points: DataFrame,
+    fences: list,
+    state_ttl_ms: int = 0,
+) -> DataFrame:
+    """Append-mode stream of geofence enter/exit events — the streaming
+    twin of ``operators.trajectory.geofence_transitions``.
+
+    ``fences`` is a plain list of ``(fence_id, lat_min, lat_max,
+    lon_min, lon_max)`` tuples shipped in the UDF closure (the fence
+    layer is the broadcast side in the batch operator too). State per
+    entity is ONE membership-set string — O(entities), not O(pings) —
+    and each transition is emitted exactly once, when the ping that
+    reveals it arrives. A batch recompute over a growing feed replays
+    all history per run; this touches only new pings.
+
+    Same ordering contract as ``streaming_stops``: per-entity pings
+    arrive in time order across micro-batches; within a micro-batch the
+    group is materialized and sorted once.
+    """
+    from bufr2geojson_spark.operators.trajectory import _ts_seconds
+
+    fences = [
+        (int(f[0]), float(f[1]), float(f[2]), float(f[3]), float(f[4]))
+        for f in fences
+    ]
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms > 0 else GroupStateTimeout.NoTimeout
+    )
+    prepped = points.select(
+        "user_id",
+        _ts_seconds(points, "ts").alias("ts_s"),
+        "lat", "lon", "event_id",
+    )
+
+    def fn(key, pdfs, state):
+        if state_ttl_ms > 0 and not state.hasTimedOut:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield from _update_geofences(key, pdfs, state, fences)
+
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=GEOFENCE_EVENT_SCHEMA,
+        stateStructType=_GEOFENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def run_streaming_geofences_once(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    fences: list,
+    max_files_per_trigger: int | None = 1,
+    query_name: str = "streaming_geofences",
+) -> DataFrame:
+    """AvailableNow drain into a memory sink; ``max_files_per_trigger=1``
+    replays each input file as its own micro-batch so membership carries
+    across batch boundaries."""
+    reader = (
+        spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP, lat DOUBLE, lon DOUBLE, "
+            "event_id LONG"
+        )
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    events = streaming_geofences(stream, fences)
+    q = (
+        events.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_path)

@@ -160,3 +160,108 @@ class TestStreamingStops:
             query_name="stops_t2",
         )
         assert got.count() == 0
+
+
+class TestStreamingGeofences:
+    FENCES = [(1, 0.0, 10.0, 0.0, 10.0), (2, 5.0, 15.0, 5.0, 15.0)]
+
+    @staticmethod
+    def _tracks(spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # three users wandering across both (overlapping) fences; the
+        # crossings land in different appended files below
+        paths = {
+            1: [(-5, 5), (5, 5), (6, 6), (12, 12), (20, 20), (7, 7)],
+            2: [(1, 1), (1, 2), (11, 11), (11, 12), (1, 1), (-1, -1)],
+            3: [(20, 20), (21, 20), (20, 21), (22, 22), (20, 20), (21, 21)],
+        }
+        for u, pts in paths.items():
+            for i, (la, lo) in enumerate(pts):
+                rows.append((u, t0 + dt.timedelta(seconds=600 * i),
+                             float(la), float(lo), eid))
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, lat double, lon double, "
+            "event_id long",
+        )
+
+    def test_matches_batch_across_batches(self, spark, tmp_path):
+        import time as _time
+
+        import pyspark.sql.functions as F
+
+        from bufr2geojson_spark.operators.trajectory import (
+            geofence_transitions,
+        )
+        from bufr2geojson_spark.streaming.trajectory import (
+            run_streaming_geofences_once,
+        )
+
+        pts = self._tracks(spark)
+        path = str(tmp_path / "gf_pts")
+        # 6 points per track -> position within track = event_id % 6;
+        # three appends put fence crossings astride batch boundaries
+        for lo, hi in [(0, 2), (2, 4), (4, 6)]:
+            (pts.filter(f"event_id % 6 >= {lo} and event_id % 6 < {hi}")
+             .repartition(1).write.mode("append").parquet(path))
+            _time.sleep(1.1)
+        got = run_streaming_geofences_once(
+            spark, path, str(tmp_path / "gf_ck"), self.FENCES,
+            query_name="geofences_t1",
+        ).select("user_id", "fence_id", "ts_epoch", "transition")
+        fences_df = spark.createDataFrame(
+            self.FENCES,
+            "fence_id int, lat_min double, lat_max double, "
+            "lon_min double, lon_max double",
+        )
+        exp = geofence_transitions(
+            spark.read.parquet(path), fences_df
+        ).select(
+            "user_id", "fence_id",
+            F.to_utc_timestamp("ts", "UTC").cast("double")
+             .alias("ts_epoch"),
+            "transition",
+        )
+        g = sorted(map(tuple, got.collect()))
+        e = sorted(map(tuple, exp.collect()))
+        assert len(g) > 0 and g == e
+        # user 3 never touches a fence
+        assert all(r[0] != 3 for r in g)
+
+    def test_all_in_one_batch_still_matches(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from bufr2geojson_spark.operators.trajectory import (
+            geofence_transitions,
+        )
+        from bufr2geojson_spark.streaming.trajectory import (
+            run_streaming_geofences_once,
+        )
+
+        pts = self._tracks(spark)
+        path = str(tmp_path / "gf_pts2")
+        pts.repartition(1).write.parquet(path)
+        got = run_streaming_geofences_once(
+            spark, path, str(tmp_path / "gf_ck2"), self.FENCES,
+            max_files_per_trigger=None, query_name="geofences_t2",
+        ).select("user_id", "fence_id", "ts_epoch", "transition")
+        fences_df = spark.createDataFrame(
+            self.FENCES,
+            "fence_id int, lat_min double, lat_max double, "
+            "lon_min double, lon_max double",
+        )
+        exp = geofence_transitions(
+            spark.read.parquet(path), fences_df
+        ).select(
+            "user_id", "fence_id",
+            F.to_utc_timestamp("ts", "UTC").cast("double")
+             .alias("ts_epoch"),
+            "transition",
+        )
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, exp.collect()))
