@@ -32,7 +32,7 @@ from typing import Iterable, Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -373,6 +373,112 @@ def run_streaming_geofences_once(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
     events = streaming_geofences(stream, fences)
+    q = (
+        events.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def streaming_contacts(
+    points: DataFrame,
+    dist_km: float = 250.0,
+    window_s: float = 3600.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Online proximity alerting — the streaming twin of
+    ``operators.trajectory.contact_events``'s candidate/filter stage: an
+    append stream of (entity pair, ping pair, distance) rows for pings
+    within ``dist_km`` and ``window_s`` of each other.
+
+    Built on Spark's watermarked stream-stream self-join (no custom
+    state): both sides carry an event-time watermark, the equality key
+    is the latitude band (band width >= dist_km / 111.19 deg, the
+    spherical bound), ONE side explodes to its 3 neighbor bands — so a
+    qualifying ping pair matches on exactly one band key (the
+    unexploded side's) and needs no dedup — and the time constraint is
+    the native ts-interval join condition, which is what lets Spark
+    expire join state at the watermark horizon. State is
+    O(pings within the watermark window), independent of feed length.
+
+    Emits user_a < user_b with both event ids, both timestamps and the
+    2 dp-quantized distance; aggregation per pair (counts, closest
+    approach) composes downstream exactly as in the batch operator.
+    """
+    from bufr2geojson_spark.operators.spatial import haversine_col
+    from bufr2geojson_spark.operators.textops import round_dp
+
+    band_deg = max(float(dist_km) / 111.19, 1e-6)
+    ws = int(window_s)
+    base = (
+        points.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"), F.col("ts"), F.col("event_id"),
+            F.col("lat"), F.col("lon"),
+            F.floor((F.col("lat") + 90.0) / band_deg).cast("int")
+             .alias("bb"),
+        )
+    )
+    left = base.select(
+        F.col("user_id").alias("user_a"), F.col("ts").alias("ts_a"),
+        F.col("event_id").alias("e_a"), F.col("lat").alias("la_a"),
+        F.col("lon").alias("lo_a"),
+        F.explode(
+            F.array(F.col("bb") - 1, F.col("bb"), F.col("bb") + 1)
+        ).alias("bb"),
+    )
+    right = base.select(
+        F.col("user_id").alias("user_b"), F.col("ts").alias("ts_b"),
+        F.col("event_id").alias("e_b"), F.col("lat").alias("la_b"),
+        F.col("lon").alias("lo_b"), "bb",
+    )
+    d = round_dp(
+        haversine_col(
+            F.col("la_a"), F.col("lo_a"), F.col("la_b"), F.col("lo_b")
+        ),
+        2,
+    )
+    joined = left.join(
+        right,
+        (left["bb"] == right["bb"])
+        & (F.col("ts_a") >= F.col("ts_b") - F.expr(
+            f"INTERVAL {ws} SECONDS"))
+        & (F.col("ts_a") <= F.col("ts_b") + F.expr(
+            f"INTERVAL {ws} SECONDS")),
+    )
+    return (
+        joined.filter(F.col("user_a") < F.col("user_b"))
+        .withColumn("km", d)
+        .filter(F.col("km") <= F.lit(float(dist_km)))
+        .select("user_a", "user_b", "e_a", "e_b", "ts_a", "ts_b", "km")
+    )
+
+
+def run_streaming_contacts_once(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    dist_km: float = 250.0,
+    window_s: float = 3600.0,
+    max_files_per_trigger: int | None = 1,
+    query_name: str = "streaming_contacts",
+) -> DataFrame:
+    """AvailableNow drain into a memory sink."""
+    reader = (
+        spark.readStream.schema(
+            "user_id LONG, ts TIMESTAMP, lat DOUBLE, lon DOUBLE, "
+            "event_id LONG"
+        )
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    events = streaming_contacts(stream, dist_km, window_s)
     q = (
         events.writeStream.format("memory")
         .queryName(query_name)

@@ -265,3 +265,71 @@ class TestStreamingGeofences:
         )
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, exp.collect()))
+
+
+class TestStreamingContacts:
+    @staticmethod
+    def _pings(spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # users 1/2 nearby (~55 km), user 3 far; interleaved timestamps
+        rows = [
+            (1, t0 + dt.timedelta(seconds=0), 10.0, 20.0, 0),
+            (2, t0 + dt.timedelta(seconds=600), 10.5, 20.0, 1),
+            (1, t0 + dt.timedelta(seconds=1200), 10.1, 20.0, 2),
+            (3, t0 + dt.timedelta(seconds=1300), -60.0, 150.0, 3),
+            (2, t0 + dt.timedelta(seconds=5000), 10.6, 20.1, 4),
+            (1, t0 + dt.timedelta(seconds=5400), 10.0, 20.2, 5),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, lat double, lon double, "
+            "event_id long",
+        )
+
+    @staticmethod
+    def _expected(pts):
+        import math
+
+        def hav(a, b):
+            la1, lo1, la2, lo2 = a[2], a[3], b[2], b[3]
+            x = (math.sin(math.radians(la2 - la1) / 2) ** 2
+                 + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+                 * math.sin(math.radians(lo2 - lo1) / 2) ** 2)
+            d = 2 * 6371.0 * math.asin(math.sqrt(x))
+            return math.floor(d * 100 + 0.5) / 100
+
+        rows = [tuple(r) for r in pts.collect()]
+        out = set()
+        for a in rows:
+            for b in rows:
+                if a[0] < b[0] and abs((a[1] - b[1]).total_seconds()) <= 3600:
+                    km = hav(a, b)
+                    if km <= 100.0:
+                        out.add((a[0], b[0], a[4], b[4], km))
+        return out
+
+    def test_matches_brute_force_across_batches(self, spark, tmp_path):
+        import time as _time
+
+        from bufr2geojson_spark.streaming.trajectory import (
+            run_streaming_contacts_once,
+        )
+
+        pts = self._pings(spark)
+        path = str(tmp_path / "ct_pts")
+        for lo, hi in [(0, 2), (2, 4), (4, 6)]:
+            (pts.filter(f"event_id >= {lo} and event_id < {hi}")
+             .repartition(1).write.mode("append").parquet(path))
+            _time.sleep(1.1)
+        got = run_streaming_contacts_once(
+            spark, path, str(tmp_path / "ct_ck"),
+            dist_km=100.0, window_s=3600.0, query_name="contacts_t1",
+        )
+        g = {(r["user_a"], r["user_b"], r["e_a"], r["e_b"], r["km"])
+             for r in got.collect()}
+        assert g == self._expected(spark.read.parquet(path)
+                                   .select("user_id", "ts", "lat", "lon",
+                                           "event_id"))
+        assert len(g) >= 2  # the nearby pair produced multiple contacts
