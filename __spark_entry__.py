@@ -4376,6 +4376,67 @@ def _sql_event_contacts():
     """
 
 
+def q_event_co_dwells(spark, sf_dir):
+    """Rendezvous detection: dwell-episode pairs overlapping in time
+    with centroids within 250 km — banded candidate join over the
+    detect_stops output (episode tables are tiny vs ping streams),
+    2dp fixed-point overlap sums."""
+    from bufr2geojson_spark.operators.trajectory import (
+        co_dwells,
+        detect_stops,
+    )
+
+    stops = detect_stops(
+        _event_track_points(spark, sf_dir),
+        max_speed_kmh=_STOPS_MAX_KMH,
+        min_dwell_s=_STOPS_MIN_DWELL_S,
+    )
+    return co_dwells(
+        stops, dist_km=_CONTACT_KM, min_overlap_s=0.0
+    ).orderBy("user_a", "user_b")
+
+
+def _sql_event_co_dwells():
+    return f"""
+    WITH stops AS ({_SQL_EVENT_STOPS}),
+    base AS (
+        SELECT user_id AS u, c_lat AS la, c_lon AS lo,
+               epoch(start_ts) AS s0, epoch(end_ts) AS s1,
+               floor((c_lat + 90.0) / {_CONTACT_BAND_DEG!r})::INT AS bb
+        FROM stops
+    ),
+    offs(di) AS (VALUES (-1), (0), (1)),
+    l AS (
+        SELECT u AS user_a, la AS la_a, lo AS lo_a, s0 AS a0, s1 AS a1,
+               bb + di AS bb
+        FROM base CROSS JOIN offs
+    ),
+    r AS (
+        SELECT u AS user_b, la AS la_b, lo AS lo_b, s0 AS b0, s1 AS b1,
+               bb
+        FROM base
+    ),
+    cand AS (
+        SELECT user_a, user_b,
+               least(a1, b1) - greatest(a0, b0) AS ov,
+               floor(2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(la_b - la_a) / 2), 2)
+                   + cos(radians(la_a)) * cos(radians(la_b))
+                     * pow(sin(radians(lo_b - lo_a) / 2), 2)
+               )) * 100.0 + 0.5) / 100.0 AS d
+        FROM l JOIN r USING (bb) WHERE user_a < user_b
+    ),
+    f AS (SELECT * FROM cand WHERE ov >= 0.0 AND d <= {_CONTACT_KM!r})
+    SELECT user_a, user_b, count(*)::BIGINT AS n_meetings,
+           sum(floor(ov * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0
+               AS total_overlap_s,
+           max(floor(ov * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0
+               AS max_overlap_s,
+           min(d) AS min_km
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def q_geo_track_hausdorff(spark, sf_dir):
     """Exact symmetric Hausdorff track distance on inverted-index
     candidate pairs (shared 5-degree cells): both directed maxima reduce
@@ -4843,6 +4904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_visit_entropy": q_event_visit_entropy,
         "event_contacts": q_event_contacts,
         "geo_track_hausdorff": q_geo_track_hausdorff,
+        "event_co_dwells": q_event_co_dwells,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -4968,4 +5030,5 @@ def oracle_sql() -> dict[str, str]:
         "event_visit_entropy": _SQL_EVENT_VISIT_ENTROPY,
         "event_contacts": _sql_event_contacts(),
         "geo_track_hausdorff": _sql_geo_track_hausdorff(),
+        "event_co_dwells": _sql_event_co_dwells(),
     }

@@ -896,3 +896,77 @@ def track_hausdorff(
         "user_a", "user_b", "h_ab", "h_ba",
         F.greatest("h_ab", "h_ba").alias("hausdorff_km"),
     )
+
+
+def co_dwells(
+    stops: DataFrame,
+    dist_km: float = 250.0,
+    min_overlap_s: float = 0.0,
+    id_col: str = "user_id",
+    dp: int = 2,
+) -> DataFrame:
+    """Rendezvous detection: entity pairs whose DWELL EPISODES (from
+    ``detect_stops``) overlap in time with centroids within ``dist_km``
+    — "who met whom, where, for how long", the episode-level complement
+    of instantaneous ``contact_events``.
+
+    Bucketed join on the centroid latitude band (width >= dist_km /
+    111.19 deg; one side explodes to its 3 neighbor bands, so a
+    qualifying episode pair matches exactly once — no dedup). Candidates
+    pass the exact quantized-distance and interval-overlap filters; the
+    per-pair aggregate sums overlaps as 2 dp fixed-point integers
+    (order-independent). Dwell tables are orders of magnitude smaller
+    than ping streams, so the shuffle is tiny by construction.
+
+    Returns (user_a, user_b, n_meetings, total_overlap_s,
+    max_overlap_s, min_km).
+    """
+    band_deg = max(float(dist_km) / 111.19, 1e-6)
+    s_start = _ts_seconds(stops, "start_ts")
+    s_end = _ts_seconds(stops, "end_ts")
+    base = stops.select(
+        F.col(id_col).alias("u"), F.col("c_lat").alias("la"),
+        F.col("c_lon").alias("lo"), s_start.alias("s0"), s_end.alias("s1"),
+        F.floor((F.col("c_lat") + 90.0) / band_deg).cast("int").alias("bb"),
+    )
+    left = base.select(
+        F.col("u").alias("user_a"), F.col("la").alias("la_a"),
+        F.col("lo").alias("lo_a"), F.col("s0").alias("a0"),
+        F.col("s1").alias("a1"),
+        F.explode(
+            F.array(F.col("bb") - 1, F.col("bb"), F.col("bb") + 1)
+        ).alias("bb"),
+    )
+    right = base.select(
+        F.col("u").alias("user_b"), F.col("la").alias("la_b"),
+        F.col("lo").alias("lo_b"), F.col("s0").alias("b0"),
+        F.col("s1").alias("b1"), "bb",
+    )
+    d = round_dp(
+        haversine_col(
+            F.col("la_a"), F.col("lo_a"), F.col("la_b"), F.col("lo_b")
+        ),
+        dp,
+    )
+    overlap = F.least("a1", "b1") - F.greatest("a0", "b0")
+    cand = (
+        left.join(right.hint("shuffle_hash"), "bb")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .withColumn("_ov", overlap)
+        .filter(F.col("_ov") >= F.lit(float(min_overlap_s)))
+        .withColumn("_d", d)
+        .filter(F.col("_d") <= F.lit(float(dist_km)))
+    )
+    ov_e2 = F.floor(F.col("_ov") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        cand.withColumn("_ove2", ov_e2)
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_meetings"),
+            (F.sum("_ove2").cast("double") / F.lit(100.0))
+            .alias("total_overlap_s"),
+            (F.max("_ove2").cast("double") / F.lit(100.0))
+            .alias("max_overlap_s"),
+            F.min("_d").alias("min_km"),
+        )
+    )

@@ -561,3 +561,51 @@ class TestTrackHausdorff:
                 for i, (la, lo) in enumerate([(0.0, 0.0), (0.0, 1.0)])]
         r = track_hausdorff(_mk_points(spark, rows)).collect()[0]
         assert r["hausdorff_km"] == 0.0
+
+
+class TestCoDwells:
+    def _stops(self, spark, rows):
+        # build a stop table directly: (user, start_s, end_s, lat, lon)
+        import datetime as dt
+
+        data = [
+            (u, i + 1, T0 + dt.timedelta(seconds=s0),
+             T0 + dt.timedelta(seconds=s1), float(s1 - s0),
+             float(la), float(lo), 2)
+            for i, (u, s0, s1, la, lo) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data,
+            "user_id int, stop_seq int, start_ts timestamp, "
+            "end_ts timestamp, dwell_s double, c_lat double, "
+            "c_lon double, n_hops int",
+        )
+
+    def test_overlapping_nearby_dwells_meet(self, spark):
+        from bufr2geojson_spark.operators.trajectory import co_dwells
+
+        stops = self._stops(spark, [
+            (1, 0, 4000, 10.0, 20.0),
+            (2, 1000, 5000, 10.3, 20.0),   # ~33 km away, 3000 s overlap
+            (3, 0, 4000, -50.0, -100.0),   # far away
+            (4, 9000, 12000, 10.0, 20.0),  # near user 1 but later
+        ])
+        out = co_dwells(stops, dist_km=100.0).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["user_a"], r["user_b"]) == (1, 2)
+        assert r["n_meetings"] == 1
+        assert r["total_overlap_s"] == 3000.0
+        assert r["min_km"] == pytest.approx(_hav(10.0, 20.0, 10.3, 20.0),
+                                            abs=0.05)
+
+    def test_min_overlap_filters(self, spark):
+        from bufr2geojson_spark.operators.trajectory import co_dwells
+
+        stops = self._stops(spark, [
+            (1, 0, 4000, 10.0, 20.0),
+            (2, 3900, 8000, 10.1, 20.0),   # only 100 s overlap
+        ])
+        assert co_dwells(stops, dist_km=100.0,
+                         min_overlap_s=600.0).count() == 0
+        assert co_dwells(stops, dist_km=100.0).count() == 1
