@@ -879,19 +879,19 @@ def track_hausdorff(
         pairs.join(pa, "user_a").join(pb, "user_b").withColumn("_d", d)
         .select("user_a", "user_b", "_ra", "_rb", "_d")
     )
-    h_ab = (
-        dists.groupBy("user_a", "user_b", "_ra")
-        .agg(F.min("_d").alias("_m"))
+    # both directed minima in ONE pass over the distance table: the two
+    # whole-partition window minima and the final pair groupBy all have
+    # their clustering satisfied by one hash partitioning on the pair
+    # (subset rule), so the |A|x|B| join is built and shuffled once —
+    # the two-branch groupBy formulation recomputed it per direction
+    w_a = Window.partitionBy("user_a", "user_b", "_ra")
+    w_b = Window.partitionBy("user_a", "user_b", "_rb")
+    out = (
+        dists.withColumn("_ma", F.min("_d").over(w_a))
+        .withColumn("_mb", F.min("_d").over(w_b))
         .groupBy("user_a", "user_b")
-        .agg(F.max("_m").alias("h_ab"))
+        .agg(F.max("_ma").alias("h_ab"), F.max("_mb").alias("h_ba"))
     )
-    h_ba = (
-        dists.groupBy("user_a", "user_b", "_rb")
-        .agg(F.min("_d").alias("_m"))
-        .groupBy("user_a", "user_b")
-        .agg(F.max("_m").alias("h_ba"))
-    )
-    out = h_ab.join(h_ba, ["user_a", "user_b"])
     return out.select(
         "user_a", "user_b", "h_ab", "h_ba",
         F.greatest("h_ab", "h_ba").alias("hausdorff_km"),
