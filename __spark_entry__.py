@@ -3556,6 +3556,68 @@ _SQL_EVENT_TRACK_STATS = f"""
     FROM sp GROUP BY user_id ORDER BY user_id
 """
 
+_SIMPLIFY_TOL = 0.015625  # 1/64 deg; tol^2 = 0.000244140625 (exact binary)
+
+
+def q_geo_simplify(spark, sf_dir):
+    """Distributed Douglas-Peucker polyline simplification: per-entity
+    Arrow-batched grouped map over ONE entity-id shuffle; the DuckDB
+    oracle is a recursive CTE reproducing the identical split recursion
+    (squared-cross-product test, first-argmax split vertex)."""
+    from bufr2geojson_spark.operators.trajectory import simplify_tracks
+
+    return simplify_tracks(
+        _event_track_points(spark, sf_dir), tol_deg=_SIMPLIFY_TOL
+    ).orderBy("user_id", "idx")
+
+
+def _sql_geo_simplify():
+    cross = ("((b.lon - a.lon) * (p.lat - a.lat)"
+             " - (b.lat - a.lat) * (p.lon - a.lon))")
+    return f"""
+    WITH RECURSIVE pts AS (
+        SELECT user_id, lat, lon,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx
+        FROM ({_TRACK_PTS_SQL})
+    ),
+    seg(user_id, lo, hi) AS (
+        SELECT user_id, min(idx), max(idx) FROM pts GROUP BY user_id
+        UNION ALL
+        SELECT s.user_id, u.b, u.e FROM (
+            SELECT d.user_id, d.lo, d.hi, d.k FROM (
+                SELECT p.user_id, s.lo, s.hi, p.idx AS k,
+                       ({cross} * {cross}) AS num,
+                       ((b.lon - a.lon) * (b.lon - a.lon)
+                        + (b.lat - a.lat) * (b.lat - a.lat)) AS den,
+                       row_number() OVER (
+                           PARTITION BY p.user_id, s.lo, s.hi
+                           ORDER BY ({cross} * {cross}) DESC, p.idx ASC
+                       ) AS rn
+                FROM seg s
+                JOIN pts p ON p.user_id = s.user_id
+                          AND p.idx > s.lo AND p.idx < s.hi
+                JOIN pts a ON a.user_id = s.user_id AND a.idx = s.lo
+                JOIN pts b ON b.user_id = s.user_id AND b.idx = s.hi
+            ) d WHERE d.rn = 1 AND d.num > 0.000244140625 * d.den
+        ) s, LATERAL (VALUES (s.lo, s.k), (s.k, s.hi)) u(b, e)
+    ),
+    kept AS (
+        -- explicit DISTINCT over UNION ALL: inside WITH RECURSIVE, DuckDB
+        -- gives a bare UNION cte recursive-iteration semantics and the
+        -- result arrives undeduplicated
+        SELECT DISTINCT user_id, idx FROM (
+            SELECT user_id, lo AS idx FROM seg
+            UNION ALL
+            SELECT user_id, hi AS idx FROM seg
+        ) z
+    )
+    SELECT p.user_id, p.idx, p.lat, p.lon
+    FROM kept k JOIN pts p ON p.user_id = k.user_id AND p.idx = k.idx
+    ORDER BY p.user_id, p.idx
+"""
+
+
 _STOPS_MAX_KMH = 2.0
 _STOPS_MIN_DWELL_S = 3600.0
 
@@ -4829,9 +4891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip": q_geo_pip,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         "dedup_exact": q_dedup_exact,
-        "lsh_candidate_pairs": q_lsh_candidate_pairs,
         # round-3 additions, oracled but never driver-checked: take the
-        # window slots of five r2-green representatives (moved to the tail)
+        # window slots of six r2-green representatives (moved to the tail)
+        "geo_simplify": q_geo_simplify,
         "event_speed_anomalies": q_event_speed_anomalies,
         "event_trips": q_event_trips,
         "event_home_cells": q_event_home_cells,
@@ -4876,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_windows": q_event_hourly_windows,
         "geo_range_join": q_geo_range_join,
         "geo_dbscan": q_geo_dbscan,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "minhash_signature": q_minhash_signature,
         "lsh_verified_jaccard": q_lsh_verified_jaccard,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -5009,6 +5072,7 @@ def oracle_sql() -> dict[str, str]:
         # trajectory analytics / retrieval / density (round 3)
         "event_track_stats": _SQL_EVENT_TRACK_STATS,
         "event_stops": _SQL_EVENT_STOPS,
+        "geo_simplify": _sql_geo_simplify(),
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,

@@ -970,3 +970,86 @@ def co_dwells(
             F.min("_d").alias("min_km"),
         )
     )
+
+
+def simplify_tracks(
+    points: DataFrame,
+    tol_deg: float = 0.015625,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Distributed Douglas-Peucker polyline simplification: per entity,
+    keep the minimal vertex subset whose planar (lon, lat)-degree
+    perpendicular deviation from the simplified chain is <= ``tol_deg``.
+
+    Returns the KEPT points as (id, idx, lat, lon) where ``idx`` is the
+    0-based position in (ts, seq)-order — so downstream ops (corridor
+    joins, rendering, track similarity) run on the reduced chain.
+
+    Custom-operator path (b) from the build rules: the recursion is
+    per-track sequential, so it runs as an Arrow-batched
+    ``applyInPandas`` over a single hash shuffle on the entity id; state
+    is one track's arrays (split long tracks by day upstream if a single
+    entity's history exceeds executor memory). Everything before and
+    after the grouped map stays whole-stage codegen.
+
+    Exact-oracle determinism: the split test uses the squared-cross-
+    product form ``cross^2 > tol^2 * |b-a|^2`` (no sqrt, no division),
+    with ``cross = (bx-ax)*(py-ay) - (by-ay)*(px-ax)`` evaluated in IEEE
+    doubles in exactly that operand order, and the split vertex is the
+    FIRST index attaining the maximum squared deviation (numpy argmax ==
+    SQL ``row_number() ... ORDER BY dev DESC, idx ASC``). A DuckDB
+    recursive CTE reproduces the kept set bit-for-bit. Coincident
+    segment endpoints give cross == 0, so closed loops collapse to their
+    endpoints — same on both engines. Default ``tol_deg`` is a power of
+    two (1/64 deg ~ 1.7 km) so ``tol^2 * den`` is an exact scaling.
+
+    No analogue in the reference (single-station ETL); extends the
+    engine's trajectory family (SURVEY.md 2.2 N-operators).
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    tol2 = float(tol_deg) * float(tol_deg)
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    pts = points.select(
+        F.col(id_col).alias("_id"),
+        (F.row_number().over(w) - F.lit(1)).alias("idx"),
+        F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
+    )
+
+    def _simplify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        x = pdf["lon"].to_numpy(dtype="float64")
+        y = pdf["lat"].to_numpy(dtype="float64")
+        n = len(x)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = True
+        keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            lo, hi = stack.pop()
+            if hi - lo < 2:
+                continue
+            ax, ay, bx, by = x[lo], y[lo], x[hi], y[hi]
+            px = x[lo + 1: hi]
+            py = y[lo + 1: hi]
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            num = cross * cross
+            den = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+            k = int(np.argmax(num))  # first max == smallest-idx tiebreak
+            if num[k] > tol2 * den:
+                ki = lo + 1 + k
+                keep[ki] = True
+                stack.append((lo, ki))
+                stack.append((ki, hi))
+        return pdf.loc[keep, ["_id", "idx", "lat", "lon"]]
+
+    out = pts.groupBy("_id").applyInPandas(
+        _simplify, schema="_id long, idx long, lat double, lon double"
+    )
+    return out.withColumnRenamed("_id", id_col)
