@@ -179,3 +179,97 @@ def run_maintenance(spark: SparkSession, docs_path: str, work: str) -> dict:
     _commit_state(work, new_files, v_new, prev_state=state)
     return {"no_op": False, "version": v_new, "n_tiles": n_tiles,
             "n_new_files": len(new_files) - (len(prev_files or {}))}
+
+
+def read_changes(spark: SparkSession, work: str,
+                 from_version: int, to_version: int,
+                 cell_col: str = "cell_s2") -> DataFrame:
+    """Iceberg-style INCREMENTAL READ between two committed snapshots: the
+    tile-level changelog that turns snapshot ``from_version`` into
+    ``to_version``. Rows carry ``_change_type`` in ('insert', 'update',
+    'delete'); for updates the NEW aggregate row is emitted (the old one is
+    recoverable by time-traveling ``from_version`` — same contract as
+    Iceberg's changelog scan emitting update_after images).
+
+    Plan shape: one full-outer join on the cell key between two immutable
+    snapshot scans — at 100 TB both sides are range-partitioned by cell
+    prefix on disk (N8), so AQE plans a co-located sort-merge join and the
+    shuffle moves each snapshot once. A standing table of S cells diffs in
+    O(S), independent of how many source documents produced it.
+
+    Downstream consumers (streaming tile caches, the IDW/KDE surface
+    maintainers) can apply the changelog instead of re-reading the full
+    snapshot — the same consume-the-delta contract as
+    ``streaming.ingest.run_tile_maintenance_once``.
+    """
+    import pyspark.sql.functions as F
+
+    if from_version == to_version:
+        old = read_tiles(spark, work, from_version)
+        return old.limit(0).withColumn("_change_type", F.lit(""))
+    old = read_tiles(spark, work, from_version)
+    new = read_tiles(spark, work, to_version)
+    stat_cols = [c for c in new.columns if c != cell_col]
+    o = old.select(
+        F.col(cell_col),
+        F.struct(*[F.col(c) for c in stat_cols]).alias("_old"),
+    )
+    n = new.select(
+        F.col(cell_col),
+        F.struct(*[F.col(c) for c in stat_cols]).alias("_new"),
+    )
+    j = o.join(n, on=cell_col, how="full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(F.col("_old") != F.col("_new"), F.lit("update"))
+    )
+    img = F.when(F.col("_new").isNull(), F.col("_old")).otherwise(F.col("_new"))
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(
+            cell_col,
+            *[img.getField(c).alias(c) for c in stat_cols],
+            "_change_type",
+        )
+    )
+
+
+def compact_snapshot(spark: SparkSession, work: str,
+                     target_files: int | None = None,
+                     rows_per_file: int = 1_000_000,
+                     cell_col: str = "cell_s2") -> dict:
+    """Iceberg ``rewrite_data_files`` analogue: rewrite the CURRENT committed
+    snapshot's data into ``target_files`` range-partitioned files (by cell
+    key, so file min/max cell ranges stay disjoint and prefix scans prune)
+    and commit the rewrite as a NEW snapshot version. Contents are
+    row-identical; only the file layout changes.
+
+    Incremental maintenance creates one small delta-sized file set per run
+    — the classic small-files problem at 100 TB (NameNode pressure, seek-
+    bound scans, one task per tiny file). Compaction restores scan-sized
+    files without touching the source manifest: the committed ``files``
+    state is carried over unchanged, so the next ``run_maintenance`` still
+    sees exactly the appends since the last fold, and ``read_changes``
+    across a compaction reports zero changes (tested).
+
+    Crash-safe by the same write-ordering as ``run_maintenance``: data lands
+    in ``v={n+1}`` before the manifest commit; a crash leaves the old
+    manifest pointing at the old layout.
+    """
+    state = load_state(work)
+    if state is None:
+        return {"no_op": True, "version": None}
+    cur = spark.read.parquet(f"{work}/tiles/v={state['version']}")
+    if target_files is None:
+        n_rows = cur.count()
+        target_files = max(1, -(-n_rows // int(rows_per_file)))
+    v_new = state["version"] + 1
+    (cur.repartitionByRange(int(target_files), cell_col)
+        .sortWithinPartitions(cell_col)
+        .write.mode("overwrite").parquet(f"{work}/tiles/v={v_new}"))
+    _commit_state(work, state["files"], v_new, prev_state=state)
+    n_files = len([f for f in os.listdir(f"{work}/tiles/v={v_new}")
+                   if f.endswith(".parquet")])
+    return {"no_op": False, "version": v_new, "n_files": n_files}

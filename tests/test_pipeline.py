@@ -440,3 +440,94 @@ class TestLegacyManifestUpgrade:
         run_maintenance(spark, docs_path, work)
         assert [s["version"] for s in snapshot_history(work)] == [0, 1]
         assert read_tiles(spark, work, as_of_version=0).count() > 0
+
+
+class TestSnapshotChangesAndCompaction:
+    def _three_snapshots(self, spark, tmp_path):
+        from bufr2geojson_spark.plans.maintenance import run_maintenance
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        docs_path = str(tmp_path / "docs")
+        work = str(tmp_path / "work")
+        docs = synth_documents(spark, 60, partitions=3)
+        for m in range(2):
+            docs.filter(F.crc32("doc_id") % 2 == m) \
+                .write.mode("append").parquet(docs_path)
+            run_maintenance(spark, docs_path, work)
+        return work
+
+    def test_changelog_applies_to_old_snapshot(self, spark, tmp_path):
+        from bufr2geojson_spark.plans.maintenance import (
+            read_changes, read_tiles)
+
+        work = self._three_snapshots(spark, tmp_path)
+        ch = read_changes(spark, work, 0, 1)
+        types = {r["_change_type"] for r in ch.collect()}
+        assert types <= {"insert", "update", "delete"}
+        assert ch.count() > 0
+        # applying the changelog to v0 reproduces v1 exactly
+        v0 = read_tiles(spark, work, 0)
+        v1 = sorted(map(tuple, read_tiles(spark, work, 1).collect()))
+        changed = {r["cell_s2"] for r in ch.collect()}
+        kept = [tuple(r) for r in v0.collect()
+                if r["cell_s2"] not in changed]
+        applied = sorted(
+            kept
+            + [tuple(r)[:-1] for r in ch.collect()
+               if r["_change_type"] != "delete"]
+        )
+        assert applied == v1
+        # self-diff is empty, same schema
+        assert read_changes(spark, work, 1, 1).count() == 0
+
+    def test_compaction_commits_new_identical_snapshot(self, spark, tmp_path):
+        import os as _os
+
+        from bufr2geojson_spark.plans.maintenance import (
+            compact_snapshot, read_changes, read_tiles, snapshot_history)
+
+        work = self._three_snapshots(spark, tmp_path)
+        before = sorted(map(tuple, read_tiles(spark, work).collect()))
+        n_files_before = len([
+            f for f in _os.listdir(f"{work}/tiles/v=1")
+            if f.endswith(".parquet")])
+        s = compact_snapshot(spark, work, target_files=1)
+        assert s["version"] == 2 and s["n_files"] == 1 <= n_files_before
+        assert [x["version"] for x in snapshot_history(work)] == [0, 1, 2]
+        after = sorted(map(tuple, read_tiles(spark, work).collect()))
+        assert after == before                     # row-identical rewrite
+        # a compaction is invisible to the changelog
+        assert read_changes(spark, work, 1, 2).count() == 0
+
+    def test_maintenance_continues_after_compaction(self, spark, tmp_path):
+        from bufr2geojson_spark.plans.maintenance import (
+            compact_snapshot, run_maintenance, standing_tiles)
+        from bufr2geojson_spark.sources.synth import synth_documents
+
+        docs_path = str(tmp_path / "docs")
+        work = str(tmp_path / "work")
+        docs = synth_documents(spark, 60, partitions=3)
+        docs.filter(F.crc32("doc_id") % 3 == 0).write.parquet(docs_path)
+        run_maintenance(spark, docs_path, work)
+        compact_snapshot(spark, work, target_files=1)
+        # source gains files after the compaction; the next run folds ONLY
+        # the appended delta (manifest files state carried through)
+        docs.filter(F.crc32("doc_id") % 3 != 0) \
+            .write.mode("append").parquet(docs_path)
+        r = run_maintenance(spark, docs_path, work)
+        assert not r["no_op"] and r["version"] == 2
+        total = standing_tiles(spark, work).agg(
+            F.sum("n_obs")).collect()[0][0]
+        from bufr2geojson_spark.functions.cells import with_cells
+        from bufr2geojson_spark.operators.decode import decode_documents
+        from bufr2geojson_spark.operators.tiles import tile_aggregate
+        want = tile_aggregate(
+            with_cells(decode_documents(docs).filter("error is null"))
+        ).agg(F.sum("n_obs")).collect()[0][0]
+        assert total == want
+
+    def test_empty_compaction_is_noop(self, spark, tmp_path):
+        from bufr2geojson_spark.plans.maintenance import compact_snapshot
+
+        assert compact_snapshot(
+            spark, str(tmp_path / "nowork"))["no_op"] is True
