@@ -227,6 +227,7 @@ def headline_queries() -> list[str]:
         "geo_kde_heatmap",
         "event_contacts",
         "geo_track_hausdorff",
+        "geo_simplify",
     ]
 
 

@@ -37,7 +37,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1024,4 +1024,154 @@ def zonal_stats(
         round_dp(total / F.count(F.lit(1)), out_dp).alias("mean_val"),
         round_dp(F.max("_v"), out_dp).alias("max_val"),
         round_dp(F.min("_v"), out_dp).alias("min_val"),
+    )
+
+
+def polyline_segments(
+    route_points: DataFrame,
+    route_col: str = "route_id",
+    order_col: str = "seq",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    len_dp: int = 2,
+) -> DataFrame:
+    """Vertex stream → segment table for a route network: per route, each
+    consecutive vertex pair becomes (route_id, seg_idx, x1, y1, x2, y2,
+    seg_km, cum_km) where ``cum_km`` is the along-route distance at the
+    segment start. One lead-window shuffle on the route id.
+
+    Segment lengths are haversine floor-quantized to ``len_dp`` decimals,
+    so the cumulative sum is an exact integer sum — ``cum_km`` is
+    bit-identical on any engine/partitioning (the trajectory SEG_DP
+    convention).
+    """
+    w = Window.partitionBy(route_col).orderBy(order_col)
+    m = float(10 ** len_dp)
+    seg = (
+        route_points.select(
+            F.col(route_col).alias("route_id"),
+            F.col(lon_col).alias("x1"), F.col(lat_col).alias("y1"),
+            F.lead(lon_col).over(w).alias("x2"),
+            F.lead(lat_col).over(w).alias("y2"),
+            (F.row_number().over(w) - F.lit(1)).alias("seg_idx"),
+        )
+        .filter(F.col("x2").isNotNull())
+    )
+    len_e = F.floor(
+        haversine_col(F.col("y1"), F.col("x1"), F.col("y2"), F.col("x2"))
+        * F.lit(m) + F.lit(0.5)
+    ).cast("long")
+    wcum = (
+        Window.partitionBy("route_id").orderBy("seg_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        seg.withColumn("_le", len_e)
+        .withColumn("seg_km", F.col("_le").cast("double") / F.lit(m))
+        .withColumn(
+            "cum_km",
+            F.coalesce(F.sum("_le").over(wcum), F.lit(0))
+            .cast("double") / F.lit(m),
+        )
+        .drop("_le")
+    )
+
+
+def map_match(
+    points: DataFrame,
+    segments: DataFrame,
+    max_km: float,
+    grid_deg: float = 5.0,
+    id_col: str = "pid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dist_dp: int = 2,
+    along_dp: int = 3,
+) -> DataFrame:
+    """Map matching: snap each ping to the nearest segment of a reference
+    route network within ``max_km`` and report the along-route offset —
+    (pid, route_id, seg_idx, snap_km, along_km). Pings near no route are
+    dropped. ``segments`` is ``polyline_segments`` output (or any table
+    with route_id, seg_idx, x1, y1, x2, y2, cum_km).
+
+    Plan shape is ``boundary_distance``'s candidate generation verbatim
+    (both sides huge: pings hash to one grid cell, segments explode to
+    the cells their ``max_km``-padded bbox touches, candidates meet in an
+    equi-join) followed by a per-ping argmin expressed as a map-side-
+    combinable ``min(struct(...))`` aggregate — two shuffles total
+    (candidates, then pings), no window over the candidate table, no UDF.
+
+    Determinism: the snap distance is the boundary_distance local-frame
+    point-to-segment metric (floor-quantized to ``dist_dp``), ties
+    between equidistant segments break on (route_id, seg_idx) via the
+    lexicographic struct min; the along-offset adds the clamped
+    projection parameter times the quantized segment length onto the
+    exact-integer cumulative, floor-rounded to ``along_dp`` — every term
+    is the identical IEEE expression in the DuckDB oracle.
+    """
+    nlon = _grid_nlon(grid_deg)
+    ci, cj = _point_cell_cols(F.col("_plat"), F.col("_plon"),
+                              grid_deg, nlon)
+    p = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lat_col).alias("_plat"),
+        F.col(lon_col).alias("_plon"),
+    ).withColumn("_ci", ci).withColumn("_cj", cj)
+
+    x1, y1, x2, y2 = (F.col(c) for c in ("x1", "y1", "x2", "y2"))
+    x2n = x1 + F.pmod(x2 - x1 + 540.0, F.lit(360.0)) - 180.0
+    ci_lo, ci_hi, cj_lo, cj_hi = _disc_cell_cover(
+        F.least(y1, y2), F.greatest(y1, y2),
+        F.least(x1, x2n), F.greatest(x1, x2n),
+        max_km, grid_deg, nlon,
+    )
+    e = (
+        segments.withColumn("_ci", F.explode(F.sequence(ci_lo, ci_hi)))
+        .withColumn("_cj_raw", F.explode(F.sequence(cj_lo, cj_hi)))
+        .withColumn("_cj", F.pmod(F.col("_cj_raw"), F.lit(nlon)))
+        .drop("_cj_raw")
+    )
+
+    plat, plon = F.col("_plat"), F.col("_plon")
+    cosr = F.cos(F.radians(plat))
+    km = F.lit(KM_PER_DEG)
+    dlon1 = F.pmod(x1 - plon + 540.0, F.lit(360.0)) - 180.0
+    dlon2 = dlon1 + (F.pmod(x2 - x1 + 540.0, F.lit(360.0)) - 180.0)
+    ax = dlon1 * cosr * km
+    ay = (y1 - plat) * km
+    bx = dlon2 * cosr * km
+    by = (y2 - plat) * km
+    vx, vy = bx - ax, by - ay
+    l2 = vx * vx + vy * vy
+    t = F.when(
+        l2 > 0,
+        F.least(F.greatest(-(ax * vx + ay * vy) / l2, F.lit(0.0)),
+                F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    dx, dy = ax + t * vx, ay + t * vy
+    md = F.lit(float(10 ** dist_dp))
+    d = F.floor(F.sqrt(dx * dx + dy * dy) * md + F.lit(0.5)) / md
+    ma = F.lit(float(10 ** along_dp))
+    along = (
+        F.floor((F.col("cum_km") + t * F.col("seg_km")) * ma + F.lit(0.5))
+        / ma
+    )
+    best = F.min(F.struct(
+        F.col("_d").alias("d"), F.col("route_id").alias("r"),
+        F.col("seg_idx").alias("s"), F.col("_along").alias("a"),
+    )).alias("_b")
+    return (
+        p.join(e, on=["_ci", "_cj"])
+        .withColumn("_d", d)
+        .filter(F.col("_d") <= max_km)
+        .withColumn("_along", along)
+        .groupBy(F.col("_pid").alias(id_col))
+        .agg(best)
+        .select(
+            id_col,
+            F.col("_b.r").alias("route_id"),
+            F.col("_b.s").alias("seg_idx"),
+            F.col("_b.d").alias("snap_km"),
+            F.col("_b.a").alias("along_km"),
+        )
     )

@@ -643,3 +643,98 @@ class TestZonalStats:
         assert r["sum_val"] == math.floor(total * 1e6 + 0.5) / 1e6
         assert r["mean_val"] == math.floor(total / len(vals) * 1e6 + 0.5) / 1e6
         assert r["max_val"] == 3.1234 and r["min_val"] == 0.0001
+
+
+class TestMapMatch:
+    def _segs(self, spark):
+        from bufr2geojson_spark.operators.spatial import polyline_segments
+
+        # two routes: the equator (3 vertices) and a short meridian
+        pts = spark.createDataFrame(
+            [(0, 0, 0.0, 0.0), (0, 1, 0.0, 1.0), (0, 2, 0.0, 2.0),
+             (1, 0, 10.0, 5.0), (1, 1, 11.0, 5.0)],
+            "route_id long, seq long, lat double, lon double",
+        )
+        return polyline_segments(pts)
+
+    def test_segments_cumulative(self, spark):
+        segs = {(r["route_id"], r["seg_idx"]): r
+                for r in self._segs(spark).collect()}
+        assert set(segs) == {(0, 0), (0, 1), (1, 0)}
+        assert segs[(0, 0)]["cum_km"] == 0.0
+        # cum at segment 1 = quantized length of segment 0
+        assert segs[(0, 1)]["cum_km"] == segs[(0, 0)]["seg_km"]
+        # 1 deg of longitude at the equator ~ 111.19 km, quantized 2dp
+        assert abs(segs[(0, 0)]["seg_km"] - 111.19) < 0.01
+
+    def test_snap_and_along(self, spark):
+        from bufr2geojson_spark.operators.spatial import map_match
+
+        pings = spark.createDataFrame(
+            [(1, 0.1, 0.5),    # near equator route, mid segment 0
+             (2, 0.0, 1.5),    # on equator, mid segment 1
+             (3, 10.5, 5.2),   # near meridian route
+             (4, 50.0, 50.0)], # far from everything
+            "pid long, lat double, lon double",
+        )
+        out = {r["pid"]: r for r in
+               map_match(pings, self._segs(spark), max_km=100.0).collect()}
+        assert set(out) == {1, 2, 3}          # ping 4 dropped
+        assert out[1]["route_id"] == 0 and out[1]["seg_idx"] == 0
+        assert abs(out[1]["snap_km"] - 11.12) < 0.02   # 0.1 deg lat
+        assert abs(out[1]["along_km"] - 55.6) < 0.1    # half a segment
+        assert out[2]["seg_idx"] == 1
+        # along passes the first segment's full quantized length
+        assert out[2]["along_km"] > 111.0
+        assert out[3]["route_id"] == 1
+
+    def test_endpoint_clamp_and_tiebreak(self, spark):
+        from bufr2geojson_spark.operators.spatial import map_match
+
+        # ping beyond the end of the equator route: clamps to t=1
+        pings = spark.createDataFrame(
+            [(1, 0.0, 2.5), (2, 0.0, 1.0)],
+            "pid long, lat double, lon double",
+        )
+        out = {r["pid"]: r for r in
+               map_match(pings, self._segs(spark), max_km=100.0).collect()}
+        assert out[1]["seg_idx"] == 1
+        assert abs(out[1]["along_km"]
+                   - 2 * 111.19) < 0.5          # full route length
+        # ping exactly on the shared vertex: equidistant (0.0) from both
+        # segments -> deterministic tie to the smaller seg_idx
+        assert out[2]["seg_idx"] == 0 and out[2]["snap_km"] == 0.0
+
+    def test_matches_brute_force(self, spark):
+        import math
+
+        from bufr2geojson_spark.operators.spatial import map_match
+
+        segs = self._segs(spark).collect()
+        rows = [(i, -20.0 + 1.7 * i, -3.0 + 0.9 * i) for i in range(40)]
+        pings = spark.createDataFrame(
+            rows, "pid long, lat double, lon double")
+        got = {r["pid"]: (r["route_id"], r["seg_idx"], r["snap_km"])
+               for r in map_match(pings, self._segs(spark),
+                                  max_km=400.0).collect()}
+        KM = 111.19492664455873
+        for pid, plat, plon in rows:
+            best = None
+            for s in segs:
+                cosr = math.cos(math.radians(plat))
+                dlon1 = ((s["x1"] - plon + 540.0) % 360.0) - 180.0
+                ddlon = ((s["x2"] - s["x1"] + 540.0) % 360.0) - 180.0
+                ax, ay = dlon1 * cosr * KM, (s["y1"] - plat) * KM
+                bx, by = (dlon1 + ddlon) * cosr * KM, (s["y2"] - plat) * KM
+                vx, vy = bx - ax, by - ay
+                l2 = vx * vx + vy * vy
+                t = min(max(-(ax * vx + ay * vy) / l2, 0.0), 1.0) if l2 > 0 else 0.0
+                d = math.floor(math.hypot(ax + t * vx, ay + t * vy) * 100 + 0.5) / 100
+                if d <= 400.0:
+                    k = (d, s["route_id"], s["seg_idx"])
+                    if best is None or k < best:
+                        best = k
+            if best is None:
+                assert pid not in got
+            else:
+                assert got[pid] == (best[1], best[2], best[0])
