@@ -1013,11 +1013,18 @@ def simplify_tracks(
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
     tol2 = float(tol_deg) * float(tol_deg)
-    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
-    pts = points.select(
-        F.col(id_col).alias("_id"),
-        (F.row_number().over(w) - F.lit(1)).alias("idx"),
+    # alias BEFORE the window so the window's hash partitioning on _id is
+    # exactly what the grouped map requires — one shuffle, not two
+    base = points.select(
+        F.col(id_col).alias("_id"), F.col(ts_col).alias("_ts"),
+        F.col(seq_col).alias("_seq"),
         F.col(lat_col).alias("lat"), F.col(lon_col).alias("lon"),
+    )
+    w = Window.partitionBy("_id").orderBy("_ts", "_seq")
+    pts = base.select(
+        "_id",
+        (F.row_number().over(w) - F.lit(1)).alias("idx"),
+        "lat", "lon",
     )
 
     def _simplify(pdf: "pd.DataFrame") -> "pd.DataFrame":
