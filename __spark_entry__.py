@@ -3618,6 +3618,109 @@ def _sql_geo_simplify():
 """
 
 
+_PHASH_MAX_HAMMING = 7
+_PHASH_MASK_SQL = (
+    "(1::BIGINT << ((('0x' || substr(md5({r}), 1, 2))::BIGINT % 63)::INT))"
+    " | (1::BIGINT << ((('0x' || substr(md5({r}), 3, 2))::BIGINT % 63)::INT))"
+    " | (1::BIGINT << ((('0x' || substr(md5({r}), 5, 2))::BIGINT % 63)::INT))"
+)
+
+
+def q_media_near_dup(spark, sf_dir):
+    """Perceptual-hash media dedup over the interleaved-media sidecar:
+    derive the media-ref table from `documents` (every 3rd doc carries an
+    image ref), stub-resize to 8x8, aHash (integer-quantized mean
+    comparison -> exact 64-bit fingerprint), then banded Hamming self-join
+    (pigeonhole: <=7 bits differ => one of 8 byte bands equal). Variant
+    copies (doc_id % 6 == 0, 'recompressed' with <=3 deterministically
+    flipped bits standing in for real decoder noise) must all pair with
+    their originals. The DuckDB oracle recomputes the hashes bit-for-bit
+    from md5 string arithmetic — the stub decode is deterministic."""
+    from bufr2geojson_spark.operators.media import (
+        media_ahash, phash_near_pairs, resize_media)
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("synthetic://img/"), F.col("doc_id"),
+                 F.lit(".png")).alias("media_ref"),
+    )
+    hashes = media_ahash(resize_media(media))
+    mask = F.expr(
+        "shiftleft(1L, CAST(CAST(conv(substring(md5(media_ref), 1, 2), 16,"
+        " 10) AS BIGINT) % 63 AS INT))"
+        " | shiftleft(1L, CAST(CAST(conv(substring(md5(media_ref), 3, 2),"
+        " 16, 10) AS BIGINT) % 63 AS INT))"
+        " | shiftleft(1L, CAST(CAST(conv(substring(md5(media_ref), 5, 2),"
+        " 16, 10) AS BIGINT) % 63 AS INT))"
+    )
+    variants = hashes.filter(F.col("doc_id").cast("long") % 6 == 0).select(
+        F.concat(F.col("media_ref"), F.lit("?v=1")).alias("media_ref"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    allh = hashes.select("media_ref", "phash").unionByName(variants)
+    return phash_near_pairs(
+        allh, max_hamming=_PHASH_MAX_HAMMING
+    ).orderBy("ref_a", "ref_b")
+
+
+def _sql_media_near_dup():
+    mask = _PHASH_MASK_SQL.format(r="media_ref")
+    return f"""
+    WITH media AS (
+        SELECT doc_id,
+               'synthetic://img/' || doc_id || '.png' AS media_ref
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+        SELECT m.doc_id, m.media_ref, t.i,
+               floor(round(
+                   ('0x' || substr(md5(m.media_ref),
+                                   (((t.i * 7 + 3) % 16) * 2 + 1)::INT, 2)
+                   )::BIGINT / 255.0, 6) * 1e6 + 0.5)::BIGINT AS q
+        FROM media m CROSS JOIN range(64) t(i)
+    ),
+    hb AS (
+        SELECT doc_id, media_ref, i,
+               CASE WHEN 64 * q > sum(q) OVER (PARTITION BY media_ref)
+                    THEN 1 ELSE 0 END AS bit
+        FROM px
+    ),
+    hh AS (
+        SELECT doc_id, media_ref,
+               sum(CASE WHEN bit = 1 AND i < 63
+                        THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT
+               + CASE WHEN max(CASE WHEN i = 63 THEN bit ELSE 0 END) = 1
+                      THEN -9223372036854775807 - 1 ELSE 0 END AS phash
+        FROM hb GROUP BY doc_id, media_ref
+    ),
+    vr AS (
+        SELECT media_ref || '?v=1' AS media_ref,
+               xor(phash, {mask}) AS phash
+        FROM hh WHERE doc_id % 6 = 0
+    ),
+    allh AS (
+        SELECT media_ref, phash FROM hh
+        UNION ALL
+        SELECT media_ref, phash FROM vr
+    ),
+    bands AS (
+        SELECT media_ref, phash, t.b,
+               (phash >> (t.b * 8)::INT) & 255 AS v
+        FROM allh CROSS JOIN range(8) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_ref AS ref_a, a.phash AS h_a,
+                        c.media_ref AS ref_b, c.phash AS h_b
+        FROM bands a JOIN bands c
+          ON a.b = c.b AND a.v = c.v AND a.media_ref < c.media_ref
+    )
+    SELECT ref_a, ref_b, bit_count(xor(h_a, h_b)) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {_PHASH_MAX_HAMMING}
+    ORDER BY ref_a, ref_b
+"""
+
+
 _MM_MAX_KM = 150.0
 
 
@@ -5004,12 +5107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "scalar_function_gallery": q_scalar_function_gallery,
         "geo_knn": q_geo_knn,
-        "geo_pip": q_geo_pip,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         # round-3 additions, oracled but never driver-checked: take the
         # window slots of seven r2-green representatives (moved to the tail)
         "geo_simplify": q_geo_simplify,
         "geo_map_match": q_geo_map_match,
+        "media_near_dup": q_media_near_dup,
         "event_speed_anomalies": q_event_speed_anomalies,
         "event_trips": q_event_trips,
         "event_home_cells": q_event_home_cells,
@@ -5054,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_windows": q_event_hourly_windows,
         "geo_range_join": q_geo_range_join,
         "geo_dbscan": q_geo_dbscan,
+        "geo_pip": q_geo_pip,
         "dedup_exact": q_dedup_exact,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "minhash_signature": q_minhash_signature,
@@ -5191,6 +5295,7 @@ def oracle_sql() -> dict[str, str]:
         "event_stops": _SQL_EVENT_STOPS,
         "geo_simplify": _sql_geo_simplify(),
         "geo_map_match": _sql_geo_map_match(),
+        "media_near_dup": _sql_media_near_dup(),
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,

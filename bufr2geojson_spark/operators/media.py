@@ -354,3 +354,104 @@ def audio_segments(
         F.floor((end - start) * F.col("sample_rate") + 0.5).cast("long")
         .alias("n_seg_samples"),
     )
+
+
+AHASH_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("phash", LongType()),
+    StructField("is_stub", BooleanType()),
+])
+
+
+def media_ahash(resized: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual fingerprint over
+    ``resize_media`` output: bit i = (pixel_i > mean pixel), packed
+    little-endian into a signed 64-bit int (two's complement).
+
+    The comparison is done on integer-quantized pixels (``floor(p * 1e6
+    + 0.5)``, then ``64 * q_i > sum(q)``) so the hash is exact integer
+    arithmetic — engine- and float-representation-independent, which is
+    what lets a DuckDB oracle reproduce it bit-for-bit from the
+    deterministic stub decode. With a real resize decoder registered the
+    same code produces real perceptual hashes (is_stub flips).
+
+    Arrow-batched numpy kernel (dim-64 per-row reduction — the measured
+    law: wide kernels go to numpy, not unrolled codegen).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = np.asarray(list(pdf["pixels"]), dtype=np.float64)
+            if px.size == 0:
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"], "media_ref": pdf["media_ref"],
+                    "phash": np.array([], dtype=np.int64),
+                    "is_stub": pdf["is_stub"]})
+                continue
+            q = np.floor(px * 1e6 + 0.5).astype(np.int64)
+            n = q.shape[1]
+            bits = (n * q) > q.sum(axis=1, keepdims=True)
+            weights = (np.uint64(1) << np.arange(
+                min(n, 64), dtype=np.uint64))
+            packed = (bits[:, :64].astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64).view(np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "media_ref": pdf["media_ref"],
+                "phash": packed, "is_stub": pdf["is_stub"]})
+
+    return resized.select(
+        "doc_id", "media_ref", "pixels", "is_stub"
+    ).mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    ref_col: str = "media_ref",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance —
+    the SimHash banding scheme applied to image fingerprints: split the
+    64-bit hash into ``max_hamming + 1`` byte-ish bands (pigeonhole: two
+    hashes within ``max_hamming`` bits agree exactly on >= 1 band), meet
+    candidates in an equi-join keyed on (band index, band value), then
+    verify the exact popcount on the deduped candidates.
+
+    Everything is JVM-side codegen bit math (shift/mask/xor/bit_count);
+    the shuffle carries (band key, ref, hash) — never the pixel data —
+    and candidate volume is governed by band collisions, not |media|².
+    max_hamming <= 63 (band count clamps to 64/width >= 8 one-byte
+    bands for the default 7).
+    """
+    n_bands = int(max_hamming) + 1
+    width = 64 // n_bands
+    h = F.col(hash_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("b"),
+            (F.shiftright(h, b * width)
+             .bitwiseAND(F.lit((1 << width) - 1))).alias("v"),
+        )
+        for b in range(n_bands)
+    ])
+    t = hashes.select(
+        F.col(ref_col).alias("ref"), h.alias("h"),
+        F.explode(bands).alias("band"),
+    ).select("ref", "h", F.col("band.b").alias("b"),
+             F.col("band.v").alias("v"))
+    a = t.select(F.col("ref").alias("ref_a"), F.col("h").alias("h_a"),
+                 "b", "v")
+    bside = t.select(F.col("ref").alias("ref_b"), F.col("h").alias("h_b"),
+                     "b", "v")
+    cand = (
+        a.join(bside, on=["b", "v"])
+        .filter(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("ref_a", "ref_b", "hamming")
+    )

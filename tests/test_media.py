@@ -349,3 +349,67 @@ def test_resize_decoder_seam(spark):
             assert r.pixels == [shade / 255.0] * 4
     finally:
         M.set_resize_decoder(None)
+
+
+class TestPerceptualHash:
+    def test_ahash_known_bits(self, spark):
+        from bufr2geojson_spark.operators.media import media_ahash
+
+        # 64 pixels: first 8 bright, rest dark -> bits 0..7 set
+        resized = spark.createDataFrame(
+            [("d", "r", 8, 8, [1.0] * 8 + [0.0] * 56, True)],
+            "doc_id string, media_ref string, out_w int, out_h int,"
+            " pixels array<double>, is_stub boolean",
+        )
+        [row] = media_ahash(resized).collect()
+        assert row["phash"] == 255  # bits 0..7
+
+    def test_ahash_sign_bit(self, spark):
+        from bufr2geojson_spark.operators.media import media_ahash
+
+        resized = spark.createDataFrame(
+            [("d", "r", 8, 8, [0.0] * 63 + [1.0], True)],
+            "doc_id string, media_ref string, out_w int, out_h int,"
+            " pixels array<double>, is_stub boolean",
+        )
+        [row] = media_ahash(resized).collect()
+        assert row["phash"] == -(1 << 63)  # two's complement bit 63
+
+    def test_banding_pigeonhole(self, spark):
+        from bufr2geojson_spark.operators.media import phash_near_pairs
+
+        base = 0x0123456789ABCDE
+        # within 7 bits -> must be found; 8 flips spread one per band -> not
+        near = base ^ 0b1111111          # 7 flips, all in band 0
+        far = base ^ 0x0101010101010101  # one flip in each of 8 bands
+        hashes = spark.createDataFrame(
+            [("a", base), ("b", near), ("c", far)],
+            "media_ref string, phash long",
+        )
+        got = {(r["ref_a"], r["ref_b"]): r["hamming"]
+               for r in phash_near_pairs(hashes, max_hamming=7).collect()}
+        assert got == {("a", "b"): 7}
+
+    def test_query_recovers_every_planted_variant(self, spark):
+        import __spark_entry__ as e
+
+        out = e.queries()["media_near_dup"](spark, "/root/testdata/sf0.001")
+        pairs = {(r["ref_a"], r["ref_b"]) for r in out.collect()}
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        planted = [
+            f"synthetic://img/{i}.png"
+            for (i,) in d.select("doc_id").collect() if i % 6 == 0
+        ]
+        assert planted
+        for ref in planted:
+            assert (ref, ref + "?v=1") in pairs
+
+    def test_hamming_threshold_exact(self, spark):
+        from bufr2geojson_spark.operators.media import phash_near_pairs
+
+        hashes = spark.createDataFrame(
+            [("a", 0), ("b", 255)],  # hamming 8 but same bands 1..7
+            "media_ref string, phash long",
+        )
+        assert phash_near_pairs(hashes, max_hamming=7).count() == 0
+        assert phash_near_pairs(hashes, max_hamming=8).count() == 1
