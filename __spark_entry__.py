@@ -3837,6 +3837,65 @@ def _sql_geo_map_match():
 """
 
 
+_LOCATE_T = "2024-01-08 00:00:00"
+_LOCATE_MAX_GAP_S = 86400.0
+
+
+def q_event_locate_at(spark, sf_dir):
+    """Fleet snapshot at time T: interpolate every entity's position from
+    its bracketing pings in ONE map-side-combinable conditional
+    struct-min/max aggregate (no window, no self-join); entities that
+    went dark within 24 h report last-known."""
+    from bufr2geojson_spark.operators.trajectory import locate_at
+
+    return locate_at(
+        _event_track_points(spark, sf_dir), _LOCATE_T,
+        max_gap_s=_LOCATE_MAX_GAP_S,
+    ).orderBy("user_id")
+
+
+def _sql_event_locate_at():
+    t = f"TIMESTAMP '{_LOCATE_T}'"
+    return f"""
+    WITH pts AS ({_TRACK_PTS_SQL}),
+    b AS (
+        SELECT user_id, epoch(ts) AS s, lat, lon,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM pts WHERE ts <= {t}
+    ),
+    a AS (
+        SELECT user_id, epoch(ts) AS s, lat, lon,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM pts WHERE ts > {t}
+    ),
+    j AS (
+        SELECT b.user_id, b.s AS bs, b.lat AS bla, b.lon AS blo,
+               a.s AS xs, a.lat AS xla, a.lon AS xlo,
+               epoch({t}) AS tq
+        FROM (SELECT * FROM b WHERE rn = 1) b
+        LEFT JOIN (SELECT * FROM a WHERE rn = 1) a
+          ON a.user_id = b.user_id
+    )
+    SELECT user_id,
+           CASE WHEN xs IS NOT NULL AND xs > bs THEN floor(
+                    (bla + (tq - bs) / (xs - bs) * (xla - bla))
+                    * 1e6 + 0.5) / 1e6
+                ELSE floor(bla * 1e6 + 0.5) / 1e6 END AS at_lat,
+           CASE WHEN xs IS NOT NULL AND xs > bs THEN floor(
+                    (blo + (tq - bs) / (xs - bs) * (xlo - blo))
+                    * 1e6 + 0.5) / 1e6
+                ELSE floor(blo * 1e6 + 0.5) / 1e6 END AS at_lon,
+           CASE WHEN xs IS NOT NULL AND xs > bs THEN 'interp'
+                ELSE 'last_known' END AS method
+    FROM j
+    WHERE (xs IS NOT NULL AND xs > bs)
+       OR (xs IS NULL AND tq - bs <= {_LOCATE_MAX_GAP_S!r})
+    ORDER BY user_id
+"""
+
+
 _STOPS_MAX_KMH = 2.0
 _STOPS_MIN_DWELL_S = 3600.0
 
@@ -5105,7 +5164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_percentiles_salted": q_geo_tile_percentiles_salted,
         # --- representative already-green subset (r1/r2 driver rows) ------
         "pricing_summary": q_pricing_summary,
-        "scalar_function_gallery": q_scalar_function_gallery,
         "geo_knn": q_geo_knn,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         # round-3 additions, oracled but never driver-checked: take the
@@ -5113,6 +5171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_simplify": q_geo_simplify,
         "geo_map_match": q_geo_map_match,
         "media_near_dup": q_media_near_dup,
+        "event_locate_at": q_event_locate_at,
         "event_speed_anomalies": q_event_speed_anomalies,
         "event_trips": q_event_trips,
         "event_home_cells": q_event_home_cells,
@@ -5158,6 +5217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_range_join": q_geo_range_join,
         "geo_dbscan": q_geo_dbscan,
         "geo_pip": q_geo_pip,
+        "scalar_function_gallery": q_scalar_function_gallery,
         "dedup_exact": q_dedup_exact,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "minhash_signature": q_minhash_signature,
@@ -5296,6 +5356,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_simplify": _sql_geo_simplify(),
         "geo_map_match": _sql_geo_map_match(),
         "media_near_dup": _sql_media_near_dup(),
+        "event_locate_at": _sql_event_locate_at(),
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,

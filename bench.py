@@ -228,6 +228,8 @@ def headline_queries() -> list[str]:
         "event_contacts",
         "geo_track_hausdorff",
         "geo_simplify",
+        "geo_map_match",
+        "media_near_dup",
     ]
 
 

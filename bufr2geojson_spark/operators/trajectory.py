@@ -1060,3 +1060,87 @@ def simplify_tracks(
         _simplify, schema="_id long, idx long, lat double, lon double"
     )
     return out.withColumnRenamed("_id", id_col)
+
+
+def locate_at(
+    points: DataFrame,
+    at_ts,
+    max_gap_s: float = 86400.0,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dp: int = 6,
+) -> DataFrame:
+    """Where was every entity at time ``at_ts``? Linear interpolation
+    between the bracketing pings (last ping <= t, first ping > t); an
+    entity whose track ends before t within ``max_gap_s`` reports its
+    last known position (method='last_known'), otherwise it is absent.
+
+    ONE map-side-combinable groupBy: the bracketing pings are conditional
+    ``max(struct(ts, seq, lat, lon))`` / ``min(struct(...))`` aggregates
+    — no window, no self-join, shuffle carries two structs per entity.
+    That is the 100 TB shape for the classic "fleet snapshot at time T"
+    query: a scan + one aggregation regardless of track lengths, with
+    duplicate-timestamp ties broken by the seq field inside the struct
+    ordering (deterministic on any engine).
+
+    The interpolation is plain linear in (lat, lon) degrees — documented
+    small-gap semantics; tracks that cross the antimeridian between two
+    pings should be localized upstream. Outputs floor-rounded to ``dp``.
+
+    Returns (id, at_lat, at_lon, method).
+    """
+    from bufr2geojson_spark.operators.textops import round_dp
+
+    is_ntz = dict(points.dtypes).get(ts_col) == "timestamp_ntz"
+    t = F.lit(at_ts).cast("timestamp_ntz" if is_ntz else "timestamp")
+    tsec = _ts_seconds(points, ts_col)
+    pt = points.select(
+        F.col(id_col).alias("_id"), F.col(ts_col).alias("_ts"),
+        tsec.alias("_s"), F.col(seq_col).alias("_seq"),
+        F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon"),
+    )
+    before = F.max(
+        F.when(F.col("_ts") <= t, F.struct(
+            F.col("_s").alias("s"), F.col("_seq").alias("q"),
+            F.col("_lat").alias("la"), F.col("_lon").alias("lo")))
+    ).alias("b")
+    after = F.min(
+        F.when(F.col("_ts") > t, F.struct(
+            F.col("_s").alias("s"), F.col("_seq").alias("q"),
+            F.col("_lat").alias("la"), F.col("_lon").alias("lo")))
+    ).alias("a")
+    g = pt.groupBy("_id").agg(before, after)
+    # target epoch seconds via the same NTZ-safe path as the pings
+    if is_ntz:
+        tq = F.to_utc_timestamp(t, "UTC").cast("double")
+    else:
+        tq = t.cast("double")
+    frac = (tq - F.col("b.s")) / (F.col("a.s") - F.col("b.s"))
+    interp_ok = (
+        F.col("b").isNotNull() & F.col("a").isNotNull()
+        & (F.col("a.s") > F.col("b.s"))
+    )
+    last_ok = (
+        F.col("b").isNotNull() & F.col("a").isNull()
+        & ((tq - F.col("b.s")) <= F.lit(float(max_gap_s)))
+    )
+    lat = F.when(
+        interp_ok, F.col("b.la") + frac * (F.col("a.la") - F.col("b.la"))
+    ).when(last_ok, F.col("b.la"))
+    lon = F.when(
+        interp_ok, F.col("b.lo") + frac * (F.col("a.lo") - F.col("b.lo"))
+    ).when(last_ok, F.col("b.lo"))
+    method = F.when(interp_ok, F.lit("interp")).when(
+        last_ok, F.lit("last_known"))
+    return (
+        g.select(
+            F.col("_id").alias(id_col),
+            round_dp(lat, dp).alias("at_lat"),
+            round_dp(lon, dp).alias("at_lon"),
+            method.alias("method"),
+        )
+        .filter(F.col("method").isNotNull())
+    )

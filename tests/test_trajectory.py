@@ -687,3 +687,53 @@ class TestSimplifyTracks:
                                  (2, 0, 6.0, 6.0), (2, 60, 6.5, 6.5)])
         out = sorted(map(tuple, simplify_tracks(pts).collect()))
         assert out == [(1, 0, 5.0, 5.0), (2, 0, 6.0, 6.0), (2, 1, 6.5, 6.5)]
+
+
+class TestLocateAt:
+    def test_interpolates_midpoint(self, spark):
+        from bufr2geojson_spark.operators.trajectory import locate_at
+
+        pts = _mk_points(spark, [(1, 0, 10.0, 20.0), (1, 100, 12.0, 24.0)])
+        t = T0 + dt.timedelta(seconds=50)
+        [row] = locate_at(pts, t).collect()
+        assert row["method"] == "interp"
+        assert row["at_lat"] == 11.0 and row["at_lon"] == 22.0
+
+    def test_last_known_within_gap_only(self, spark):
+        from bufr2geojson_spark.operators.trajectory import locate_at
+
+        pts = _mk_points(spark, [(1, 0, 10.0, 20.0),   # dark after t0
+                                 (2, 0, 30.0, 40.0)])
+        near = T0 + dt.timedelta(seconds=3600)
+        out = {r["user_id"]: r for r in
+               locate_at(pts, near, max_gap_s=7200.0).collect()}
+        assert out[1]["method"] == "last_known"
+        assert out[1]["at_lat"] == 10.0
+        far = T0 + dt.timedelta(seconds=10**6)
+        assert locate_at(pts, far, max_gap_s=7200.0).count() == 0
+
+    def test_track_starting_after_t_absent(self, spark):
+        from bufr2geojson_spark.operators.trajectory import locate_at
+
+        pts = _mk_points(spark, [(1, 1000, 10.0, 20.0)])
+        assert locate_at(pts, T0 + dt.timedelta(seconds=10)).count() == 0
+
+    def test_exact_ping_at_t_is_before_side(self, spark):
+        from bufr2geojson_spark.operators.trajectory import locate_at
+
+        t = T0 + dt.timedelta(seconds=100)
+        pts = _mk_points(spark, [(1, 0, 0.0, 0.0), (1, 100, 5.0, 5.0),
+                                 (1, 200, 9.0, 9.0)])
+        [row] = locate_at(pts, t).collect()
+        # ts <= t wins the before bracket: interp from (100s) to (200s)
+        # at frac 0 -> exactly the ping at t
+        assert row["method"] == "interp"
+        assert row["at_lat"] == 5.0 and row["at_lon"] == 5.0
+
+    def test_single_aggregation_plan(self, spark):
+        from bufr2geojson_spark.operators.trajectory import locate_at
+
+        pts = _mk_points(spark, [(1, 0, 10.0, 20.0), (1, 100, 12.0, 24.0)])
+        plan = locate_at(pts, T0)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1       # one groupBy shuffle
+        assert "Window" not in plan
