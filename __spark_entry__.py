@@ -2535,6 +2535,42 @@ _SQL_TOKENS = """
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Intra-document duplicate-3-gram fraction (Gopher repetition rule):
+    explode -> md5 -> two map-side-combined groupBys; shuffle carries
+    fixed-width hashes only."""
+    d = _t(spark, sf_dir, "documents")
+    return T.doc_repetition(d, k=3).orderBy("doc_id")
+
+
+_SQL_DOC_REPETITION = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS gram
+        FROM w
+    ),
+    per AS (
+        SELECT doc_id, count(*)::BIGINT AS n_grams,
+               count(DISTINCT gram)::BIGINT AS n_distinct
+        FROM grams GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+                THEN floor((1.0 - p.n_distinct::DOUBLE / p.n_grams::DOUBLE)
+                           * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS rep_ratio
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
 def q_dup_ngram_spans(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.dup_ngram_spans(d, k=5, min_docs=2).orderBy("doc_id")
@@ -5164,7 +5200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_percentiles_salted": q_geo_tile_percentiles_salted,
         # --- representative already-green subset (r1/r2 driver rows) ------
         "pricing_summary": q_pricing_summary,
-        "geo_knn": q_geo_knn,
         "geo_tile_agg_salted": q_geo_tile_agg_salted,
         # round-3 additions, oracled but never driver-checked: take the
         # window slots of seven r2-green representatives (moved to the tail)
@@ -5172,6 +5207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_map_match": q_geo_map_match,
         "media_near_dup": q_media_near_dup,
         "event_locate_at": q_event_locate_at,
+        "doc_repetition": q_doc_repetition,
         "event_speed_anomalies": q_event_speed_anomalies,
         "event_trips": q_event_trips,
         "event_home_cells": q_event_home_cells,
@@ -5217,6 +5253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_range_join": q_geo_range_join,
         "geo_dbscan": q_geo_dbscan,
         "geo_pip": q_geo_pip,
+        "geo_knn": q_geo_knn,
         "scalar_function_gallery": q_scalar_function_gallery,
         "dedup_exact": q_dedup_exact,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -5357,6 +5394,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_map_match": _sql_geo_map_match(),
         "media_near_dup": _sql_media_near_dup(),
         "event_locate_at": _sql_event_locate_at(),
+        "doc_repetition": _SQL_DOC_REPETITION,
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,

@@ -1186,3 +1186,47 @@ def redact_pii(
         red.alias("text_redacted"),
     )
 
+
+
+def doc_repetition(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dp: int = 6,
+) -> DataFrame:
+    """INTRA-document repetition score (the Gopher/MassiveText "fraction
+    of duplicate n-grams" quality rule): for each document, the fraction
+    of word ``k``-gram positions whose gram also occurs earlier in the
+    SAME document — boilerplate, chorus-like spam, and degenerate
+    keyword-stuffing score high; ``dup_ngram_spans`` is the cross-corpus
+    complement.
+
+    rep_ratio = 1 - distinct_grams / total_grams (0 for documents shorter
+    than k words), floor-rounded to ``dp``.
+
+    Plan: explode → md5 → groupBy(doc, gram-hash) → groupBy(doc) — both
+    aggregations map-side combinable, shuffle carries fixed-width hashes,
+    work O(total tokens). Same 100 TB shape as ``fingerprint``.
+    """
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_of(F.col(text_col), k)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gid"))
+    per = g.groupBy("doc_id", "gid").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(agg, "doc_id", "left")
+    n = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    d = F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long")
+    ratio = F.when(
+        n > 0,
+        round_dp(F.lit(1.0) - d.cast("double") / n.cast("double"), dp),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id", n.alias("n_grams"), d.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )

@@ -848,3 +848,20 @@ def test_cosine_topk_variable_width_fallback(spark):
     out = cosine_topk(df.filter("size(embedding) = 2"), [1], k=2, dim=None)
     got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
     assert got == [(2, 1), (4, 2)]
+
+
+class TestDocRepetition:
+    def test_known_ratios(self, spark):
+        from bufr2geojson_spark.operators.textops import doc_repetition
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c a b c"),   # 7 grams: abc,bca,cab repeat
+             (2, "one two three four"),  # 2 distinct grams, no repeats
+             (3, "x y")],                # shorter than k -> 0 grams
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in doc_repetition(docs, k=3).collect()}
+        assert out[1]["n_grams"] == 7 and out[1]["n_distinct"] == 3
+        assert abs(out[1]["rep_ratio"] - (1 - 3 / 7)) < 1e-6
+        assert out[2]["n_grams"] == 2 and out[2]["rep_ratio"] == 0.0
+        assert out[3]["n_grams"] == 0 and out[3]["rep_ratio"] == 0.0
