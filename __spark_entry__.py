@@ -3873,6 +3873,125 @@ def _sql_geo_map_match():
 """
 
 
+def _colocation_edges(spark, sf_dir):
+    """Undirected co-location graph: users sharing >= 1 five-degree cell."""
+    pts = _event_track_points(spark, sf_dir)
+    cells = pts.select(
+        "user_id",
+        F.floor((F.col("lat") + 90.0) / 5.0).cast("int").alias("gi"),
+        F.floor((F.col("lon") + 180.0) / 5.0).cast("int").alias("gj"),
+    ).distinct()
+    a = cells.select(F.col("user_id").alias("u"), "gi", "gj")
+    b = cells.select(F.col("user_id").alias("v"), "gi", "gj")
+    return (
+        a.join(b, ["gi", "gj"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+_SQL_COLOC_EDGES = f"""
+    cells AS (
+        SELECT DISTINCT user_id AS uid,
+               floor((lat + 90.0) / 5.0)::INT AS gi,
+               floor((lon + 180.0) / 5.0)::INT AS gj
+        FROM ({_TRACK_PTS_SQL})
+    ),
+    ed AS (
+        SELECT DISTINCT a.uid AS u, b.uid AS v
+        FROM cells a JOIN cells b
+          ON a.gi = b.gi AND a.gj = b.gj AND a.uid < b.uid
+    )
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Degree-ordered triangle counting (Suri-Vassilvitskii) on the
+    co-location graph: wedges generated only at each triangle's
+    lowest-(deg,id) corner — O(m^1.5) total work under any skew."""
+    from bufr2geojson_spark.operators.graph import triangle_count
+
+    return triangle_count(
+        _colocation_edges(spark, sf_dir)
+    ).withColumnRenamed("node", "user_id").orderBy("user_id")
+
+
+def _sql_graph_triangles():
+    return f"""
+    WITH {_SQL_COLOC_EDGES},
+    dg AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+            SELECT u AS node FROM ed UNION ALL SELECT v FROM ed
+        ) z GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS lo,
+               CASE WHEN (da.deg < db.deg)
+                      OR (da.deg = db.deg AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS hi
+        FROM ed e
+        JOIN dg da ON da.node = e.u
+        JOIN dg db ON db.node = e.v
+    ),
+    tri AS (
+        SELECT a.lo, a.hi AS x, b.hi AS y
+        FROM o a JOIN o b ON a.lo = b.lo AND a.hi < b.hi
+        JOIN ed ON ed.u = a.hi AND ed.v = b.hi
+    ),
+    corners AS (
+        SELECT lo AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri
+    ),
+    cnt AS (SELECT node, count(*)::BIGINT AS n FROM corners GROUP BY node)
+    SELECT d.node AS user_id, coalesce(c.n, 0)::BIGINT AS n_triangles
+    FROM dg d LEFT JOIN cnt c ON c.node = d.node
+    ORDER BY user_id
+"""
+
+
+_PR_ITERS = 10
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration integer-fixed-point PageRank on the co-location
+    graph — bit-exact under any partitioning (integer DIV contributions,
+    integer damping), so a recursive-CTE oracle reproduces every rank."""
+    from bufr2geojson_spark.operators.graph import pagerank
+
+    return pagerank(
+        _colocation_edges(spark, sf_dir), iters=_PR_ITERS
+    ).withColumnRenamed("node", "user_id").orderBy("user_id")
+
+
+def _sql_graph_pagerank():
+    return f"""
+    WITH RECURSIVE {_SQL_COLOC_EDGES},
+    de AS (
+        SELECT u AS s, v AS t FROM ed
+        UNION ALL
+        SELECT v AS s, u AS t FROM ed
+    ),
+    dg AS (SELECT s, count(*)::BIGINT AS deg FROM de GROUP BY s),
+    pr(iter, node, r) AS (
+        SELECT 0, s, 1000000000::BIGINT FROM dg
+        UNION ALL
+        SELECT p.iter + 1, d.t,
+               (150000000 + (85 * sum(p.r // g.deg)) // 100)::BIGINT
+        FROM pr p
+        JOIN dg g ON g.s = p.node
+        JOIN de d ON d.s = p.node
+        WHERE p.iter < {_PR_ITERS}
+        GROUP BY p.iter, d.t
+    )
+    SELECT node AS user_id, r AS rank_scaled
+    FROM pr WHERE iter = {_PR_ITERS} ORDER BY user_id
+"""
+
+
 _LOCATE_T = "2024-01-08 00:00:00"
 _LOCATE_MAX_GAP_S = 86400.0
 
@@ -5198,16 +5317,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         # new this round (round-2 verdict #8)
         "geo_tile_percentiles_salted": q_geo_tile_percentiles_salted,
-        # --- representative already-green subset (r1/r2 driver rows) ------
-        "pricing_summary": q_pricing_summary,
-        "geo_tile_agg_salted": q_geo_tile_agg_salted,
         # round-3 additions, oracled but never driver-checked: take the
-        # window slots of seven r2-green representatives (moved to the tail)
+        # window slots of the r1/r2-green representatives (moved to tail)
         "geo_simplify": q_geo_simplify,
         "geo_map_match": q_geo_map_match,
         "media_near_dup": q_media_near_dup,
         "event_locate_at": q_event_locate_at,
         "doc_repetition": q_doc_repetition,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
         "event_speed_anomalies": q_event_speed_anomalies,
         "event_trips": q_event_trips,
         "event_home_cells": q_event_home_cells,
@@ -5254,6 +5372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_dbscan": q_geo_dbscan,
         "geo_pip": q_geo_pip,
         "geo_knn": q_geo_knn,
+        "geo_tile_agg_salted": q_geo_tile_agg_salted,
+        "pricing_summary": q_pricing_summary,
         "scalar_function_gallery": q_scalar_function_gallery,
         "dedup_exact": q_dedup_exact,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -5395,6 +5515,8 @@ def oracle_sql() -> dict[str, str]:
         "media_near_dup": _sql_media_near_dup(),
         "event_locate_at": _sql_event_locate_at(),
         "doc_repetition": _SQL_DOC_REPETITION,
+        "graph_triangles": _sql_graph_triangles(),
+        "graph_pagerank": _sql_graph_pagerank(),
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,

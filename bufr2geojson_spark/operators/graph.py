@@ -1,0 +1,165 @@
+"""Distributed graph analytics over entity-relation edge tables.
+
+The co-location / contact graphs the trajectory operators produce
+(``contact_events``, ``co_dwells``, shared-cell pairs) are graphs; this
+module adds the two classic MapReduce graph kernels beyond the connected
+components already in ``textops``:
+
+* ``triangle_count`` — degree-ordered wedge counting (Suri &
+  Vassilvitskii, WWW'11): orienting every edge from its lower-(degree,
+  id) endpoint to the higher bounds wedge generation by O(m^{3/2})
+  total work regardless of skew — the "curse of the last reducer" fix —
+  while a naive orientation lets one hub node generate deg² wedges.
+* ``pagerank`` — fixed-iteration PageRank in EXACT INTEGER fixed-point:
+  ranks are scaled longs, per-edge contributions use integer floor
+  division, and the damping step is integer (``15*S DIV 100 +
+  85*sum DIV 100``), so every iteration is bit-identical under any
+  partitioning, aggregation order, or engine — a DuckDB recursive CTE
+  reproduces the ranks exactly. (Float PageRank sums in shuffle order
+  and can never be compared value-for-value across engines.)
+
+Both are pure DataFrame programs: self-joins keyed on vertex ids,
+map-side-combinable aggregations, no driver-side state. No analogue in
+the reference (`/root/reference/bufr2geojson/__init__.py` is a
+single-station ETL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set canonicalized to (u < v), self-loops dropped,
+    duplicates removed."""
+    u, v = F.col(src), F.col(dst)
+    return (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """(node, deg) over the canonical undirected edge set."""
+    e = _canonical_edges(edges, src, dst)
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node triangle counts (nodes in no triangle report 0).
+
+    Degree-ordered orientation: edge {a,b} points a→b iff (deg(a),a) <
+    (deg(b),b). Wedges are generated only at each triangle's LOWEST-
+    ordered corner, so a hub of degree d in a skewed graph generates
+    wedges only among its few higher-ordered neighbors — total wedge
+    count is O(m^{3/2}) (Suri & Vassilvitskii) instead of Σ deg² —
+    and each triangle is found exactly once (its two other edges close
+    it in one direction only). Plan: two joins on vertex keys + an
+    explode of the 3 corners + one groupBy; AQE broadcasts the degree
+    table when small.
+    """
+    e = _canonical_edges(edges, src, dst)
+    d = degrees(e)
+    da = d.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    db = d.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient: lo -> hi by (deg, id)
+    withdeg = e.join(da, "u").join(db, "v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    # wedges at the lowest corner: (lo, hi1 < hi2 by orientation order)
+    a = oriented.select(F.col("lo"), F.col("hi").alias("x"))
+    b = oriented.select(F.col("lo"), F.col("hi").alias("y"))
+    wedges = a.join(b, "lo").filter(F.col("x") < F.col("y"))
+    # close the wedge: the (x,y) edge exists in the canonical set
+    closing = e.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("lo", "x", "y")
+    corners = tri.select(
+        F.explode(F.array("lo", "x", "y")).alias("node")
+    )
+    counts = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        d.select("node").join(counts, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )
+
+
+PR_SCALE = 1_000_000_000  # integer fixed-point: 1.0 rank == 1e9
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected graph (each edge walks
+    both ways) in exact integer fixed-point: (node, rank_scaled) with
+    rank 1.0 == ``PR_SCALE``.
+
+    Update rule (all integer, bit-exact on any engine/partitioning):
+
+        contrib(u→v) = r(u) DIV deg(u)
+        r'(v) = (15 * PR_SCALE) DIV 100 + (85 * Σ contrib) DIV 100
+
+    The graph is connected-or-not irrelevant: every node has deg >= 1 by
+    construction (nodes come from edges), so there are no dangling
+    nodes. Truncation loses < 1e-7 of mass per step — the price of
+    cross-engine bit-equality (float PageRank depends on summation
+    order and can never hash-match an oracle).
+
+    Plan per iteration: ranks ⋈ out-edges (key u) → groupBy(v) with
+    map-side partial sums — the classic two-shuffle PageRank round; the
+    static degree table rides broadcast when small. 10 iterations = a
+    linear chain of 10 such rounds (checkpoint every few rounds on a
+    real cluster to truncate lineage — same note as connected
+    components, textops.py).
+    """
+    e = _canonical_edges(edges, src, dst)
+    # both directions: undirected walk
+    dir_edges = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(e.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    )
+    deg = dir_edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = dir_edges.join(deg, "s")  # (s, t, deg)
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(int(PR_SCALE)).alias("r")
+    )
+    base = int(15 * PR_SCALE) // 100
+    for _ in range(int(iters)):
+        contribs = (
+            out_edges.join(
+                ranks.select(F.col("node").alias("s"), "r"), "s"
+            )
+            .select(
+                F.col("t").alias("node"),
+                F.expr("r DIV deg").alias("c"),
+            )
+        )
+        ranks = contribs.groupBy("node").agg(
+            (F.lit(base) + F.expr("85 * sum(c) DIV 100")).alias("r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -1,0 +1,88 @@
+"""Graph kernels: degree-ordered triangles, integer fixed-point PageRank."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+class TestTriangles:
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(11)
+        nodes = list(range(20))
+        pairs = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(60)})
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_count(_edges(spark, pairs)).collect()}
+        es = set(pairs)
+        want = {n: 0 for n in {x for p in pairs for x in p}}
+        for a, b, c in itertools.combinations(sorted(want), 3):
+            if ((a, b) in es and (b, c) in es and (a, c) in es):
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+        assert got == want
+
+    def test_counts_each_triangle_once_with_skew_hub(self, spark):
+        # hub 0 connected to everyone; triangle only (0,1,2)
+        pairs = [(0, i) for i in range(1, 12)] + [(1, 2)]
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_count(_edges(spark, pairs)).collect()}
+        assert got[0] == 1 and got[1] == 1 and got[2] == 1
+        assert all(v == 0 for n, v in got.items() if n > 2)
+
+    def test_duplicate_and_reversed_edges_canonicalized(self, spark):
+        pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)]
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_count(_edges(spark, pairs)).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestPageRank:
+    def test_star_graph_hub_dominates(self, spark):
+        pairs = [(0, i) for i in range(1, 6)]
+        got = {r["node"]: r["rank_scaled"]
+               for r in pagerank(_edges(spark, pairs), iters=10).collect()}
+        leaf_ranks = {got[i] for i in range(1, 6)}
+        assert len(leaf_ranks) == 1          # symmetric leaves tie exactly
+        assert got[0] > 2 * got[1]           # hub dominates
+
+    def test_mass_approximately_conserved(self, spark):
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+        out = pagerank(_edges(spark, pairs), iters=10)
+        total = out.agg(F.sum("rank_scaled")).collect()[0][0]
+        n = 4
+        # integer truncation only ever loses mass, and < 2 units per
+        # node per iteration at this scale
+        assert n * PR_SCALE * 0.999 < total <= n * PR_SCALE
+
+    def test_bit_exact_across_partitionings(self, spark):
+        import random
+
+        rng = random.Random(5)
+        pairs = sorted({tuple(sorted(rng.sample(range(30), 2)))
+                        for _ in range(90)})
+        e = _edges(spark, pairs)
+        a = sorted(map(tuple, pagerank(e.repartition(1), iters=8).collect()))
+        b = sorted(map(tuple, pagerank(e.repartition(17), iters=8).collect()))
+        assert a == b
+
+    def test_regular_graph_uniform_ranks(self, spark):
+        # cycle: every node deg 2 -> exact uniform fixed point
+        n = 6
+        pairs = [(i, (i + 1) % n) for i in range(n)]
+        got = {r["node"]: r["rank_scaled"]
+               for r in pagerank(_edges(spark, pairs), iters=10).collect()}
+        assert len(set(got.values())) == 1
