@@ -3992,6 +3992,45 @@ def _sql_graph_pagerank():
 """
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 20
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core extraction (dense-subgroup mining) on the co-location graph:
+    confluent iterative peeling — per round one degree aggregate + two
+    semi-joins on a strictly shrinking edge set."""
+    from bufr2geojson_spark.operators.graph import kcore
+
+    return kcore(
+        _colocation_edges(spark, sf_dir), k=_KCORE_K,
+        max_rounds=_KCORE_ROUNDS,
+    ).withColumnRenamed("node", "user_id").orderBy("user_id")
+
+
+def _sql_graph_kcore():
+    return f"""
+    WITH RECURSIVE {_SQL_COLOC_EDGES},
+    de AS (
+        SELECT u AS s, v AS t FROM ed
+        UNION ALL
+        SELECT v AS s, u AS t FROM ed
+    ),
+    kc(iter, s, t) AS (
+        SELECT 0, s, t FROM de
+        UNION ALL
+        SELECT iter + 1, s, t FROM (
+            SELECT p.iter, p.s, p.t,
+                   count(*) OVER (PARTITION BY p.s) AS ds,
+                   count(*) OVER (PARTITION BY p.t) AS dt
+            FROM kc p WHERE p.iter < {_KCORE_ROUNDS}
+        ) z WHERE ds >= {_KCORE_K} AND dt >= {_KCORE_K}
+    )
+    SELECT s AS user_id, count(*)::BIGINT AS deg_in_core
+    FROM kc WHERE iter = {_KCORE_ROUNDS} GROUP BY s ORDER BY user_id
+"""
+
+
 _LOCATE_T = "2024-01-08 00:00:00"
 _LOCATE_MAX_GAP_S = 86400.0
 
@@ -5307,7 +5346,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
-        "train_val_split": q_train_val_split,
         # text tail
         "top_tokens": q_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5326,6 +5364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
+        "graph_kcore": q_graph_kcore,
         "event_speed_anomalies": q_event_speed_anomalies,
         "event_trips": q_event_trips,
         "event_home_cells": q_event_home_cells,
@@ -5356,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_idw_smooth": q_geo_idw_smooth,
         "geo_compact_cells": q_geo_compact_cells,
         "geo_uncompact_cells": q_geo_uncompact_cells,
+        "train_val_split": q_train_val_split,
         "weighted_sample": q_weighted_sample,
         "event_tile_trend": q_event_tile_trend,
         "event_trend_outliers": q_event_trend_outliers,
@@ -5517,6 +5557,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _SQL_DOC_REPETITION,
         "graph_triangles": _sql_graph_triangles(),
         "graph_pagerank": _sql_graph_pagerank(),
+        "graph_kcore": _sql_graph_kcore(),
         "bm25_scores": _sql_bm25(),
         "geo_kde_heatmap": _SQL_GEO_KDE,
         "geo_kde_merge": _SQL_GEO_KDE,

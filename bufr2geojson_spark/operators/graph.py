@@ -163,3 +163,51 @@ def pagerank(
             (F.lit(base) + F.expr("85 * sum(c) DIV 100")).alias("r")
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 20,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree >= k
+    — the standard dense-subgroup extraction on contact graphs. Returns
+    (node, deg_in_core) for members of the core.
+
+    Iterative peeling: drop every edge with an endpoint of current
+    degree < k, repeat. Peeling is CONFLUENT (the k-core is unique), so
+    early-exit on convergence and a fixed-round oracle agree on the
+    final subgraph; ``max_rounds`` bounds the driver loop (each round
+    strictly removes nodes, so rounds <= peeling depth — typically
+    O(log n) on real graphs, n worst case for a path; raise it for
+    pathological chains).
+
+    Plan per round: one degree aggregation + one semi-join, both keyed
+    on vertex ids, map-side combinable; the edge set only shrinks.
+    Same checkpoint-per-few-rounds note as CC/PageRank on real clusters.
+    """
+    e = _canonical_edges(edges, src, dst)
+    cur = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(e.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    )
+    n_prev = cur.count()
+    for _ in range(int(max_rounds)):
+        if n_prev == 0:
+            break
+        deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        good = deg.filter(F.col("d") >= int(k)).select("s")
+        cur = (
+            cur.join(good, "s", "left_semi")
+            .join(good.withColumnRenamed("s", "t"), "t", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = cur.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return cur.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg_in_core")
+    )

@@ -86,3 +86,45 @@ class TestPageRank:
         got = {r["node"]: r["rank_scaled"]
                for r in pagerank(_edges(spark, pairs), iters=10).collect()}
         assert len(set(got.values())) == 1
+
+
+class TestKCore:
+    def test_peels_tail_keeps_triangle(self, spark):
+        from bufr2geojson_spark.operators.graph import kcore
+
+        # triangle {1,2,3} with a path 3-4-5 hanging off
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        got = {r["node"]: r["deg_in_core"]
+               for r in kcore(_edges(spark, pairs), k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_cascading_peel(self, spark):
+        from bufr2geojson_spark.operators.graph import kcore
+
+        # path graph: 2-core empty, but only after cascading removals
+        pairs = [(i, i + 1) for i in range(8)]
+        assert kcore(_edges(spark, pairs), k=2).count() == 0
+
+    def test_matches_networkx_style_reference(self, spark):
+        import random
+
+        from bufr2geojson_spark.operators.graph import kcore
+
+        rng = random.Random(3)
+        pairs = sorted({tuple(sorted(rng.sample(range(25), 2)))
+                        for _ in range(55)})
+        got = {r["node"] for r in kcore(_edges(spark, pairs), k=3).collect()}
+        # reference peeling
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < 3:
+                    for m2 in adj.pop(n):
+                        adj[m2].discard(n)
+                    changed = True
+        assert got == set(adj)
