@@ -2317,7 +2317,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-_SQL_NGRAM_JACCARD = f"""
+def _sql_exact_jaccard_pairs(th: float) -> str:
+    """All-pairs exact shingle-Jaccard join at threshold ``th`` — the
+    brute-force oracle form shared by ngram_jaccard_pairs (which IS this
+    algorithm) and ssjoin_exact (prefix-filtered, provably identical
+    output)."""
+    return f"""
     WITH sh AS (
         SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
         FROM documents
@@ -2334,9 +2339,12 @@ _SQL_NGRAM_JACCARD = f"""
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.18
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {th}
     ORDER BY id_a, id_b
 """
+
+
+_SQL_NGRAM_JACCARD = _sql_exact_jaccard_pairs(0.18)
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -2632,6 +2640,119 @@ _SQL_UNIGRAM_LP = """
            floor(sum(lp_e6) * 1.0 / count(*) / 1e6 * 1e4 + 0.5) / 1e4
                AS avg_logprob
     FROM tok JOIN probs USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_ssjoin_exact(spark, sf_dir):
+    """EXACT Jaccard-threshold similarity join via prefix filtering
+    (PPJoin / VernicaJoin) — 100% recall without the cross product; its
+    oracle is the all-pairs brute-force join at the same threshold, so a
+    green row proves the pruning loses nothing."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        T.set_similarity_join(d, threshold=0.3, shingle_k=3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_heavy_hitter_tokens(spark, sf_dir):
+    """Exact frequent tokens (count ≥ 0.1% of the stream) via per-partition
+    Misra-Gries candidates + exact verify — the sketch-then-verify shape
+    that never shuffles the full vocabulary; oracle is brute GROUP
+    BY/HAVING."""
+    d = _t(spark, sf_dir, "documents")
+    return T.heavy_hitters(d, support=0.001).orderBy("token")
+
+
+_SQL_HEAVY_HITTERS = """
+    WITH tok AS (
+        SELECT t FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ) WHERE len(t) > 0
+    ),
+    n AS (SELECT count(*) AS n FROM tok)
+    SELECT t AS token, count(*)::BIGINT AS cnt
+    FROM tok, n GROUP BY t, n.n
+    HAVING count(*) >= 0.001 * n.n - 1e-9
+    ORDER BY token
+"""
+
+
+def q_pareto_docs(spark, sf_dir):
+    """Skyline data selection: documents undominated on (token count,
+    distinct-token count) — window-scan frontier vs the oracle's O(n²)
+    NOT-EXISTS dominance anti-join (different algorithm, same rows)."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(T.words_of(F.col("text"))).alias("n_tokens"),
+        F.size(F.array_distinct(T.words_of(F.col("text"))))
+        .alias("n_distinct"),
+    )
+    return (
+        T.pareto_frontier(m, "n_tokens", "n_distinct")
+        .select("doc_id", "n_tokens", "n_distinct")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_PARETO_DOCS = """
+    WITH m AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct FROM m p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m q
+        WHERE q.n_tokens >= p.n_tokens AND q.n_distinct >= p.n_distinct
+          AND (q.n_tokens > p.n_tokens OR q.n_distinct > p.n_distinct)
+    )
+    ORDER BY doc_id
+"""
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Order-2 LM scoring: per-doc add-1-smoothed bigram conditional
+    log-prob (micro-nat integer sums — bit-exact under partitioning)."""
+    d = _t(spark, sf_dir, "documents")
+    return T.bigram_logprob(d, add_k=1.0).orderBy("doc_id")
+
+
+_SQL_BIGRAM_LP = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM w WHERE len(ws) >= 2
+    ),
+    bgc AS (SELECT bg, count(*) AS c_bg FROM pairs GROUP BY bg),
+    ctx AS (
+        SELECT split_part(bg, ' ', 1) AS v, sum(c_bg) AS c_ctx
+        FROM bgc GROUP BY 1
+    ),
+    vocab AS (
+        SELECT count(DISTINCT t)::DOUBLE AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    ),
+    model AS (
+        SELECT bg,
+               floor(ln((c_bg::DOUBLE + 1e0) / (c_ctx::DOUBLE + 1e0 * vocab.v))
+                     * 1e6 + 0.5)::BIGINT AS lp_e6
+        FROM bgc JOIN ctx ON split_part(bgc.bg, ' ', 1) = ctx.v
+        CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(lp_e6)::BIGINT AS logprob_e6,
+           floor(sum(lp_e6) * 1.0 / count(*) / 1e6 * 1e4 + 0.5) / 1e4
+               AS avg_logprob
+    FROM pairs JOIN model USING (bg)
     GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -5446,6 +5567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_contacts": q_event_contacts,
         "geo_track_hausdorff": q_geo_track_hausdorff,
         "event_co_dwells": q_event_co_dwells,
+        # exact-similarity / corpus-statistics wave (round 3, oracled)
+        "ssjoin_exact": q_ssjoin_exact,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "pareto_docs": q_pareto_docs,
+        "bigram_logprob": q_bigram_logprob,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5580,4 +5706,8 @@ def oracle_sql() -> dict[str, str]:
         "event_contacts": _sql_event_contacts(),
         "geo_track_hausdorff": _sql_geo_track_hausdorff(),
         "event_co_dwells": _sql_event_co_dwells(),
+        "ssjoin_exact": _sql_exact_jaccard_pairs(0.3),
+        "heavy_hitter_tokens": _SQL_HEAVY_HITTERS,
+        "pareto_docs": _SQL_PARETO_DOCS,
+        "bigram_logprob": _SQL_BIGRAM_LP,
     }

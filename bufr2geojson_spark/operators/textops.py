@@ -17,6 +17,9 @@ These are the large-scale-pipeline operators layered on top of the engine
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -697,6 +700,161 @@ def jaccard_verify_pairs(
 
 
 # ---------------------------------------------------------------------------
+# exact set-similarity join via prefix filtering (PPJoin / VernicaJoin)
+# ---------------------------------------------------------------------------
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard similarity join — every pair with shingle-set Jaccard
+    ≥ ``threshold``, with no probabilistic misses — via prefix filtering
+    (the published PPJoin / MapReduce VernicaJoin shape, Vernica et al.
+    SIGMOD 2010). This is the deterministic complement to
+    ``lsh_candidate_pairs`` → ``jaccard_verify_pairs``: LSH trades recall
+    for speed, the prefix filter gives 100% recall while still never
+    materializing the cross product.
+
+    Why it prunes: sort every document's distinct shingles by ONE global
+    total order (ascending document frequency — rarest first — so prefixes
+    are maximally selective). If Jaccard(A,B) ≥ t then
+    |A∩B| ≥ ceil(t·|A|), so A and B must share at least one token among
+    each one's first ``|S| − ceil(t·|S|) + 1`` sorted tokens. Candidates =
+    docs sharing ≥1 PREFIX token; add the length filter
+    min(|A|,|B|) ≥ t·max(|A|,|B|) (necessary since |A∩B| ≤ min and
+    union ≥ max); verify survivors exactly.
+
+    100 TB shape: every stage is linear in total tokens — shingles cross
+    shuffles as fixed-width md5 ids only; the global frequency table is one
+    map-side-combined groupBy; per-doc ranking is one window over doc_id;
+    the candidate join is keyed on prefix-token id (shuffle ∝ prefix
+    postings, and the rarest-first order keeps those postings short); exact
+    verification touches candidate pairs only (``jaccard_verify_pairs``).
+    Nothing is all-pairs, nothing is collected to the driver.
+
+    The ceil() guards subtract 1e-9 before ceiling so binary-float wobble
+    (0.4·5 → 2.0000000000000004) can only LENGTHEN a prefix / widen the
+    length filter — extra candidates are verified away; a shortened prefix
+    would silently drop true pairs.
+
+    Returns the same shape as ``ngram_jaccard_pairs`` (which is this
+    operator's small-scale all-pairs oracle form):
+    (id_a, id_b, inter, sz_a, sz_b, jaccard ≥ threshold).
+    """
+    t = float(threshold)
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_of(F.col(text_col), shingle_k))
+        ).alias("shingle"),
+    ).select(id_col, F.md5("shingle").alias("gid"))
+    dfreq = sh.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "gid")
+    ranked = (
+        sh.join(dfreq, "gid")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # prefix length: sz - ceil(t*sz) + 1 (conservative ceil, see docstring)
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col(id_col), "gid", "sz"
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "gid", F.col("sz").alias("psz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "gid", F.col("sz").alias("psz_b")
+    )
+    cand = (
+        a.join(b, "gid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("psz_a", "psz_b")
+            >= F.lit(t) * F.greatest("psz_a", "psz_b") - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_verify_pairs(
+        cand, docs, shingle_k=shingle_k, text_col=text_col, id_col=id_col
+    )
+    return verified.filter(F.col("jaccard") >= t)
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    support: float = 0.001,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT frequent-token mining at streaming cost: every token whose
+    total occurrence count is ≥ ``support`` × (total tokens), found without
+    ever shuffling the full token-frequency table.
+
+    Two passes (the classic sketch-then-verify shape):
+
+    1. **Candidates** — per input partition, a Misra-Gries summary with
+       k = ceil(1/support) counters (one ``mapInPandas`` over the token
+       stream; O(k) memory per partition, no shuffle). Guarantee: any token
+       with global frequency ≥ support·N keeps a positive counter in at
+       least one partition that holds ≥ support·(that partition's tokens),
+       so the UNION of per-partition survivors is a SUPERSET of the true
+       heavy hitters. Survivors are ≤ k per partition — tiny.
+    2. **Verify** — exact counts for candidate tokens only: the token
+       stream is semi-joined against the broadcast candidate set (AQE
+       broadcasts it — it is ≤ k·partitions rows) and one map-side-combined
+       groupBy counts; filter to ≥ the exact threshold.
+
+    At 100 TB this is the only viable exact formulation: a plain
+    groupBy(token) shuffles the full vocabulary (trillions of partials),
+    while this shuffles ≤ k rows per partition plus the candidates' counts.
+    Output is provably identical to the brute-force GROUP BY / HAVING —
+    which is exactly the DuckDB oracle.
+
+    Returns (token, cnt) for heavy tokens, with cnt the exact global count.
+    """
+    k = int(math.ceil(1.0 / support))
+    toks = docs.select(
+        F.explode(words_of(F.col(text_col))).alias("token")
+    ).filter(F.length("token") > 0)
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = [t for t, c in counters.items() if c == 1]
+                    for t in dead:
+                        del counters[t]
+                    for t in list(counters):
+                        counters[t] -= 1
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    cand = toks.mapInPandas(mg, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(support) * F.col("n") - F.lit(1e-9))
+        .select("token", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus statistics: heavy hitters + TF-IDF
 # ---------------------------------------------------------------------------
 
@@ -1027,6 +1185,138 @@ def unigram_logprob(
             "avg_logprob",
             round_dp(F.col("logprob_e6") / F.col("n_tokens") / F.lit(1e6), 4),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (order-2 perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    add_k: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-bigram conditional log-probability per document — the order-2
+    upgrade of ``unigram_logprob``: scores each document by
+    sum over positions i≥2 of ln p(w_i | w_{i-1}) with add-``k`` smoothing
+
+        p(w|v) = (c(v,w) + k) / (c(v·) + k·V)
+
+    where c(v,w) is the corpus bigram count, c(v·) the count of v as a
+    bigram LEFT context, and V the unigram vocabulary size. Repetitive
+    boilerplate scores high, shuffled/gibberish text scores far lower than
+    its unigram score — the standard fluency axis unigrams cannot see.
+
+    Plan: one posexplode produces adjacent pairs JVM-side (zip of the word
+    array with itself shifted — no Python); bigram and context counts are
+    map-side-combined groupBys; each bigram instance joins its smoothed
+    surprisal back (AQE broadcasts the model side when it fits) and one
+    groupBy(doc_id) sums. All linear, shuffle ∝ distinct bigrams — bigram
+    vocabularies are ~10^8 at web scale, still join-able, and the md5 of
+    the pair (never the pair text) is what crosses the shuffle.
+
+    Exactness contract (repo digest rule): per-bigram surprisal is
+    fixed-point floor-rounded to 1e-6 BEFORE summing → integer sums,
+    bit-exact under any partitioning.
+
+    Returns (doc_id, n_bigrams, logprob_e6, avg_logprob).
+    """
+    w = words_of(F.col(text_col))
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.md5("bg").alias("bg_id"),
+        F.md5(F.substring_index("bg", " ", 1)).alias("ctx_id"),
+    )
+    bg_cnt = pairs.groupBy("bg_id", "ctx_id").agg(
+        F.count(F.lit(1)).alias("c_bg")
+    )
+    ctx_cnt = bg_cnt.groupBy("ctx_id").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = docs.select(
+        F.explode(words_of(F.col(text_col))).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    lp_e6 = F.floor(
+        F.log(
+            (F.col("c_bg") + F.lit(add_k))
+            / (F.col("c_ctx") + F.lit(add_k) * F.col("v"))
+        ) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    model = (
+        bg_cnt.join(ctx_cnt, "ctx_id")
+        .crossJoin(F.broadcast(vocab))
+        .select("bg_id", lp_e6.alias("lp_e6"))
+    )
+    return (
+        pairs.join(model, "bg_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_e6").alias("logprob_e6"),
+        )
+        .withColumn(
+            "avg_logprob",
+            round_dp(F.col("logprob_e6") / F.col("n_bigrams") / F.lit(1e6), 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — multi-criteria data selection
+# ---------------------------------------------------------------------------
+
+
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Skyline / Pareto-frontier selection over two maximize-criteria: keep
+    exactly the rows no other row dominates (q dominates p iff q.x ≥ p.x
+    and q.y ≥ p.y with at least one strict). The data-selection primitive
+    behind "keep documents that are long AND lexically diverse" style
+    curation — thresholds pick an arbitrary box, the frontier picks the
+    undominated boundary.
+
+    Plan (all codegen, two narrow shuffles): p is dominated iff
+    max{y : x' > p.x} ≥ p.y  (something strictly longer is at least as
+    diverse), or max{y : x' = p.x} > p.y (same length, strictly more
+    diverse). So: groupBy(x) → per-x max y (shuffle ∝ distinct x, partials
+    combined map-side); one window over the DISTINCT-x table ordered by x
+    desc computes the strictly-greater running max; join the two bounds
+    back on x (AQE broadcasts the distinct-x side). The only serial point
+    is the window over distinct x — a table already reduced by the groupBy;
+    at 100 TB with adversarially-unique x values, range-partition the
+    window by x bands and prefix-max the ≤1000 band maxima on the driver —
+    same two-scan shape.
+
+    Ties: duplicate (x, y) points do not dominate each other — all kept.
+    The DuckDB oracle is the O(n²) NOT EXISTS dominance anti-join, a
+    genuinely different algorithm, so agreement pins the window logic.
+    """
+    g = df.groupBy(x_col).agg(F.max(y_col).alias("_my"))
+    w = (
+        Window.orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = g.withColumn("_mgt", F.max("_my").over(w))
+    return (
+        df.join(F.broadcast(bounds), x_col)
+        .filter(
+            (F.col(y_col) == F.col("_my"))
+            & (F.col("_mgt").isNull() | (F.col(y_col) > F.col("_mgt")))
+        )
+        .drop("_my", "_mgt")
     )
 
 

@@ -865,3 +865,144 @@ class TestDocRepetition:
         assert abs(out[1]["rep_ratio"] - (1 - 3 / 7)) < 1e-6
         assert out[2]["n_grams"] == 2 and out[2]["rep_ratio"] == 0.0
         assert out[3]["n_grams"] == 0 and out[3]["rep_ratio"] == 0.0
+
+
+class TestSetSimilarityJoin:
+    """Prefix-filtered exact set-similarity join (PPJoin/VernicaJoin): must
+    return EXACTLY the all-pairs brute-force result — the prefix + length
+    filters may only prune pairs that cannot pass the threshold."""
+
+    @pytest.mark.parametrize("t", [0.2, 0.4, 0.7])
+    def test_equals_allpairs_bruteforce(self, spark, docs, t):
+        d = docs.limit(150)
+        fast = {
+            tuple(r) for r in T.set_similarity_join(d, threshold=t).collect()
+        }
+        brute = {
+            tuple(r)
+            for r in T.ngram_jaccard_pairs(d, threshold=t).collect()
+        }
+        assert fast == brute
+        if t <= 0.4:
+            assert len(brute) > 0  # non-vacuous at the loose thresholds
+
+    def test_float_ceil_boundary_does_not_drop_pairs(self, spark):
+        """sz=5 shingles at t=0.4 puts t*sz on a binary-float boundary
+        (0.4*5 -> 2.0000000000000004); the conservative ceil must keep the
+        prefix long enough to find the identical pair (jaccard=1.0)."""
+        text = "a b c d e f g"  # 7 words -> 5 distinct 3-shingles
+        d = spark.createDataFrame(
+            [(1, text), (2, text), (3, "q r s t u v w")],
+            "doc_id long, text string",
+        )
+        out = T.set_similarity_join(d, threshold=0.4).collect()
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+        assert pairs == {(1, 2): 1.0}
+
+
+class TestHeavyHitters:
+    def _brute(self, docs, support):
+        toks = docs.select(
+            F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.length("token") > 0)
+        n = toks.count()
+        return {
+            (r.token, r.cnt)
+            for r in toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= support * n - 1e-9)
+            .collect()
+        }
+
+    @pytest.mark.parametrize("support", [0.002, 0.01])
+    def test_equals_bruteforce(self, spark, docs, support):
+        got = {
+            (r.token, r.cnt)
+            for r in T.heavy_hitters(docs, support=support).collect()
+        }
+        want = self._brute(docs, support)
+        assert got == want and len(want) > 0
+
+    def test_partitioning_invariant(self, spark, docs):
+        """The Misra-Gries candidate pass runs per partition; the exact
+        verify must make the RESULT independent of the partitioning."""
+        a = {(r.token, r.cnt) for r in
+             T.heavy_hitters(docs.repartition(3), support=0.005).collect()}
+        b = {(r.token, r.cnt) for r in
+             T.heavy_hitters(docs.repartition(17), support=0.005).collect()}
+        assert a == b and len(a) > 0
+
+
+class TestParetoFrontier:
+    def _brute(self, rows):
+        out = set()
+        for p in rows:
+            dominated = any(
+                q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+                for q in rows
+            )
+            if not dominated:
+                out.add(p)
+        return out
+
+    def test_matches_bruteforce_with_ties_and_dups(self, spark):
+        rows = [
+            (1, 10, 1), (2, 9, 5), (3, 9, 5), (4, 8, 5), (5, 10, 1),
+            (6, 1, 10), (7, 5, 5), (8, 10, 0), (9, 2, 9), (10, 9, 4),
+        ]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        got = {
+            (r.id, r.x, r.y)
+            for r in T.pareto_frontier(df, "x", "y").collect()
+        }
+        assert got == self._brute(rows)
+        # duplicates (1,10,1)/(5,10,1) never dominate each other: both kept
+        assert {1, 5} <= {i for i, _, _ in got}
+
+    def test_random_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(1234)
+        rows = [
+            (i, rng.randrange(20), rng.randrange(20)) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        got = {
+            (r.id, r.x, r.y)
+            for r in T.pareto_frontier(df, "x", "y").collect()
+        }
+        assert got == self._brute(rows)
+
+
+class TestBigramLogprob:
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math as m
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b"), (3, "z")],
+            "doc_id long, text string",
+        )
+        # bigrams: doc1 = [a b, b a, a b], doc2 = [a b]
+        # c(a b)=3, c(b a)=1 ; c(a .)=3, c(b .)=1 ; V = |{a,b,z}| = 3
+        out = {r.doc_id: r for r in T.bigram_logprob(docs).collect()}
+        assert 3 not in out  # single-token doc has no bigrams
+        lp_ab = m.floor(m.log((3 + 1) / (3 + 1 * 3)) * 1e6 + 0.5)
+        lp_ba = m.floor(m.log((1 + 1) / (1 + 1 * 3)) * 1e6 + 0.5)
+        assert out[1].n_bigrams == 3
+        assert out[1].logprob_e6 == 2 * lp_ab + lp_ba
+        assert out[2].n_bigrams == 1 and out[2].logprob_e6 == lp_ab
+
+    def test_gibberish_scores_below_repetitive(self, spark, docs):
+        """Fluency axis: a shuffled-vocabulary doc must score lower than a
+        boilerplate-repetitive one under the corpus bigram model."""
+        base = docs.limit(80).select("doc_id", "text")
+        extra = base.sparkSession.createDataFrame(
+            [(900001, "the same line again " * 10),
+             (900002, "zq kv xw pj ml rt gh bn yu io " * 4)],
+            "doc_id long, text string",
+        ).select("doc_id", F.trim("text").alias("text"))
+        scored = {
+            r.doc_id: r.avg_logprob
+            for r in T.bigram_logprob(base.unionByName(extra)).collect()
+        }
+        assert scored[900001] > scored[900002]
