@@ -1672,6 +1672,37 @@ _SQL_GEO_TILE_PCTS_SALTED = f"""
 """
 
 
+def q_geo_tile_median(spark, sf_dir):
+    """EXACT per-tile median via the counting formulation (no per-group value
+    materialization — groupBy (tile, value) histogram + rank window over the
+    histogram, never the observations). Oracle: DuckDB's built-in median()
+    — a sort-based, entirely different algorithm over the raw values."""
+    from bufr2geojson_spark.operators.textops import round_dp
+    from bufr2geojson_spark.operators.tiles import tile_exact_median
+
+    pts = _geo_points(spark, sf_dir).select(
+        (F.floor((F.col("lat") + 90.0) / 20.0) * 100
+         + F.floor((F.col("lon") + 180.0) / 20.0)).alias("tile"),
+        F.col("val"),
+    )
+    out = tile_exact_median(pts, cell_col="tile", value_col="val")
+    return out.select(
+        "tile", "n_obs",
+        round_dp(F.col("median"), 4).alias("median"),
+    ).orderBy("tile")
+
+
+_SQL_GEO_TILE_MEDIAN = f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    t AS (SELECT CAST(floor((lat + 90.0) / 20.0) * 100
+                 + floor((lon + 180.0) / 20.0) AS BIGINT) AS tile, val
+          FROM pts)
+    SELECT tile, count(val) AS n_obs,
+           floor(median(val) * 10000 + 0.5) / 10000 AS median
+    FROM t GROUP BY tile ORDER BY tile
+"""
+
+
 def q_region_measures(spark, sf_dir):
     """Spherical area + perimeter of the test region polygons (geodesic
     measures as Column expressions; identical edge arithmetic on the DuckDB
@@ -5572,6 +5603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "pareto_docs": q_pareto_docs,
         "bigram_logprob": q_bigram_logprob,
+        "geo_tile_median": q_geo_tile_median,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5710,4 +5742,5 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens": _SQL_HEAVY_HITTERS,
         "pareto_docs": _SQL_PARETO_DOCS,
         "bigram_logprob": _SQL_BIGRAM_LP,
+        "geo_tile_median": _SQL_GEO_TILE_MEDIAN,
     }

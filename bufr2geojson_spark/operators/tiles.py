@@ -14,7 +14,7 @@ cells so the common path pays no extra shuffle width.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bufr2geojson_spark.functions.cells import MAX_LEVEL, s2_parent_col
@@ -313,6 +313,60 @@ def tile_percentiles_salted(
     cols = [F.col("_pcts")[i].alias(_pct_label(p))
             for i, p in enumerate(percentiles)]
     return out.select(cell_col, "n_obs", *cols)
+
+
+def tile_exact_median(
+    features: DataFrame,
+    cell_col: str = "cell_s2",
+    value_col: str = "result_value",
+) -> DataFrame:
+    """EXACT per-cell median with NO per-group sort shuffle — the counting
+    formulation that makes exact medians feasible at 100 TB.
+
+    ``tile_percentiles(exact=True)`` (``F.percentile``) materializes every
+    group's values on one reducer; at a billion rows per hot cell that
+    reducer dies. This operator instead observes that a median only needs
+    per-VALUE counts: groupBy (cell, value) is algebraic (map-side combine
+    collapses a hot cell to one row per distinct value per input partition
+    before the shuffle, and the compound key spreads the hot cell across
+    reducers — exactly the ``tile_percentiles_salted`` sketch shape but
+    lossless), and a window over the per-cell VALUE HISTOGRAM — already
+    reduced to occupied values, never observations — finds the value(s)
+    covering rank positions ⌈n/2⌉ and ⌊n/2⌋+1. Median = their mean (equal
+    for odd n, the standard interpolation for even n).
+
+    Returns (cell, n_obs, median). The DuckDB oracle is the built-in
+    ``median()`` — a sort-based, entirely different algorithm."""
+    g = (
+        features.filter(F.col(value_col).isNotNull())
+        .groupBy(cell_col, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wcum = (
+        Window.partitionBy(cell_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(cell_col)
+    t = (
+        g.withColumn("_cum", F.sum("_cnt").over(wcum))
+        .withColumn("_n", F.sum("_cnt").over(wall))
+    )
+    prev = F.col("_cum") - F.col("_cnt")
+    k1 = F.shiftright(F.col("_n") + 1, 1)   # ceil(n/2)
+    k2 = F.shiftright(F.col("_n"), 1) + 1   # floor(n/2) + 1
+    covers = lambda k: (prev < k) & (F.col("_cum") >= k)  # noqa: E731
+    contrib = (
+        F.when(covers(k1), F.col("_v")).otherwise(F.lit(0.0))
+        + F.when(covers(k2), F.col("_v")).otherwise(F.lit(0.0))
+    )
+    return (
+        t.groupBy(cell_col)
+        .agg(
+            F.max("_n").alias("n_obs"),
+            (F.sum(contrib) / F.lit(2.0)).alias("median"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -882,6 +882,52 @@ class TestTilePercentilesSalted:
         assert abs(r["p50"] - 2.4995) <= 0.005 + 1e-9
 
 
+class TestTileExactMedian:
+    """Counting-formulation exact median vs a brute-force numpy sort."""
+
+    def test_matches_numpy_median(self, spark, feat):
+        from bufr2geojson_spark.operators.tiles import tile_exact_median
+
+        df, pdf = feat
+        got = {r["cell_s2"]: (r["n_obs"], r["median"]) for r in
+               tile_exact_median(df).collect()}
+        exp = pdf.groupby("cell_s2")["result_value"].agg(["count", "median"])
+        assert set(got) == set(exp.index)
+        for cell, (n, med) in got.items():
+            assert n == exp.loc[cell, "count"]
+            assert med == pytest.approx(exp.loc[cell, "median"], abs=1e-9)
+
+    def test_odd_even_ties_and_nulls(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_exact_median
+
+        rows = [
+            # odd n -> exact middle value
+            ("a", 1.0), ("a", 5.0), ("a", 100.0),
+            # even n -> mean of the two middle values
+            ("b", 1.0), ("b", 2.0), ("b", 10.0), ("b", 11.0),
+            # duplicates straddling the middle (histogram row covers both
+            # ranks) and a null that must be ignored
+            ("c", 3.0), ("c", 3.0), ("c", 3.0), ("c", 9.0), ("c", None),
+            # single value
+            ("d", -7.5),
+        ]
+        df = spark.createDataFrame(rows, "cell_s2 string, result_value double")
+        got = {r["cell_s2"]: (r["n_obs"], r["median"]) for r in
+               tile_exact_median(df).collect()}
+        assert got == {"a": (3, 5.0), "b": (4, 6.0),
+                       "c": (4, 3.0), "d": (1, -7.5)}
+
+    def test_partitioning_invariant(self, spark, feat):
+        from bufr2geojson_spark.operators.tiles import tile_exact_median
+
+        df, _ = feat
+        a = {r["cell_s2"]: r["median"] for r in
+             tile_exact_median(df.repartition(2)).collect()}
+        b = {r["cell_s2"]: r["median"] for r in
+             tile_exact_median(df.repartition(16)).collect()}
+        assert a == b
+
+
 class TestKdeHeatmap:
     def test_matches_bruteforce(self, spark):
         import math
