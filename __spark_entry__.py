@@ -5483,8 +5483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        # train_val_split: the one never-checked sampling query that sat past
+        # the r2 cutoff; takes embedding_near_dup's slot (r1-green, unchanged
+        # since — moved to the tail)
+        "train_val_split": q_train_val_split,
         # dedup pipeline tail
         "dedup_components": q_dedup_components,
         "dedup_survivors": q_dedup_survivors,
@@ -5547,7 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_idw_smooth": q_geo_idw_smooth,
         "geo_compact_cells": q_geo_compact_cells,
         "geo_uncompact_cells": q_geo_uncompact_cells,
-        "train_val_split": q_train_val_split,
+        "embedding_near_dup": q_embedding_near_dup,
         "weighted_sample": q_weighted_sample,
         "event_tile_trend": q_event_tile_trend,
         "event_trend_outliers": q_event_trend_outliers,
