@@ -2651,6 +2651,53 @@ _SQL_DUP_NGRAMS = """
 """
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring-dedup cut list (Lee et al. 2022 semantics): maximal
+    token spans covered by cross-document duplicated 5-grams. Oracle
+    reproduces the gaps-and-islands merge with DuckDB window functions over
+    raw gram strings (Spark shuffles md5 hashes — same dup set)."""
+    d = _t(spark, sf_dir, "documents")
+    return T.dedup_substring_spans(d, k=5, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+_SQL_DEDUP_SUBSTRING_SPANS = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(ws[i:i+4], ' ') AS gram
+        FROM w, LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(ws) - 4, 0))) AS i) s
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    flag AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         IS NULL
+                         OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos) + 5
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM flag
+    )
+    SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + 4)::BIGINT AS span_end,
+           (max(pos) + 4 - min(pos) + 1)::BIGINT AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""
+
+
 def q_unigram_logprob(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.unigram_logprob(d).orderBy("doc_id")
@@ -5607,6 +5654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_docs": q_pareto_docs,
         "bigram_logprob": q_bigram_logprob,
         "geo_tile_median": q_geo_tile_median,
+        "dedup_substring_spans": q_dedup_substring_spans,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5746,4 +5794,5 @@ def oracle_sql() -> dict[str, str]:
         "pareto_docs": _SQL_PARETO_DOCS,
         "bigram_logprob": _SQL_BIGRAM_LP,
         "geo_tile_median": _SQL_GEO_TILE_MEDIAN,
+        "dedup_substring_spans": _SQL_DEDUP_SUBSTRING_SPANS,
     }

@@ -1134,6 +1134,77 @@ def dup_ngram_spans(
     )
 
 
+def dedup_substring_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the MAXIMAL token spans
+    of each document that are covered by word ``k``-grams occurring in
+    ≥ ``min_docs`` distinct documents — i.e. the spans a training pipeline
+    would cut out before tokenization. ``dup_ngram_spans`` scores coverage;
+    this operator materializes the cut list.
+
+    Plan shape: positional k-grams from one JVM-side ``posexplode``
+    (fixed-width md5 over the shuffle, as in ``dup_ngram_spans``); the
+    duplicated-gram set is one map-side-combined groupBy; hit positions
+    shuffle ONCE keyed by doc_id, where a single window sort serves both
+    the gaps-and-islands lag flag and the island running sum (same
+    partitioning + ordering → Catalyst reuses the sort), and the final
+    span groupBy is partial-aggregated on the already-partitioned data.
+    Every stage is O(total tokens) work and fixed-width shuffle — never
+    pairwise, never a per-doc suffix array. The suffix-array construction
+    of the paper finds the same ≥k-token duplicated spans; the k-gram
+    formulation distributes as plain dataflow.
+
+    Returns (doc_id, span_start, span_end, span_tokens), token positions
+    0-based inclusive; overlapping/adjacent gram hits merge into one span.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingles_of(F.col(text_col), k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", F.md5("gram").alias("gid"))
+    dup = (
+        grams.groupBy("gid")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gid")
+    )
+    hits = grams.join(dup, "gid").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # a gram at pos covers tokens [pos, pos+k-1]; a new island starts when
+    # the gap to the previous hit exceeds k (pos == prev+k is contiguous
+    # token coverage and must merge)
+    t = hits.withColumn(
+        "new_isl",
+        F.when(prev.isNull() | (F.col("pos") > prev + F.lit(k)), 1)
+        .otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        t.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long").alias("span_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # unigram language-model scoring (perplexity proxy)
 # ---------------------------------------------------------------------------

@@ -507,6 +507,80 @@ class TestDupNgramSpans:
         assert out == {1: 0, 2: 0}
 
 
+class TestDedupSubstringSpans:
+    """Lee-et-al exact-substring-dedup cut list vs a brute-force merge."""
+
+    @staticmethod
+    def _brute(rows, k):
+        from collections import defaultdict
+        gram_docs = defaultdict(set)
+        doc_pos = {}
+        for r in rows:
+            ws = r.text.split(" ")
+            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+            doc_pos[r.doc_id] = grams
+            for g in grams:
+                gram_docs[g].add(r.doc_id)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        spans = []
+        for did, grams in doc_pos.items():
+            covered = sorted(
+                i for i, g in enumerate(grams) if g in dup
+            )
+            cur = None
+            for p in covered:
+                if cur and p <= cur[1] - k + 1 + k:  # p <= prev_pos + k
+                    cur[1] = p + k - 1
+                else:
+                    if cur:
+                        spans.append((did, cur[0], cur[1], cur[1] - cur[0] + 1))
+                    cur = [p, p + k - 1]
+            if cur:
+                spans.append((did, cur[0], cur[1], cur[1] - cur[0] + 1))
+        return sorted(spans)
+
+    def test_matches_bruteforce(self, spark, docs):
+        d = docs.limit(150)
+        k = 5
+        exp = self._brute(d.select("doc_id", "text").collect(), k)
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in T.dedup_substring_spans(d, k=k, min_docs=2).collect()
+        )
+        assert got == exp
+        assert exp  # synth corpus contains cross-doc near-dups
+
+    def test_adjacent_and_overlapping_hits_merge(self, spark):
+        # docs 1 and 2 share two 3-gram hits: "a b c" at pos 0 and "d e f"
+        # at pos 3 in doc 1 — contiguous coverage [0,2]+[3,5] must merge
+        # into one span; doc 3 has a far-apart second hit -> two spans
+        d = spark.createDataFrame(
+            [
+                (1, "a b c d e f q q q q"),
+                (2, "a b c z z d e f"),
+                (3, "a b c w w w w w w w a b c"),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in T.dedup_substring_spans(d, k=3, min_docs=2).collect()
+        )
+        assert got == [
+            (1, 0, 5, 6),
+            (2, 0, 2, 3), (2, 5, 7, 3),
+            (3, 0, 2, 3), (3, 10, 12, 3),
+        ]
+
+    def test_partitioning_invariant(self, spark, docs):
+        d = docs.limit(120)
+        a = sorted(map(tuple, T.dedup_substring_spans(
+            d.repartition(2), k=5).collect()))
+        b = sorted(map(tuple, T.dedup_substring_spans(
+            d.repartition(16), k=5).collect()))
+        assert a == b
+
+
 class TestUnigramLogprob:
     def test_matches_bruteforce(self, spark, docs):
         import math
