@@ -2041,6 +2041,56 @@ _SQL_COHORT_RETENTION = """
 """
 
 
+def q_event_interval_join(spark, sf_dir):
+    """Point-in-interval join of the event stream against 20 deterministic
+    campaign windows via the time-bucketed equi-join (never the
+    |events|×|windows| theta join a naive BETWEEN plans); per-window
+    rollup after the exact containment filter. Oracle: the literal
+    BETWEEN join — DuckDB plans it as an IE-join, a different algorithm."""
+    from bufr2geojson_spark.operators.events import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("id")
+    # events.ts is TIMESTAMP_NTZ — keep the window bounds NTZ too, so the
+    # containment comparison is plain wall-clock like the DuckDB oracle's
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    w = spark.range(20).select(
+        i.alias("w_id"),
+        (base + F.make_interval(hours=(i * 31 + 5).cast("int")))
+        .cast("timestamp_ntz").alias("w_start"),
+        (base + F.make_interval(
+            hours=(i * 31 + 5 + (i % 5) + 1).cast("int")))
+        .cast("timestamp_ntz").alias("w_end"),
+    )
+    return (
+        interval_join_bucketed(ev, w)
+        .groupBy("w_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("w_id")
+    )
+
+
+_SQL_EVENT_INTERVAL_JOIN = """
+    WITH w AS (
+        SELECT i AS w_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + (i * 31 + 5) * INTERVAL 1 HOUR AS w_start,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + (i * 31 + 5 + (i % 5) + 1) * INTERVAL 1 HOUR AS w_end
+        FROM (SELECT unnest(generate_series(0, 19)) AS i)
+    )
+    SELECT w_id, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w_id ORDER BY w_id
+"""
+
+
 def q_event_resample(spark, sf_dir):
     """Regular-grid resampling with linear interpolation of each user's
     value series (6-hour grid) — the observation gap-filling primitive."""
@@ -5655,6 +5705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "geo_tile_median": q_geo_tile_median,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "event_interval_join": q_event_interval_join,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5795,4 +5846,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _SQL_BIGRAM_LP,
         "geo_tile_median": _SQL_GEO_TILE_MEDIAN,
         "dedup_substring_spans": _SQL_DEDUP_SUBSTRING_SPANS,
+        "event_interval_join": _SQL_EVENT_INTERVAL_JOIN,
     }

@@ -103,6 +103,61 @@ def asof_join(
     )
 
 
+def interval_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (``start <= ts < end``) WITHOUT the cartesian
+    a naive theta-join plans: both sides are keyed to fixed time buckets —
+    each event to the one bucket containing its timestamp, each interval
+    EXPLODED to the buckets it overlaps — so the join is a plain equi-join
+    on the bucket id, then an exact containment filter. Shuffle and work
+    are O(events + Σ interval-buckets), never |events| × |intervals|; an
+    event's single bucket means a qualifying (event, interval) pair is
+    produced exactly once, so no post-join dedup. Skewed buckets re-split
+    under AQE; ``bucket_seconds`` trades interval fan-out (long intervals
+    → more bucket copies) against bucket width (wider → more false
+    candidates filtered after the join).
+
+    Returns every event column plus the matching interval's columns; events
+    matching no interval are dropped (inner semantics), events in several
+    overlapping intervals appear once per match.
+    """
+    bus = F.lit(int(bucket_seconds) * 1_000_000)
+
+    # works for TIMESTAMP and TIMESTAMP_NTZ columns alike: the NTZ->TZ cast
+    # uses the session timezone, but it is applied identically to events and
+    # intervals, so bucket alignment is timezone-independent
+    def ep(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    e = events.withColumn(
+        "_bucket", F.floor(ep(F.col(ts_col)) / bus)
+    )
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(ep(F.col(start_col)) / bus),
+                # end is exclusive: the last covered microsecond is end-1
+                F.floor((ep(F.col(end_col)) - 1) / bus),
+            )
+        ),
+    )
+    return (
+        e.join(i, "_bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
 def resample_interpolate(
     events: DataFrame,
     step: str = "6 hours",

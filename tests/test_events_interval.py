@@ -1,0 +1,102 @@
+"""interval_join_bucketed: the time-bucketed point-in-interval join."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bufr2geojson_spark.operators.events import interval_join_bucketed
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def _windows(spark, rows):
+    return spark.createDataFrame(
+        rows, "w_id long, w_start timestamp, w_end timestamp"
+    )
+
+
+class TestIntervalJoinBucketed:
+    def test_matches_bruteforce(self, spark):
+        # events every 17 minutes for 2 days; windows of assorted lengths,
+        # some overlapping, some empty, some spanning many buckets
+        base = _ts("2024-03-01 00:00:00")
+        ev = [
+            (i, base + dt.timedelta(minutes=17 * i), i % 7, float(i))
+            for i in range(170)
+        ]
+        ws = [
+            (0, _ts("2024-03-01 01:00:00"), _ts("2024-03-01 02:00:00")),
+            (1, _ts("2024-03-01 01:30:00"), _ts("2024-03-01 05:00:00")),
+            (2, _ts("2024-03-01 23:00:00"), _ts("2024-03-02 08:30:00")),
+            (3, _ts("2024-03-05 00:00:00"), _ts("2024-03-06 00:00:00")),
+        ]
+        got = sorted(
+            (r.event_id, r.w_id)
+            for r in interval_join_bucketed(
+                _events(spark, ev), _windows(spark, ws)
+            ).collect()
+        )
+        exp = sorted(
+            (e[0], w[0])
+            for e in ev for w in ws
+            if w[1] <= e[1] < w[2]
+        )
+        assert got == exp
+        assert exp  # fixture actually produces matches
+        # overlapping windows 0 and 1 both match events in [01:30, 02:00)
+        both = {e for e, w in exp if w == 0} & {e for e, w in exp if w == 1}
+        assert both
+
+    def test_end_exclusive_start_inclusive(self, spark):
+        ev = [
+            (0, _ts("2024-03-01 01:00:00"), 1, 1.0),  # == start: in
+            (1, _ts("2024-03-01 02:00:00"), 1, 1.0),  # == end: out
+        ]
+        ws = [(0, _ts("2024-03-01 01:00:00"), _ts("2024-03-01 02:00:00"))]
+        got = [r.event_id for r in interval_join_bucketed(
+            _events(spark, ev), _windows(spark, ws)).collect()]
+        assert got == [0]
+
+    def test_no_duplicate_matches_per_pair(self, spark):
+        # a window spanning 30 buckets must still emit each (event, window)
+        # pair once — the event keys to ONE bucket
+        ev = [(0, _ts("2024-03-01 12:00:00"), 1, 1.0)]
+        ws = [(0, _ts("2024-03-01 00:00:00"), _ts("2024-03-02 06:00:00"))]
+        out = interval_join_bucketed(
+            _events(spark, ev), _windows(spark, ws)).collect()
+        assert len(out) == 1
+
+    def test_bucket_width_invariant(self, spark):
+        base = _ts("2024-03-01 00:00:00")
+        ev = [(i, base + dt.timedelta(minutes=11 * i), i % 3, 0.0)
+              for i in range(120)]
+        ws = [(j, base + dt.timedelta(hours=2 * j),
+               base + dt.timedelta(hours=2 * j, minutes=90))
+              for j in range(6)]
+        res = []
+        for b in (60, 3600, 7 * 3600):
+            res.append(sorted(
+                (r.event_id, r.w_id)
+                for r in interval_join_bucketed(
+                    _events(spark, ev), _windows(spark, ws),
+                    bucket_seconds=b).collect()
+            ))
+        assert res[0] == res[1] == res[2]
+
+    def test_plan_is_equi_join_not_cartesian(self, spark):
+        ev = _events(spark, [(0, _ts("2024-03-01 00:30:00"), 1, 1.0)])
+        ws = _windows(
+            spark, [(0, _ts("2024-03-01 00:00:00"),
+                     _ts("2024-03-01 01:00:00"))])
+        plan = interval_join_bucketed(ev, ws)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
