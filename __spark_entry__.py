@@ -2943,6 +2943,29 @@ def _sql_fingerprint():
 _ANN_QUERY_IDS = [0, 7, 21, 42, 99]
 
 
+def q_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 → 8 dims against the
+    deterministic hyperplane matrix; oracle is the explicit left-associated
+    64-term sum over the same 6-dp plane literals."""
+    e = _t(spark, sf_dir, "embeddings")
+    return A.random_projection(e, out_dim=8).orderBy("vec_id")
+
+
+def _sql_rp_project():
+    planes = A.hyperplanes(8, 64)
+    cols = []
+    for t, row in enumerate(planes):
+        terms = " + ".join(f"e[{i + 1}] * {row[i]!r}" for i in range(64))
+        cols.append(f"round({terms}, 6) AS p{t}")
+    sel = ",\n           ".join(cols)
+    return f"""
+    SELECT vec_id,
+           {sel}
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    ORDER BY vec_id
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return A.cosine_topk(e, _ANN_QUERY_IDS, k=5).orderBy("query_id", "rank")
@@ -5706,6 +5729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_median": q_geo_tile_median,
         "dedup_substring_spans": q_dedup_substring_spans,
         "event_interval_join": q_event_interval_join,
+        "rp_project": q_rp_project,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5847,4 +5871,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_median": _SQL_GEO_TILE_MEDIAN,
         "dedup_substring_spans": _SQL_DEDUP_SUBSTRING_SPANS,
         "event_interval_join": _SQL_EVENT_INTERVAL_JOIN,
+        "rp_project": _sql_rp_project(),
     }

@@ -271,6 +271,51 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dim → ``out_dim`` against
+    the deterministic ``hyperplanes`` matrix — the dimensionality-reduction
+    step in front of clustering / coarse ANN when 64+ dims are too wide to
+    shuffle. Embarrassingly parallel (one narrow Arrow pass, no shuffle:
+    only (id, vector) cross the boundary and the plane matrix lives in the
+    UDF closure — out_dim × dim doubles, broadcast-sized at any realistic
+    width). Per-plane dots accumulate left-to-right, bit-identical to an
+    explicit left-associated SQL sum over the same 6-dp plane literals.
+
+    Returns (id_col, p0..p{out_dim-1}) with each projection rounded to
+    ``dp`` decimals.
+    """
+    P = np.asarray(hyperplanes(out_dim, dim), dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy())
+        cols = [
+            _seq_dot_np(V, np.broadcast_to(P[t], V.shape))
+            for t in range(P.shape[0])
+        ]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    out = embeddings.select(
+        id_col, proj(_as_double(F.col(vec_col), dim)).alias("_p")
+    )
+    return out.select(
+        id_col,
+        *[
+            F.round(F.col("_p")[t], dp).alias(f"p{t}")
+            for t in range(out_dim)
+        ],
+    )
+
+
 def _dot_lit(vec: Column, plane: list[float]) -> Column:
     """vec · literal plane, unrolled with scalar literals (codegen; the
     constants fold into the generated code — no array literal, no HOF).

@@ -507,6 +507,63 @@ class TestDupNgramSpans:
         assert out == {1: 0, 2: 0}
 
 
+class TestRandomProjection:
+    """JL projection vs numpy brute-force, plus the distance-preservation
+    property it exists for (everything deterministic: fixed corpus, fixed
+    md5 planes — no statistical flake)."""
+
+    def test_matches_bruteforce(self, spark, emb):
+        import numpy as np
+
+        rows = emb.limit(200).collect()
+        P = np.asarray(A.hyperplanes(8, 64))
+        got = {
+            r.vec_id: [r[f"p{t}"] for t in range(8)]
+            for r in A.random_projection(
+                emb.limit(200), out_dim=8).collect()
+        }
+        assert len(got) == len(rows)
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            for t in range(8):
+                acc = v[0] * P[t][0]
+                for j in range(1, 64):
+                    acc += v[j] * P[t][j]
+                exp = float(np.floor(abs(acc) * 1e6 + 0.5) / 1e6
+                            * (1 if acc >= 0 else -1))
+                assert got[r.vec_id][t] == pytest.approx(exp, abs=1e-9)
+
+    def test_distance_preservation(self, spark, emb):
+        import numpy as np
+
+        rows = emb.limit(80).collect()
+        proj = {
+            r.vec_id: np.array([r[f"p{t}"] for t in range(8)])
+            for r in A.random_projection(emb.limit(80), out_dim=8).collect()
+        }
+        orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in rows}
+        # planes ~ U[-1,1): E[(p·x)^2] = |x|^2/3, so the unbiased distance
+        # estimate scales by sqrt(3/out_dim); require the median distortion
+        # of pairwise distances to be modest (JL with 8 dims is coarse)
+        ids = sorted(orig)[:40]
+        ratios = []
+        scale = np.sqrt(3.0 / 8.0)
+        for i in range(0, len(ids) - 1, 2):
+            a, b = ids[i], ids[i + 1]
+            d0 = np.linalg.norm(orig[a] - orig[b])
+            d1 = np.linalg.norm(proj[a] - proj[b]) * scale
+            if d0 > 0:
+                ratios.append(d1 / d0)
+        med = sorted(ratios)[len(ratios) // 2]
+        assert 0.5 < med < 2.0
+
+    def test_no_shuffle_in_plan(self, spark, emb):
+        plan = A.random_projection(emb)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestDedupSubstringSpans:
     """Lee-et-al exact-substring-dedup cut list vs a brute-force merge."""
 
