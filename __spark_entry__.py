@@ -2943,6 +2943,26 @@ def _sql_fingerprint():
 _ANN_QUERY_IDS = [0, 7, 21, 42, 99]
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Typo-tolerant entity matching: customer-name pairs at Levenshtein
+    distance ≤ 1 via deletion-neighborhood (FastSS) blocking + exact
+    verify; oracle is the brute-force all-pairs levenshtein theta-join —
+    a different algorithm."""
+    c = _t(spark, sf_dir, "customer")
+    return T.edit_distance_join(c, "c_name", "c_custkey").orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SQL_FUZZY_NAME_PAIRS = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+"""
+
+
 def q_rp_project(spark, sf_dir):
     """Johnson-Lindenstrauss projection 64 → 8 dims against the
     deterministic hyperplane matrix; oracle is the explicit left-associated
@@ -5730,6 +5750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": q_dedup_substring_spans,
         "event_interval_join": q_event_interval_join,
         "rp_project": q_rp_project,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5872,4 +5893,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": _SQL_DEDUP_SUBSTRING_SPANS,
         "event_interval_join": _SQL_EVENT_INTERVAL_JOIN,
         "rp_project": _sql_rp_project(),
+        "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
     }

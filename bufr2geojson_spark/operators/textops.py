@@ -1205,6 +1205,64 @@ def dedup_substring_spans(
     )
 
 
+def edit_distance_join(
+    df: DataFrame,
+    str_col: str,
+    id_col: str,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ≤ 1 — typo-tolerant entity
+    matching (name/URL/SKU dedup) WITHOUT the quadratic compare a naive
+    theta-join plans.
+
+    Deletion-neighborhood blocking (Bocek et al.'s FastSS, the standard
+    trick behind SymSpell): every string emits itself plus each of its
+    single-character deletions; two strings at edit distance ≤ 1 are
+    GUARANTEED to share a variant (equal → self; substitution → deletion
+    at the substituted position; insert/delete → the longer's deletion is
+    the shorter itself), so an equi-join on the md5 of the variant finds a
+    complete candidate set and an exact ``levenshtein`` verify on
+    candidates only keeps correctness. Work and shuffle are
+    O(rows × length) fixed-width hashes; candidate volume follows variant
+    collisions, never |rows|². Verify cost is bounded by candidates.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    n = F.length("s")
+    variants = base.select(
+        "id", "s",
+        F.explode(
+            F.concat(
+                F.array(F.md5("s")),
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.md5(
+                        F.concat(
+                            F.substr(F.col("s"), F.lit(1), i - 1),
+                            F.substr(F.col("s"), i + 1, n),
+                        )
+                    ),
+                ),
+            )
+        ).alias("vh"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.vh") == F.col("b.vh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # unigram language-model scoring (perplexity proxy)
 # ---------------------------------------------------------------------------

@@ -507,6 +507,63 @@ class TestDupNgramSpans:
         assert out == {1: 0, 2: 0}
 
 
+class TestEditDistanceJoin:
+    """FastSS deletion-neighborhood join vs brute-force levenshtein."""
+
+    @staticmethod
+    def _lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    def test_matches_bruteforce(self, spark):
+        names = [
+            "alpha", "alphb", "alph", "alphaa", "beta", "betta", "bet",
+            "gamma", "gamma", "gamm", "delta", "xelta", "dxlta", "dleta",
+            "", "a", "b", "ab",
+        ]
+        rows = [(i, s) for i, s in enumerate(names)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in T.edit_distance_join(df, "name", "id").collect()
+        )
+        exp = sorted(
+            (i, j, self._lev(a, b))
+            for i, a in rows for j, b in rows
+            if i < j and self._lev(a, b) <= 1
+        )
+        assert got == exp
+        # the fixture exercises: exact dup (gamma/gamma), substitution,
+        # insert/delete, and empty-string edges
+        assert (8, 8, 0) not in got and any(d == 0 for _, _, d in got)
+
+    def test_no_false_candidates_survive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdef"), (2, "abdcef"), (3, "zzzzzz")],
+            "id long, name string",
+        )
+        # "abcdef" vs "abdcef" share the deletion "abcef"? (transposition,
+        # distance 2) — it may be a CANDIDATE but must be verified away
+        got = T.edit_distance_join(df, "name", "id").collect()
+        assert got == []
+
+    def test_partitioning_invariant(self, spark):
+        rows = [(i, f"item-{i:04d}") for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        a = sorted(map(tuple, T.edit_distance_join(
+            df.repartition(2), "name", "id").collect()))
+        b = sorted(map(tuple, T.edit_distance_join(
+            df.repartition(16), "name", "id").collect()))
+        assert a == b and a  # digit-substitution pairs exist
+
+
 class TestRandomProjection:
     """JL projection vs numpy brute-force, plus the distance-preservation
     property it exists for (everything deterministic: fixed corpus, fixed
