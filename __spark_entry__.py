@@ -3552,6 +3552,69 @@ _SQL_ENGINE_AUDIO_DIGEST = """
 """
 
 
+def q_engine_hll_digest(spark, sf_dir):
+    """Mergeable-sketch digest: per-cell Datasketches-HLL distinct-station
+    sketches over the deterministic engine corpus, rolled up to level 6 by
+    sketch UNION. Pins (a) the rollup-path invariant — unioned fine
+    sketches give the same estimate as sketching the coarse cell directly
+    (register max is commutative/idempotent), expected 0 mismatches; (b)
+    the summed integer-cents estimates; (c) the max relative error vs the
+    exact distinct count in 1e-4 units (HLL is deterministic, so the error
+    is a constant, not a tolerance)."""
+    from bufr2geojson_spark.operators.tiles import (
+        hll_estimate,
+        tile_hll_rollup,
+        tile_hll_sketch,
+    )
+    from bufr2geojson_spark.functions.cells import s2_parent_col
+
+    docs, _, _ = _synth_engine_inputs(spark)
+    feats = with_cells(decode_documents(docs).filter("error is null"))
+    rolled = hll_estimate(
+        tile_hll_rollup(tile_hll_sketch(feats, key_col="wsi"), 6)
+    ).withColumnRenamed("n_distinct_est", "est_rollup")
+    parent = s2_parent_col(F.col("cell_s2"), 6).alias("cell_s2")
+    direct = hll_estimate(
+        tile_hll_sketch(feats.select(parent, "wsi"), key_col="wsi")
+    ).withColumnRenamed("n_distinct_est", "est_direct")
+    exact = feats.select(parent, "wsi").groupBy("cell_s2").agg(
+        F.countDistinct("wsi").alias("n_exact")
+    )
+    j = rolled.join(direct, "cell_s2").join(exact, "cell_s2")
+    base = j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.floor(F.col("est_rollup") * 100).cast("long"))
+        .alias("est_cents"),
+        F.sum(F.when(F.col("est_rollup") != F.col("est_direct"), 1)
+              .otherwise(0)).cast("long").alias("n_rollup_mismatch"),
+        F.max(
+            F.floor(
+                F.abs(F.col("est_rollup") - F.col("n_exact"))
+                / F.col("n_exact") * 10000
+            ).cast("long")
+        ).alias("max_rel_err_1e4"),
+    )
+    # NOTE: the digest deliberately stays in the sketch's sparse/exact
+    # regime. In estimation mode the Datasketches HIP estimator is
+    # insertion-ORDER-dependent (a direct-built sketch and a union of the
+    # same data report slightly different estimates, and Spark's partial
+    # aggregation makes even "direct" a merge whose shape follows
+    # partitioning — measured: mismatch counts 4 vs 6 at local[8] vs
+    # local[32], lgk=4). Estimation-mode behavior is therefore pinned by a
+    # tolerance pytest (tests/test_tiles.py::TestTileHll), not a constant
+    # oracle.
+    return base
+
+
+# constants verified identical at local[8]/7 partitions and local[32]/32
+_SQL_ENGINE_HLL_DIGEST = """
+    SELECT CAST(67 AS BIGINT) AS n_cells,
+           CAST(7100 AS BIGINT) AS est_cents,
+           CAST(0 AS BIGINT) AS n_rollup_mismatch,
+           CAST(0 AS BIGINT) AS max_rel_err_1e4
+"""
+
+
 def q_engine_quarantine_digest(spark, sf_dir):
     """Error-containment digest (R27): three deterministic failure probes
     (garbage header JSON, missing header span, delayed-replication
@@ -5751,6 +5814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_interval_join": q_event_interval_join,
         "rp_project": q_rp_project,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "engine_hll_digest": q_engine_hll_digest,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5894,4 +5958,5 @@ def oracle_sql() -> dict[str, str]:
         "event_interval_join": _SQL_EVENT_INTERVAL_JOIN,
         "rp_project": _sql_rp_project(),
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
+        "engine_hll_digest": _SQL_ENGINE_HLL_DIGEST,
     }

@@ -369,6 +369,55 @@ def tile_exact_median(
     )
 
 
+def tile_hll_sketch(
+    features: DataFrame,
+    cell_col: str = "cell_s2",
+    key_col: str = "wsi",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-cell Datasketches-HLL sketch of distinct ``key_col`` values —
+    the mergeable form of COUNT(DISTINCT) that makes distinct-per-tile
+    rollups feasible at 100 TB: the shuffle carries one ≤2^lgk-register
+    sketch per cell (partial-aggregated map-side) instead of every
+    distinct key, and coarser zoom levels are computed from the sketches
+    alone (``tile_hll_rollup``) without ever re-scanning observations.
+    Register updates are max() — commutative and idempotent — so the
+    register STATE is independent of partitioning and of the rollup path
+    (union of fine sketches == direct coarse sketch). The reported
+    ESTIMATE is path-exact only in the sparse/exact regime: in estimation
+    mode Datasketches' HIP estimator is insertion-order-dependent, so a
+    direct-built sketch and a union of the same data can differ by a
+    fraction of the error bound (measured ~1e-3 relative; pytest pins the
+    exact equality in sparse mode and the tolerance in estimation
+    mode)."""
+    return features.groupBy(cell_col).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("hll")
+    )
+
+
+def tile_hll_rollup(
+    sketches: DataFrame,
+    level: int,
+    cell_col: str = "cell_s2",
+) -> DataFrame:
+    """Union per-cell sketches up to ancestor ``level`` — one groupBy over
+    already-reduced sketch rows (≤ |cells| rows, never |observations|)."""
+    return (
+        sketches.groupBy(
+            s2_parent_col(F.col(cell_col), level).alias(cell_col)
+        )
+        .agg(F.hll_union_agg("hll").alias("hll"))
+    )
+
+
+def hll_estimate(
+    sketches: DataFrame, cell_col: str = "cell_s2"
+) -> DataFrame:
+    return sketches.select(
+        cell_col, F.hll_sketch_estimate("hll").alias("n_distinct_est")
+    )
+
+
 # ---------------------------------------------------------------------------
 # N6: vector -> raster and raster -> vector
 # ---------------------------------------------------------------------------

@@ -928,6 +928,105 @@ class TestTileExactMedian:
         assert a == b
 
 
+class TestTileHll:
+    """Mergeable distinct-count sketches: rollup invariance and accuracy."""
+
+    def test_sparse_mode_exact_and_path_invariant(self, spark, feat):
+        from bufr2geojson_spark.functions.cells import s2_parent_col
+        from bufr2geojson_spark.operators.tiles import (
+            hll_estimate, tile_hll_rollup, tile_hll_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        df, pdf = feat
+        # few distinct keys per cell -> sketches stay sparse/exact
+        df = df.withColumn("key", (F.crc32("feature_id") % 50).cast("long"))
+        rolled = {
+            r["cell_s2"]: r["n_distinct_est"]
+            for r in hll_estimate(
+                tile_hll_rollup(tile_hll_sketch(df, key_col="key"), 6)
+            ).collect()
+        }
+        direct = {
+            r["cell_s2"]: r["n_distinct_est"]
+            for r in hll_estimate(
+                tile_hll_sketch(
+                    df.select(
+                        s2_parent_col(F.col("cell_s2"), 6).alias("cell_s2"),
+                        "key",
+                    ),
+                    key_col="key",
+                )
+            ).collect()
+        }
+        exact = {
+            r["cell_s2"]: r["n"]
+            for r in df.select(
+                s2_parent_col(F.col("cell_s2"), 6).alias("cell_s2"), "key"
+            ).groupBy("cell_s2").agg(
+                F.countDistinct("key").alias("n")).collect()
+        }
+        assert rolled == direct
+        assert {c: int(v) for c, v in rolled.items()} == exact
+
+    def test_estimation_mode_bounded_error(self, spark, feat):
+        from bufr2geojson_spark.functions.cells import s2_parent_col
+        from bufr2geojson_spark.operators.tiles import (
+            hll_estimate, tile_hll_rollup, tile_hll_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        df, _ = feat
+        # lgk=4 (16 registers) with thousands of distinct feature ids per
+        # coarse cell -> estimation mode; HIP order-dependence means rollup
+        # and direct may differ slightly, but both must stay within the
+        # (generous) 16-register error envelope of the exact count
+        lvl = 2
+        rolled = {
+            r["cell_s2"]: r["n_distinct_est"]
+            for r in hll_estimate(
+                tile_hll_rollup(
+                    tile_hll_sketch(df, key_col="feature_id", lgk=4), lvl
+                )
+            ).collect()
+        }
+        exact = {
+            r["cell_s2"]: r["n"]
+            for r in df.select(
+                s2_parent_col(F.col("cell_s2"), lvl).alias("cell_s2"),
+                "feature_id",
+            ).groupBy("cell_s2").agg(
+                F.countDistinct("feature_id").alias("n")).collect()
+        }
+        assert set(rolled) == set(exact)
+        for c, n in exact.items():
+            if n >= 100:
+                assert abs(rolled[c] - n) / n < 0.6
+        assert any(
+            rolled[c] != exact[c] for c in exact if exact[c] >= 100
+        )  # actually in estimation mode, not secretly exact
+
+    def test_partitioning_invariant_in_sparse_mode(self, spark, feat):
+        from bufr2geojson_spark.operators.tiles import (
+            hll_estimate, tile_hll_rollup, tile_hll_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        df, _ = feat
+        df = df.withColumn("key", (F.crc32("feature_id") % 50).cast("long"))
+        outs = []
+        for p in (2, 16):
+            outs.append({
+                r["cell_s2"]: r["n_distinct_est"]
+                for r in hll_estimate(
+                    tile_hll_rollup(
+                        tile_hll_sketch(df.repartition(p), key_col="key"), 6
+                    )
+                ).collect()
+            })
+        assert outs[0] == outs[1]
+
+
 class TestKdeHeatmap:
     def test_matches_bruteforce(self, spark):
         import math
