@@ -2943,6 +2943,40 @@ def _sql_fingerprint():
 _ANN_QUERY_IDS = [0, 7, 21, 42, 99]
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (32-token windows, stride 24) with per-chunk
+    md5 — map-only, zero shuffle; oracle reproduces the window arithmetic
+    and the md5 over the same joined token slice."""
+    d = _t(spark, sf_dir, "documents")
+    return T.chunk_documents(d, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+_SQL_DOC_CHUNKS = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, ws, n,
+               unnest(generate_series(
+                   0,
+                   CASE WHEN n <= 32 THEN 0
+                        ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) END
+               )) AS ci
+        FROM w
+    )
+    SELECT doc_id, ci AS chunk_idx, (ci * 24)::BIGINT AS start_tok,
+           least(32, n - ci * 24)::BIGINT AS n_tokens,
+           md5(array_to_string(
+               ws[ci * 24 + 1 : ci * 24 + least(32, n - ci * 24)], ' '
+           )) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_fuzzy_name_pairs(spark, sf_dir):
     """Typo-tolerant entity matching: customer-name pairs at Levenshtein
     distance ≤ 1 via deletion-neighborhood (FastSS) blocking + exact
@@ -5815,6 +5849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "engine_hll_digest": q_engine_hll_digest,
+        "doc_chunks": q_doc_chunks,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5959,4 +5994,5 @@ def oracle_sql() -> dict[str, str]:
         "rp_project": _sql_rp_project(),
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
         "engine_hll_digest": _SQL_ENGINE_HLL_DIGEST,
+        "doc_chunks": _SQL_DOC_CHUNKS,
     }

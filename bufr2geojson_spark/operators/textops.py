@@ -1205,6 +1205,61 @@ def dedup_substring_spans(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-width token chunking with overlap — the context-window
+    splitter in front of embedding/training: windows of ``chunk_tokens``
+    whitespace tokens every ``stride`` tokens, the final window shortened
+    to the remaining tail (and a short document yields exactly one chunk).
+
+    Purely narrow (explode of a JVM-side sequence — zero shuffle, zero
+    Python); emitted rows carry an md5 of the chunk text so downstream
+    exact-dedup of chunks joins on fixed-width hashes. At 100 TB this is
+    a map-only stage whose output is ~len/stride rows per doc; the text
+    itself stays columnar until the consumer projects it.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_md5), token
+    positions 0-based.
+    """
+    w = words_of(F.col(text_col))
+    n = F.size(w)
+    # chunk starts: 0, stride, 2*stride, ... while start + chunk < n, plus
+    # the final (possibly short) chunk; n <= chunk -> single chunk at 0
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(stride)) + 1
+    ).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("_w"),
+        n.alias("_n"),
+        F.posexplode(
+            F.sequence(F.lit(0), n_chunks - 1)
+        ).alias("chunk_idx", "_c"),
+    )
+    start = (F.col("_c") * stride).cast("long")
+    n_tok = F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - start)
+    return base.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        n_tok.alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_w"), (start + 1).cast("int"),
+                        n_tok.cast("int")),
+            )
+        ).alias("chunk_md5"),
+    )
+
+
 def edit_distance_join(
     df: DataFrame,
     str_col: str,

@@ -507,6 +507,64 @@ class TestDupNgramSpans:
         assert out == {1: 0, 2: 0}
 
 
+class TestChunkDocuments:
+    @staticmethod
+    def _brute(text, chunk, stride):
+        import hashlib
+        ws = text.split(" ")
+        n = len(ws)
+        k = 1 if n <= chunk else -((-(n - chunk)) // stride) + 1
+        out = []
+        for c in range(k):
+            start = c * stride
+            nt = min(chunk, n - start)
+            h = hashlib.md5(
+                " ".join(ws[start:start + nt]).encode()).hexdigest()
+            out.append((c, start, nt, h))
+        return out
+
+    def test_matches_bruteforce(self, spark, docs):
+        d = docs.limit(80)
+        got = {}
+        for r in T.chunk_documents(d, chunk_tokens=32, stride=24).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_md5))
+        for r in d.select("doc_id", "text").collect():
+            exp = self._brute(r.text, 32, 24)
+            assert sorted(got[r.doc_id]) == exp
+
+    def test_coverage_and_boundaries(self, spark):
+        # n == chunk -> one chunk; n == chunk + stride -> two full chunks;
+        # tail shorter than stride -> short final chunk; tiny doc -> one
+        texts = [
+            (1, " ".join(f"t{i}" for i in range(32))),
+            (2, " ".join(f"t{i}" for i in range(56))),
+            (3, " ".join(f"t{i}" for i in range(57))),
+            (4, "only three tokens"),
+        ]
+        d = spark.createDataFrame(texts, "doc_id long, text string")
+        rows = T.chunk_documents(d, chunk_tokens=32, stride=24).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.doc_id, []).append(
+                (r.start_tok, r.n_tokens))
+        assert sorted(by[1]) == [(0, 32)]
+        assert sorted(by[2]) == [(0, 32), (24, 32)]
+        assert sorted(by[3]) == [(0, 32), (24, 32), (48, 9)]
+        assert sorted(by[4]) == [(0, 3)]
+        # every token position covered by at least one chunk
+        for did, n in [(1, 32), (2, 56), (3, 57), (4, 3)]:
+            covered = set()
+            for s, nt in by[did]:
+                covered |= set(range(s, s + nt))
+            assert covered == set(range(n))
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        plan = T.chunk_documents(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestEditDistanceJoin:
     """FastSS deletion-neighborhood join vs brute-force levenshtein."""
 
