@@ -2091,6 +2091,46 @@ _SQL_EVENT_INTERVAL_JOIN = """
 """
 
 
+def q_event_throttle(spark, sf_dir):
+    """Chained-cooldown throttle (12 h) — keep an event only if ≥ cooldown
+    after the last KEPT event of the same user. Sequentially dependent per
+    key (applyInPandas single pass); the oracle walks the identical chain
+    with a recursive CTE whose working table is the last kept event per
+    user."""
+    from bufr2geojson_spark.operators.events import throttle_events
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        throttle_events(ev, cooldown_s=43200)
+        .select("event_id", "user_id", "ts")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_SQL_EVENT_THROTTLE = """
+    WITH RECURSIVE ordered AS (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    kept AS (
+        SELECT event_id, user_id, ts, rn FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT event_id, user_id, ts, rn FROM (
+            SELECT o.event_id, o.user_id, o.ts, o.rn,
+                   row_number() OVER (PARTITION BY o.user_id
+                                      ORDER BY o.rn) AS rr
+            FROM ordered o
+            JOIN kept k ON o.user_id = k.user_id AND o.rn > k.rn
+                 AND o.ts >= k.ts + INTERVAL 43200 SECOND
+        ) WHERE rr = 1
+    )
+    SELECT event_id, user_id, ts FROM kept
+    ORDER BY user_id, ts, event_id
+"""
+
+
 def q_event_resample(spark, sf_dir):
     """Regular-grid resampling with linear interpolation of each user's
     value series (6-hour grid) — the observation gap-filling primitive."""
@@ -5850,6 +5890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "engine_hll_digest": q_engine_hll_digest,
         "doc_chunks": q_doc_chunks,
+        "event_throttle": q_event_throttle,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -5995,4 +6036,5 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
         "engine_hll_digest": _SQL_ENGINE_HLL_DIGEST,
         "doc_chunks": _SQL_DOC_CHUNKS,
+        "event_throttle": _SQL_EVENT_THROTTLE,
     }

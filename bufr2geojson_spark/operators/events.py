@@ -158,6 +158,47 @@ def interval_join_bucketed(
     )
 
 
+def throttle_events(
+    events: DataFrame,
+    cooldown_s: int = 43200,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Chained-cooldown dedup (alert throttling / retransmission
+    suppression): per key, keep the first event, then suppress every event
+    closer than ``cooldown_s`` to the last KEPT event. This is NOT
+    gap-sessionization — suppression is measured from the last kept event,
+    not the previous event — so a steady drizzle of sub-cooldown events
+    still emits one kept event per cooldown period instead of collapsing
+    into one endless session. The chain makes each row's fate depend on a
+    sequential scan, which no window/lag composition expresses; it is the
+    canonical per-key custom stateful operator.
+
+    Distributed shape: one shuffle keyed on ``key_col``; each group is a
+    single ordered pass with O(1) state (the last kept timestamp) — the
+    batch twin of an ``applyInPandasWithState`` streaming throttle. Ties
+    on the timestamp break by ``seq_col`` so results are deterministic
+    under any partitioning.
+    """
+    import numpy as np
+
+    cd = np.timedelta64(int(cooldown_s), "s")
+
+    def f(pdf):
+        pdf = pdf.sort_values([ts_col, seq_col])
+        ts = pdf[ts_col].to_numpy()
+        keep = np.zeros(len(pdf), dtype=bool)
+        last = None
+        for i in range(len(ts)):
+            if last is None or ts[i] >= last + cd:
+                keep[i] = True
+                last = ts[i]
+        return pdf[keep]
+
+    return events.groupBy(key_col).applyInPandas(f, schema=events.schema)
+
+
 def resample_interpolate(
     events: DataFrame,
     step: str = "6 hours",

@@ -23,6 +23,52 @@ def _windows(spark, rows):
     )
 
 
+class TestThrottleEvents:
+    def test_chain_vs_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.events import throttle_events
+
+        base = _ts("2024-03-01 00:00:00")
+        # drizzle every 3 min; cooldown 5 min -> kept at 0, 6, 12, ... min
+        # (gap sessionization would keep ONLY the first event)
+        ev = [(i, base + dt.timedelta(minutes=3 * i), 1, 0.0)
+              for i in range(20)]
+        got = sorted(r.event_id for r in throttle_events(
+            _events(spark, ev), cooldown_s=300).collect())
+        kept, last = [], None
+        for i, t, _, _ in ev:
+            if last is None or (t - last).total_seconds() >= 300:
+                kept.append(i)
+                last = t
+        assert got == kept
+        assert len(kept) > 1  # proves it is not gap-sessionization
+
+    def test_exact_boundary_inclusive(self, spark):
+        from bufr2geojson_spark.operators.events import throttle_events
+
+        base = _ts("2024-03-01 00:00:00")
+        ev = [(0, base, 1, 0.0),
+              (1, base + dt.timedelta(seconds=300), 1, 0.0),
+              (2, base + dt.timedelta(seconds=599), 1, 0.0)]
+        got = sorted(r.event_id for r in throttle_events(
+            _events(spark, ev), cooldown_s=300).collect())
+        assert got == [0, 1]  # exactly-cooldown kept; 299 s later dropped
+
+    def test_partitioning_invariant(self, spark):
+        from bufr2geojson_spark.operators.events import throttle_events
+
+        base = _ts("2024-03-01 00:00:00")
+        ev = [(i, base + dt.timedelta(minutes=7 * (i % 50), seconds=i), i % 5,
+               0.0) for i in range(200)]
+        outs = []
+        for p in (2, 16):
+            outs.append(sorted(
+                (r.event_id, r.user_id)
+                for r in throttle_events(
+                    _events(spark, ev).repartition(p),
+                    cooldown_s=600).collect()))
+        assert outs[0] == outs[1]
+
+
 class TestIntervalJoinBucketed:
     def test_matches_bruteforce(self, spark):
         # events every 17 minutes for 2 days; windows of assorted lengths,
