@@ -230,6 +230,10 @@ def headline_queries() -> list[str]:
         "geo_simplify",
         "geo_map_match",
         "media_near_dup",
+        "dedup_substring_spans",
+        "event_interval_join",
+        "fuzzy_name_pairs",
+        "doc_chunks",
     ]
 
 
