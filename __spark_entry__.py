@@ -1703,6 +1703,36 @@ _SQL_GEO_TILE_MEDIAN = f"""
 """
 
 
+def q_geo_tile_p90(spark, sf_dir):
+    """EXACT per-tile 90th percentile (quantile_cont interpolation) via the
+    counting formulation — histogram + bracketing order statistics, never a
+    per-group value sort. Oracle: DuckDB's built-in quantile_cont."""
+    from bufr2geojson_spark.operators.textops import round_dp
+    from bufr2geojson_spark.operators.tiles import tile_exact_quantile
+
+    pts = _geo_points(spark, sf_dir).select(
+        (F.floor((F.col("lat") + 90.0) / 20.0) * 100
+         + F.floor((F.col("lon") + 180.0) / 20.0)).alias("tile"),
+        F.col("val"),
+    )
+    out = tile_exact_quantile(pts, 0.9, cell_col="tile", value_col="val")
+    return out.select(
+        "tile", "n_obs",
+        round_dp(F.col("q90"), 4).alias("q90"),
+    ).orderBy("tile")
+
+
+_SQL_GEO_TILE_P90 = f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    t AS (SELECT CAST(floor((lat + 90.0) / 20.0) * 100
+                 + floor((lon + 180.0) / 20.0) AS BIGINT) AS tile, val
+          FROM pts)
+    SELECT tile, count(val) AS n_obs,
+           floor(quantile_cont(val, 0.9) * 10000 + 0.5) / 10000 AS q90
+    FROM t GROUP BY tile ORDER BY tile
+"""
+
+
 def q_region_measures(spark, sf_dir):
     """Spherical area + perimeter of the test region polygons (geodesic
     measures as Column expressions; identical edge arithmetic on the DuckDB
@@ -5891,6 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_hll_digest": q_engine_hll_digest,
         "doc_chunks": q_doc_chunks,
         "event_throttle": q_event_throttle,
+        "geo_tile_p90": q_geo_tile_p90,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -6037,4 +6068,5 @@ def oracle_sql() -> dict[str, str]:
         "engine_hll_digest": _SQL_ENGINE_HLL_DIGEST,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "event_throttle": _SQL_EVENT_THROTTLE,
+        "geo_tile_p90": _SQL_GEO_TILE_P90,
     }

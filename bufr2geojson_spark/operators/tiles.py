@@ -369,6 +369,73 @@ def tile_exact_median(
     )
 
 
+def tile_exact_quantile(
+    features: DataFrame,
+    q: float,
+    cell_col: str = "cell_s2",
+    value_col: str = "result_value",
+) -> DataFrame:
+    """EXACT per-cell continuous quantile (``quantile_cont`` / type-7
+    ``h = (n-1)·q`` interpolation — the semantics of numpy's default,
+    DuckDB's ``quantile_cont`` and Spark's ``F.percentile``) via the same
+    counting formulation as ``tile_exact_median``: a (cell, value)
+    histogram groupBy (map-side combined, compound key spreads hot cells)
+    plus one window over occupied VALUES — observations are never
+    materialized per group, which is what makes exactness affordable at a
+    billion rows per hot cell.
+
+    The interpolated quantile is ``v[k1]·(1−frac) + v[k2]·frac`` with
+    ``k1 = ⌊h⌋+1``, ``k2 = k1+1`` (1-based ranks), ``frac = h−⌊h⌋``; the
+    histogram row covering each rank contributes its value with the
+    matching weight (one row can cover both ranks). Returns
+    (cell, n_obs, q{q}).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    g = (
+        features.filter(F.col(value_col).isNotNull())
+        .groupBy(cell_col, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wcum = (
+        Window.partitionBy(cell_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(cell_col)
+    t = (
+        g.withColumn("_cum", F.sum("_cnt").over(wcum))
+        .withColumn("_n", F.sum("_cnt").over(wall))
+    )
+    prev = F.col("_cum") - F.col("_cnt")
+    h = (F.col("_n") - 1) * F.lit(float(q))
+    k1 = F.floor(h) + 1
+    k2 = k1 + 1
+    covers = lambda k: (prev < k) & (F.col("_cum") >= k)  # noqa: E731
+    # extract the two bracketing order statistics, then interpolate as
+    # lower + (upper - lower) * frac — the exact FP expression DuckDB's
+    # quantile_cont and Spark's percentile evaluate, so a rounded oracle
+    # compare cannot flip on association order. frac == 0 leaves k2
+    # uncovered (v2 = 0) and the (v2 - v1) * 0 term vanishes exactly.
+    name = f"q{int(round(q * 100)):02d}"
+    agg = t.groupBy(cell_col).agg(
+        F.max("_n").alias("n_obs"),
+        F.sum(
+            F.when(covers(k1), F.col("_v")).otherwise(F.lit(0.0))
+        ).alias("_v1"),
+        F.sum(
+            F.when(covers(k2), F.col("_v")).otherwise(F.lit(0.0))
+        ).alias("_v2"),
+    )
+    hh = (F.col("n_obs") - 1) * F.lit(float(q))
+    frac = hh - F.floor(hh)
+    return agg.select(
+        cell_col,
+        "n_obs",
+        (F.col("_v1") + (F.col("_v2") - F.col("_v1")) * frac).alias(name),
+    )
+
+
 def tile_hll_sketch(
     features: DataFrame,
     cell_col: str = "cell_s2",

@@ -928,6 +928,51 @@ class TestTileExactMedian:
         assert a == b
 
 
+class TestTileExactQuantile:
+    """Counting-formulation continuous quantile vs numpy's type-7."""
+
+    def test_matches_numpy_quantile(self, spark, feat):
+        from bufr2geojson_spark.operators.tiles import tile_exact_quantile
+
+        df, pdf = feat
+        for q, name in [(0.25, "q25"), (0.9, "q90")]:
+            got = {r["cell_s2"]: (r["n_obs"], r[name]) for r in
+                   tile_exact_quantile(df, q).collect()}
+            exp = pdf.groupby("cell_s2")["result_value"].agg(
+                ["count", lambda s, q=q: s.quantile(q)])
+            exp.columns = ["count", "q"]
+            assert set(got) == set(exp.index)
+            for cell, (n, v) in got.items():
+                assert n == exp.loc[cell, "count"]
+                assert v == pytest.approx(exp.loc[cell, "q"], abs=1e-9)
+
+    def test_extremes_and_duplicates(self, spark):
+        from bufr2geojson_spark.operators.tiles import tile_exact_quantile
+
+        rows = [("a", v) for v in [1.0, 2.0, 2.0, 2.0, 10.0]] + \
+               [("b", 5.0)]
+        df = spark.createDataFrame(rows, "cell_s2 string, result_value double")
+        q0 = {r["cell_s2"]: r["q00"] for r in
+              tile_exact_quantile(df, 0.0).collect()}
+        q100 = {r["cell_s2"]: r["q100"] for r in
+                tile_exact_quantile(df, 1.0).collect()}
+        q50 = {r["cell_s2"]: r["q50"] for r in
+               tile_exact_quantile(df, 0.5).collect()}
+        assert q0 == {"a": 1.0, "b": 5.0}
+        assert q100 == {"a": 10.0, "b": 5.0}
+        assert q50 == {"a": 2.0, "b": 5.0}
+
+    def test_partitioning_invariant(self, spark, feat):
+        from bufr2geojson_spark.operators.tiles import tile_exact_quantile
+
+        df, _ = feat
+        a = {r["cell_s2"]: r["q75"] for r in
+             tile_exact_quantile(df.repartition(2), 0.75).collect()}
+        b = {r["cell_s2"]: r["q75"] for r in
+             tile_exact_quantile(df.repartition(16), 0.75).collect()}
+        assert a == b
+
+
 class TestTileHll:
     """Mergeable distinct-count sketches: rollup invariance and accuracy."""
 
