@@ -4415,6 +4415,56 @@ def _sql_graph_triangles():
 _PR_ITERS = 10
 
 
+def q_graph_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances on a deterministic chain+shortcut
+    graph over customer keys (edges k→k+1 and k→k+17, sources every 200th
+    key): exact shortest hops within 12. Frontier expansion joins only the
+    newly-settled ring each round; the oracle explores the same walks with
+    a recursive CTE and takes min(hop)."""
+    from bufr2geojson_spark.operators.graph import bfs_hops
+
+    nodes = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    vexists = nodes.select(F.col("k").alias("v"))
+    e = (
+        nodes.select(F.col("k").alias("u"), (F.col("k") + 1).alias("v"))
+        .unionAll(
+            nodes.select(F.col("k").alias("u"),
+                         (F.col("k") + 17).alias("v"))
+        )
+        .join(vexists, "v", "left_semi")
+    )
+    srcs = nodes.filter(F.col("k") % 200 == 0)
+    return (
+        bfs_hops(e, srcs, max_hops=12)
+        .select(F.col("node").cast("long").alias("node"),
+                F.col("hops").cast("long").alias("hops"))
+        .orderBy("node")
+    )
+
+
+_SQL_GRAPH_BFS = """
+    WITH RECURSIVE nodes AS (SELECT c_custkey AS k FROM customer),
+    ed AS (
+        SELECT a.k AS u, a.k + 1 AS v FROM nodes a
+        JOIN nodes b ON b.k = a.k + 1
+        UNION ALL
+        SELECT a.k, a.k + 17 FROM nodes a JOIN nodes b ON b.k = a.k + 17
+    ),
+    sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+    bfs AS (
+        SELECT k AS node, 0 AS hop FROM nodes WHERE k % 200 = 0
+        UNION
+        SELECT s.v AS node, b.hop + 1 AS hop
+        FROM bfs b JOIN sym s ON s.u = b.node
+        WHERE b.hop < 12
+    )
+    SELECT node::BIGINT AS node, min(hop)::BIGINT AS hops
+    FROM bfs GROUP BY node ORDER BY node
+"""
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration integer-fixed-point PageRank on the co-location
     graph — bit-exact under any partitioning (integer DIV contributions,
@@ -5922,6 +5972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "event_throttle": q_event_throttle,
         "geo_tile_p90": q_geo_tile_p90,
+        "graph_bfs": q_graph_bfs,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -6069,4 +6120,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "event_throttle": _SQL_EVENT_THROTTLE,
         "geo_tile_p90": _SQL_GEO_TILE_P90,
+        "graph_bfs": _SQL_GRAPH_BFS,
     }

@@ -211,3 +211,56 @@ def kcore(
     return cur.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg_in_core")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 12,
+    src: str = "u",
+    dst: str = "v",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS on the undirected graph: for every node reachable
+    within ``max_hops`` of ANY source, the exact shortest hop count —
+    single-source shortest paths for unit weights, the reachability /
+    blast-radius primitive on contact and co-location graphs.
+
+    Frontier expansion: each round joins the CURRENT FRONTIER (only the
+    nodes first reached last round — never the whole distance table)
+    against the symmetrized edge list, anti-joins out already-settled
+    nodes, and settles the rest at hop h. A node is settled the first
+    time it is seen, which in BFS order IS its shortest distance, so no
+    relaxation or re-visits happen — per round the shuffle is
+    O(frontier-degree sum), and the loop runs min(eccentricity,
+    max_hops) rounds. ``localCheckpoint`` truncates the per-round plan
+    (swap for ``checkpoint`` on a real cluster). Rounds are inherently
+    sequential (each needs the previous frontier), the same shape as the
+    published Pregel/GraphX BFS.
+
+    Returns (node, hops), hops ∈ [0, max_hops]; unreachable-within-bound
+    nodes are absent.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    settled = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).alias("hops")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = settled.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return settled.withColumnRenamed("node", node_col)

@@ -128,3 +128,59 @@ class TestKCore:
                         adj[m2].discard(n)
                     changed = True
         assert got == set(adj)
+
+
+class TestBfsHops:
+    @staticmethod
+    def _brute(pairs, sources, max_hops):
+        from collections import defaultdict, deque
+        adj = defaultdict(set)
+        for u, v in pairs:
+            adj[u].add(v)
+            adj[v].add(u)
+        dist = {s: 0 for s in sources}
+        dq = deque(sources)
+        while dq:
+            n = dq.popleft()
+            if dist[n] >= max_hops:
+                continue
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    dq.append(m)
+        return dist
+
+    def test_matches_bruteforce(self, spark):
+        from bufr2geojson_spark.operators.graph import bfs_hops
+
+        import random
+        rng = random.Random(7)
+        pairs = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+        pairs = [(u, v) for u, v in pairs if u != v]
+        srcs = [0, 40]
+        got = {r.node: r.hops for r in bfs_hops(
+            _edges(spark, pairs),
+            spark.createDataFrame([(s,) for s in srcs], "node long"),
+            max_hops=5).collect()}
+        assert got == self._brute(pairs, srcs, 5)
+
+    def test_hop_bound_and_disconnection(self, spark):
+        from bufr2geojson_spark.operators.graph import bfs_hops
+
+        # path 0-1-2-3-4 plus an island 10-11
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+        got = {r.node: r.hops for r in bfs_hops(
+            _edges(spark, pairs),
+            spark.createDataFrame([(0,)], "node long"),
+            max_hops=2).collect()}
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_multi_source_takes_nearest(self, spark):
+        from bufr2geojson_spark.operators.graph import bfs_hops
+
+        pairs = [(i, i + 1) for i in range(10)]
+        got = {r.node: r.hops for r in bfs_hops(
+            _edges(spark, pairs),
+            spark.createDataFrame([(0,), (10,)], "node long"),
+            max_hops=12).collect()}
+        assert got[5] == 5 and got[8] == 2 and got[2] == 2
