@@ -4540,6 +4540,101 @@ def _sql_graph_kcore():
 """
 
 
+_LINKPRED_MIN_COMMON = 2
+_LINKPRED_DEG_CAP = 40
+
+
+def _lattice_edges(spark, sf_dir):
+    """Deterministic ring-lattice + shortcut graph over customer keys
+    (edges k→k+1, k→k+2, k→k+17 when both endpoints exist) — the
+    Watts-Strogatz small-world scaffold, which has real triadic-closure
+    structure: (k, k+3) pairs share the two neighbors {k+1, k+2} without
+    being adjacent. The co-location graph is per-cell cliques (every
+    same-cell pair is already adjacent), so it can never produce a link
+    prediction; graph ops take any edge table, this synthesizes one with
+    the right shape. Same chain+shortcut family as graph_bfs."""
+    nodes = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    vexists = nodes.select(F.col("k").alias("v"))
+    out = None
+    for step in (1, 2, 17):
+        e = nodes.select(
+            F.col("k").alias("u"), (F.col("k") + step).alias("v")
+        )
+        out = e if out is None else out.unionAll(e)
+    return out.join(vexists, "v", "left_semi")
+
+
+_SQL_LATTICE_EDGES = """
+    nodes AS (SELECT c_custkey AS k FROM customer),
+    ed AS (
+        SELECT a.k AS u, a.k + s.s AS v
+        FROM nodes a
+        CROSS JOIN (SELECT unnest([1, 2, 17]) AS s) s
+        JOIN nodes b ON b.k = a.k + s.s
+    )
+"""
+
+
+def q_graph_link_predict(spark, sf_dir):
+    """Link prediction on a small-world interaction graph: non-adjacent
+    pairs sharing >= 2 neighbors, with common-neighbor count and integer-
+    millionths Jaccard. Wedges are enumerated at the shared neighbor with
+    a degree cap on centers (super-hubs carry no predictive signal and
+    would generate deg² wedges — the published skew mitigation)."""
+    from bufr2geojson_spark.operators.graph import common_neighbor_pairs
+
+    return (
+        common_neighbor_pairs(
+            _lattice_edges(spark, sf_dir),
+            min_common=_LINKPRED_MIN_COMMON,
+            max_center_degree=_LINKPRED_DEG_CAP,
+        )
+        .select(
+            F.col("u").alias("user_a"), F.col("v").alias("user_b"),
+            "n_common", F.col("deg_u").alias("deg_a"),
+            F.col("deg_v").alias("deg_b"), "jaccard_e6",
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+def _sql_graph_link_predict():
+    return f"""
+    WITH {_SQL_LATTICE_EDGES},
+    sym AS (
+        SELECT u AS n, v AS x FROM ed
+        UNION ALL
+        SELECT v AS n, u AS x FROM ed
+    ),
+    dg AS (SELECT n, count(*)::BIGINT AS deg FROM sym GROUP BY n),
+    centers AS (
+        SELECT s.n, s.x FROM sym s JOIN dg ON dg.n = s.n
+        WHERE dg.deg <= {_LINKPRED_DEG_CAP}
+    ),
+    cand AS (
+        SELECT a.x AS cu, b.x AS cv, count(*)::BIGINT AS n_common
+        FROM centers a JOIN centers b ON a.n = b.n AND a.x < b.x
+        GROUP BY 1, 2
+        HAVING count(*) >= {_LINKPRED_MIN_COMMON}
+    ),
+    nonadj AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN ed e ON e.u = c.cu AND e.v = c.cv
+        WHERE e.u IS NULL
+    )
+    SELECT c.cu AS user_a, c.cv AS user_b, c.n_common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           floor(c.n_common * 1000000.0
+                 / (da.deg + db.deg - c.n_common))::BIGINT AS jaccard_e6
+    FROM nonadj c
+    JOIN dg da ON da.n = c.cu
+    JOIN dg db ON db.n = c.cv
+    ORDER BY user_a, user_b
+"""
+
+
 _LOCATE_T = "2024-01-08 00:00:00"
 _LOCATE_MAX_GAP_S = 86400.0
 
@@ -5973,6 +6068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_throttle": q_event_throttle,
         "geo_tile_p90": q_geo_tile_p90,
         "graph_bfs": q_graph_bfs,
+        "graph_link_predict": q_graph_link_predict,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -6121,4 +6217,5 @@ def oracle_sql() -> dict[str, str]:
         "event_throttle": _SQL_EVENT_THROTTLE,
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
+        "graph_link_predict": _sql_graph_link_predict(),
     }

@@ -213,6 +213,73 @@ def kcore(
     )
 
 
+def common_neighbor_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Link prediction by common-neighbor counting: for every NON-adjacent
+    pair {a, b} sharing at least ``min_common`` neighbors, emit
+    (u, v, n_common, deg_u, deg_v, jaccard_e6) with u < v and jaccard =
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| in integer millionths (floor) so the
+    result is bit-exact across engines — the classic candidate generator
+    for edge recommendation on contact / co-location graphs.
+
+    Plan: wedge enumeration at the shared neighbor (one self-join of the
+    symmetrized adjacency keyed on the center vertex), map-side-combined
+    groupBy on the candidate pair, then an anti-join against the existing
+    edge set and a broadcast-able degree join. Cost is Σ_n C(deg(n), 2)
+    — a hub of degree d contributes d² wedges, the "curse of the last
+    reducer". ``max_center_degree`` is the published mitigation (drop
+    super-hub centers before wedging; hubs connect everyone and carry no
+    predictive signal), turning the bound into Σ min(deg, cap)² which is
+    linear in m for fixed cap. Pass None only when the degree
+    distribution is known to be flat.
+    """
+    e = _canonical_edges(edges, src, dst)
+    sym = (
+        e.select(F.col("u").alias("n"), F.col("v").alias("x"))
+        .unionAll(e.select(F.col("v").alias("n"), F.col("u").alias("x")))
+    )
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.join(deg, "n")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("deg") <= int(max_center_degree))
+    a = centers.select("n", F.col("x").alias("cu"))
+    b = centers.select("n", F.col("x").alias("cv"))
+    cand = (
+        a.join(b, "n")
+        .filter(F.col("cu") < F.col("cv"))
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= int(min_common))
+        # keep only non-adjacent pairs: adjacent ones are not predictions
+        .join(
+            e.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
+            ["cu", "cv"],
+            "left_anti",
+        )
+    )
+    du = deg.select(F.col("n").alias("cu"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("n").alias("cv"), F.col("deg").alias("deg_v"))
+    return (
+        cand.join(du, "cu").join(dv, "cv")
+        .select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.floor(
+                F.col("n_common") * F.lit(1_000_000)
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common"))
+            ).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,

@@ -184,3 +184,65 @@ class TestBfsHops:
             spark.createDataFrame([(0,), (10,)], "node long"),
             max_hops=12).collect()}
         assert got[5] == 5 and got[8] == 2 and got[2] == 2
+
+
+class TestLinkPredict:
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from bufr2geojson_spark.operators.graph import common_neighbor_pairs
+
+        rng = random.Random(7)
+        nodes = list(range(18))
+        pairs = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(55)})
+        es = set(pairs)
+        adj = {n: set() for n in nodes}
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for a, b in itertools.combinations(nodes, 2):
+            if (a, b) in es:
+                continue
+            common = len(adj[a] & adj[b])
+            if common >= 2:
+                union = len(adj[a]) + len(adj[b]) - common
+                want[(a, b)] = (common, len(adj[a]), len(adj[b]),
+                                common * 1_000_000 // union)
+        got = {
+            (r["u"], r["v"]): (r["n_common"], r["deg_u"], r["deg_v"],
+                               r["jaccard_e6"])
+            for r in common_neighbor_pairs(
+                _edges(spark, pairs), min_common=2
+            ).collect()
+        }
+        assert got == want
+
+    def test_center_degree_cap_drops_hub_wedges(self, spark):
+        from bufr2geojson_spark.operators.graph import common_neighbor_pairs
+
+        # hub 0 connected to 1..9; extra edges (1,2),(1,3),(2,3) make a
+        # clique whose members also share non-hub centers
+        pairs = [(0, i) for i in range(1, 10)] + [(1, 2), (1, 3), (2, 3)]
+        # capped at 5: hub 0 (deg 9) can't be a wedge center, so e.g.
+        # (4,5) — common neighbor only the hub — disappears; (2,3) is an
+        # edge so it's excluded anyway; pairs like (1,4) have only the hub
+        # in common too.  Only pairs whose >=2 common neighbors are all
+        # low-degree survive: none here, since 1,2,3 are pairwise adjacent.
+        got = common_neighbor_pairs(
+            _edges(spark, pairs), min_common=2, max_center_degree=5
+        ).collect()
+        assert got == []
+        # uncapped: (4,5)..(8,9) share only hub (1 < min_common=2);
+        # (1,2) adjacent... but e.g. pair (2,3) adjacent; pair (1,0)
+        # adjacent.  Pairs (i,j) i,j in 4..9 share exactly one neighbor.
+        # Pairs (1,4): common {0} -> 1.  So with min_common=1 they appear.
+        got1 = {
+            (r["u"], r["v"]): r["n_common"]
+            for r in common_neighbor_pairs(
+                _edges(spark, pairs), min_common=1
+            ).collect()
+        }
+        assert got1[(4, 5)] == 1
+        assert (0, 1) not in got1  # adjacent pairs never predicted
