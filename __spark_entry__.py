@@ -2121,6 +2121,36 @@ _SQL_EVENT_INTERVAL_JOIN = """
 """
 
 
+def q_event_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: one entity-keyed shuffle (lead window ordered by (ts,
+    event_id)), map-side-combined pair counts, integer-millionths row
+    normalization over the tiny |states|² matrix."""
+    from bufr2geojson_spark.operators.events import markov_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev).orderBy("from_state", "to_state")
+
+
+_SQL_EVENT_MARKOV = """
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_state
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_state, to_state, count(*)::BIGINT AS n_transitions
+        FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n_transitions,
+           floor(n_transitions * 1000000.0
+                 / sum(n_transitions) OVER (PARTITION BY from_state)
+           )::BIGINT AS prob_e6
+    FROM pairs ORDER BY from_state, to_state
+"""
+
+
 def q_event_throttle(spark, sf_dir):
     """Chained-cooldown throttle (12 h) — keep an event only if ≥ cooldown
     after the last KEPT event of the same user. Sequentially dependent per
@@ -6066,6 +6096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_hll_digest": q_engine_hll_digest,
         "doc_chunks": q_doc_chunks,
         "event_throttle": q_event_throttle,
+        "event_markov": q_event_markov,
         "geo_tile_p90": q_geo_tile_p90,
         "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
@@ -6215,6 +6246,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_hll_digest": _SQL_ENGINE_HLL_DIGEST,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "event_throttle": _SQL_EVENT_THROTTLE,
+        "event_markov": _SQL_EVENT_MARKOV,
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),

@@ -300,3 +300,45 @@ def resample_interpolate(
             F.col("_nt").alias("next_ts"),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: (from_state, to_state, n_transitions, prob_e6) where
+    prob_e6 = floor(1e6 * n / Σ_row n) — the row-normalized transition
+    probability in integer millionths for cross-engine exactness. The
+    standard behavioral-sequence model (next-action prediction, funnel
+    generalization).
+
+    Plan: ONE shuffle keyed on the entity (lead over the per-user window,
+    ordered by (ts, tie) so equal timestamps are deterministic), then a
+    map-side-combinable pair count. The matrix is |states|² rows, so the
+    row-total normalization is a window over a tiny aggregate — the heavy
+    data passes through exactly one exchange regardless of corpus size.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    pairs = (
+        events.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wrow = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.floor(
+            F.col("n_transitions") * F.lit(1_000_000)
+            / F.sum("n_transitions").over(wrow)
+        ).cast("long").alias("prob_e6"),
+    )

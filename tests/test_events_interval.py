@@ -146,3 +146,59 @@ class TestIntervalJoinBucketed:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestMarkovTransitions:
+    def test_matches_bruteforce(self, spark):
+        from collections import Counter, defaultdict
+
+        from bufr2geojson_spark.operators.events import markov_transitions
+
+        base = _ts("2024-03-01 00:00:00")
+        rows = []
+        types = ["view", "click", "buy"]
+        for eid in range(60):
+            rows.append((
+                eid,
+                base + dt.timedelta(minutes=(eid * 7) % 97),
+                eid % 5,
+                types[(eid * eid) % 3],
+            ))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string"
+        )
+        got = {
+            (r["from_state"], r["to_state"]):
+                (r["n_transitions"], r["prob_e6"])
+            for r in markov_transitions(df).collect()
+        }
+        seqs = defaultdict(list)
+        for eid, ts, uid, et in rows:
+            seqs[uid].append((ts, eid, et))
+        counts = Counter()
+        for uid, evs in seqs.items():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                counts[(a, b)] += 1
+        row_tot = Counter()
+        for (a, b), n in counts.items():
+            row_tot[a] += n
+        want = {
+            (a, b): (n, int(n * 1_000_000 / row_tot[a]))
+            for (a, b), n in counts.items()
+        }
+        assert got == want
+
+    def test_tie_timestamps_deterministic(self, spark):
+        from bufr2geojson_spark.operators.events import markov_transitions
+
+        t0 = _ts("2024-03-01 00:00:00")
+        # two events at the SAME ts: event_id breaks the tie -> a then b
+        df = spark.createDataFrame(
+            [(1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 1, "c")],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+        got = {(r["from_state"], r["to_state"]): r["n_transitions"]
+               for r in markov_transitions(df).collect()}
+        assert got == {("a", "b"): 1, ("b", "c"): 1}
