@@ -4570,6 +4570,110 @@ def _sql_graph_kcore():
 """
 
 
+def q_geo_convex_hull(spark, sf_dir):
+    """Per-entity convex hull (activity footprint): true-vertex count,
+    exact-integer doubled shoelace area at 0.01-degree quantization, and
+    vertex-coordinate sums pinning the vertex set. Two-level algebraic
+    aggregate — partial hull per input partition with no shuffle, then an
+    entity-keyed merge of O(hull) rows. The oracle derives the same hull
+    with order-free exact-integer predicates: boundary points via the
+    q-form supporting-line test, collinear mid-edge points pruned by
+    betweenness, shoelace over an anchor-angular ring."""
+    from bufr2geojson_spark.operators.trajectory import convex_hulls
+
+    return convex_hulls(
+        _event_track_points(spark, sf_dir)
+    ).orderBy("user_id")
+
+
+def _sql_geo_convex_hull():
+    return f"""
+    WITH pts0 AS (
+        SELECT DISTINCT user_id AS u,
+               round(lon * 100)::BIGINT AS x,
+               round(lat * 100)::BIGINT AS y
+        FROM ({_TRACK_PTS_SQL})
+    ),
+    prs AS (
+        SELECT a.u, a.x AS px, a.y AS py, b.x AS qx, b.y AS qy
+        FROM pts0 a JOIN pts0 b ON a.u = b.u
+        WHERE a.x <> b.x OR a.y <> b.y
+    ),
+    bnd AS (
+        SELECT DISTINCT z.u, z.px AS x, z.py AS y FROM (
+            SELECT p.u, p.px, p.py, p.qx, p.qy,
+                   min((p.qx - p.px) * (r.y - p.py)
+                       - (p.qy - p.py) * (r.x - p.px)) AS mincr
+            FROM prs p JOIN pts0 r ON r.u = p.u
+            GROUP BY 1, 2, 3, 4, 5
+        ) z WHERE z.mincr >= 0
+    ),
+    verts AS (
+        SELECT p.u, p.x, p.y FROM bnd p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bnd a JOIN bnd b ON a.u = b.u
+            WHERE a.u = p.u
+              AND (a.x <> p.x OR a.y <> p.y)
+              AND (b.x <> p.x OR b.y <> p.y)
+              AND (a.x <> b.x OR a.y <> b.y)
+              AND (b.x - a.x) * (p.y - a.y) = (b.y - a.y) * (p.x - a.x)
+              AND least(a.x, b.x) <= p.x AND p.x <= greatest(a.x, b.x)
+              AND least(a.y, b.y) <= p.y AND p.y <= greatest(a.y, b.y)
+        )
+    ),
+    anchor AS (
+        SELECT u, x, y FROM (
+            SELECT u, x, y,
+                   row_number() OVER (PARTITION BY u ORDER BY y, x) AS rn
+            FROM verts
+        ) z WHERE rn = 1
+    ),
+    ring AS (
+        SELECT u, x, y, 0::BIGINT AS rn FROM anchor
+        UNION ALL
+        SELECT v.u, v.x, v.y,
+               row_number() OVER (
+                   PARTITION BY v.u
+                   ORDER BY CASE WHEN v.y = a.y THEN 1e308
+                            ELSE (v.x - a.x) * 1.0 / (v.y - a.y) END DESC
+               ) AS rn
+        FROM verts v JOIN anchor a ON a.u = v.u
+        WHERE v.x <> a.x OR v.y <> a.y
+    ),
+    ringn AS (
+        SELECT u, x, y, rn, count(*) OVER (PARTITION BY u) AS cnt
+        FROM ring
+    ),
+    sh AS (
+        SELECT r.u, sum(r.x * r2.y - r2.x * r.y)::BIGINT AS a2
+        FROM ringn r
+        JOIN ringn r2 ON r2.u = r.u AND r2.rn = (r.rn + 1) % r.cnt
+        GROUP BY r.u
+    ),
+    agg AS (
+        SELECT u, count(*)::BIGINT AS n_hull,
+               sum(y)::BIGINT AS lat_s_sum, sum(x)::BIGINT AS lon_s_sum
+        FROM verts GROUP BY u
+    ),
+    multi AS (
+        SELECT agg.u, agg.n_hull, abs(coalesce(sh.a2, 0))::BIGINT AS area2,
+               agg.lat_s_sum, agg.lon_s_sum
+        FROM agg LEFT JOIN sh ON sh.u = agg.u
+    ),
+    single AS (
+        SELECT p.u, 1::BIGINT AS n_hull, 0::BIGINT AS area2,
+               p.y AS lat_s_sum, p.x AS lon_s_sum
+        FROM pts0 p
+        JOIN (SELECT u FROM pts0 GROUP BY u HAVING count(*) = 1) s
+          ON s.u = p.u
+    )
+    SELECT u AS user_id, n_hull, area2, lat_s_sum, lon_s_sum FROM multi
+    UNION ALL
+    SELECT u AS user_id, n_hull, area2, lat_s_sum, lon_s_sum FROM single
+    ORDER BY user_id
+"""
+
+
 _LINKPRED_MIN_COMMON = 2
 _LINKPRED_DEG_CAP = 40
 
@@ -6100,6 +6204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_p90": q_geo_tile_p90,
         "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
+        "geo_convex_hull": q_geo_convex_hull,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -6250,4 +6355,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),
+        "geo_convex_hull": _sql_geo_convex_hull(),
     }

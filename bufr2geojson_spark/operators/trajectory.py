@@ -1144,3 +1144,110 @@ def locate_at(
         )
         .filter(F.col("method").isNotNull())
     )
+
+
+def _hull_chain(pts):
+    """Andrew's monotone chain over deduped (x, y) int tuples, STRICT
+    turns (collinear mid-edge points popped): returns the true hull
+    vertices in CCW order. 1 or 2 points pass through unchanged."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def _half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = _half(pts)
+    upper = _half(list(reversed(pts)))
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hulls(
+    points: DataFrame,
+    id_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-entity convex hull as an ALGEBRAIC aggregate: (id, n_hull,
+    area2, lat_s_sum, lon_s_sum) where n_hull is the count of true hull
+    vertices, area2 is twice the hull area, and the *_s_sum columns pin
+    the exact vertex set (sums of the vertices' scaled coordinates) —
+    the activity-footprint primitive (home-range area, territory
+    estimation) over track points.
+
+    EXACT-INTEGER contract: coordinates are quantized to
+    ``round(coord * scale)`` int64 before any geometry, so every cross
+    product and the shoelace sum are exact integers — bit-equal across
+    engines, partitionings, and aggregation orders. area2 is in
+    (1/scale degree)² units, doubled (the shoelace numerator), which
+    keeps it integral without a lossy halving. Collinear mid-edge points
+    are NOT vertices (strict-turn monotone chain; the oracle prunes
+    betweenness with exact integer predicates).
+
+    100 TB shape — convex hull is a two-level algebraic aggregate
+    (hull(A ∪ B) = hull(hull(A) ∪ hull(B))): stage 1 computes a PARTIAL
+    hull per (input partition, entity) inside ``mapInPandas`` with NO
+    shuffle, so the single entity-keyed exchange carries only partial
+    hull vertices (O(h) per entity per partition, h ≈ dozens) instead of
+    every raw point; stage 2 merges per entity in ``applyInPandas``.
+    A skewed entity with 10^8 pings across 10^4 partitions shuffles
+    ~10^5 rows, not 10^8.
+    """
+    import pandas as pd
+
+    s = int(scale)
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.round(F.col(lat_col) * s).cast("long").alias("y"),
+        F.round(F.col(lon_col) * s).cast("long").alias("x"),
+    )
+
+    def _partial(batches):
+        for pdf in batches:
+            out = {"_id": [], "x": [], "y": []}
+            for uid, g in pdf.groupby("_id"):
+                for x, y in _hull_chain(
+                    list(zip(g["x"].tolist(), g["y"].tolist()))
+                ):
+                    out["_id"].append(uid)
+                    out["x"].append(x)
+                    out["y"].append(y)
+            yield pd.DataFrame(out)
+
+    partial = base.mapInPandas(_partial, schema="_id long, x long, y long")
+
+    def _merge(pdf):
+        hull = _hull_chain(list(zip(pdf["x"].tolist(), pdf["y"].tolist())))
+        area2 = 0
+        n = len(hull)
+        if n >= 3:
+            for i in range(n):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % n]
+                area2 += x1 * y2 - x2 * y1
+        return pd.DataFrame({
+            "_id": [pdf["_id"].iloc[0]],
+            "n_hull": [n],
+            "area2": [abs(area2)],
+            "lat_s_sum": [sum(y for _, y in hull)],
+            "lon_s_sum": [sum(x for x, _ in hull)],
+        })
+
+    return (
+        partial.groupBy("_id")
+        .applyInPandas(
+            _merge,
+            schema="_id long, n_hull long, area2 long, "
+                   "lat_s_sum long, lon_s_sum long",
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -737,3 +737,117 @@ class TestLocateAt:
         plan = locate_at(pts, T0)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1       # one groupBy shuffle
         assert "Window" not in plan
+
+
+class TestConvexHulls:
+    @staticmethod
+    def _brute(pts):
+        """Boundary q-form + betweenness prune, exact ints (the oracle's
+        formulation, independent of the monotone chain)."""
+        pts = sorted(set(pts))
+        if len(pts) <= 2:
+            return set(pts)
+        bnd = set()
+        for p in pts:
+            for q in pts:
+                if q == p:
+                    continue
+                if all(
+                    (q[0] - p[0]) * (r[1] - p[1])
+                    - (q[1] - p[1]) * (r[0] - p[0]) >= 0
+                    for r in pts
+                ):
+                    bnd.add(p)
+                    break
+        verts = set()
+        for p in bnd:
+            between = False
+            for a in bnd:
+                for b in bnd:
+                    if a == p or b == p or a == b:
+                        continue
+                    collin = (
+                        (b[0] - a[0]) * (p[1] - a[1])
+                        == (b[1] - a[1]) * (p[0] - a[0])
+                    )
+                    if collin and min(a[0], b[0]) <= p[0] <= max(a[0], b[0]) \
+                            and min(a[1], b[1]) <= p[1] <= max(a[1], b[1]):
+                        between = True
+                        break
+                if between:
+                    break
+            if not between:
+                verts.add(p)
+        return verts
+
+    @staticmethod
+    def _area2(verts):
+        import math
+        if len(verts) < 3:
+            return 0
+        cx = sum(x for x, _ in verts) / len(verts)
+        cy = sum(y for _, y in verts) / len(verts)
+        ordered = sorted(verts, key=lambda p: math.atan2(p[1] - cy,
+                                                         p[0] - cx))
+        a = 0
+        for i in range(len(ordered)):
+            x1, y1 = ordered[i]
+            x2, y2 = ordered[(i + 1) % len(ordered)]
+            a += x1 * y2 - x2 * y1
+        return abs(a)
+
+    def _run(self, spark, groups, parts=5):
+        from bufr2geojson_spark.operators.trajectory import convex_hulls
+
+        rows = [
+            (uid, y / 100.0, x / 100.0)
+            for uid, pts in groups.items() for (x, y) in pts
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, lat double, lon double"
+        ).repartition(parts)
+        return {
+            r["user_id"]: (r["n_hull"], r["area2"], r["lat_s_sum"],
+                           r["lon_s_sum"])
+            for r in convex_hulls(df).collect()
+        }
+
+    def test_matches_bruteforce_random(self, spark):
+        import random
+
+        rng = random.Random(23)
+        groups = {
+            uid: [(rng.randrange(-50, 50), rng.randrange(-50, 50))
+                  for _ in range(40)]
+            for uid in range(6)
+        }
+        got = self._run(spark, groups)
+        for uid, pts in groups.items():
+            verts = self._brute(pts)
+            want = (len(verts), self._area2(verts),
+                    sum(y for _, y in verts), sum(x for x, _ in verts))
+            assert got[uid] == want, (uid, got[uid], want)
+
+    def test_collinear_and_degenerate_groups(self, spark):
+        groups = {
+            1: [(0, 0), (10, 10), (20, 20), (5, 5)],      # all collinear
+            2: [(3, 4)],                                   # single point
+            3: [(0, 0), (7, 1)],                           # two points
+            4: [(0, 0), (10, 0), (5, 0), (10, 10), (0, 10), (5, 10),
+                (5, 5)],                                   # mid-edge points
+        }
+        got = self._run(spark, groups)
+        assert got[1] == (2, 0, 20, 20)        # endpoints only
+        assert got[2] == (1, 0, 4, 3)
+        assert got[3] == (2, 0, 1, 7)
+        # square 10x10: 4 corners, area2 = 200; (5,0),(5,10),(5,5) pruned
+        assert got[4] == (4, 200, 20, 20)
+
+    def test_partition_invariant(self, spark):
+        import random
+
+        rng = random.Random(5)
+        groups = {uid: [(rng.randrange(-30, 30), rng.randrange(-30, 30))
+                        for _ in range(25)] for uid in range(4)}
+        assert self._run(spark, groups, parts=1) == \
+            self._run(spark, groups, parts=13)
