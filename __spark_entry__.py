@@ -2853,6 +2853,54 @@ def q_unigram_logprob(spark, sf_dir):
     return T.unigram_logprob(d).orderBy("doc_id")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection: rank the non-English pool by unigram log
+    importance against the English target corpus (add-1 smoothing, joint
+    vocab, integer micro-nat sums), keep the deterministic top quarter.
+    Top-k selection is the two-pass distinct-score-histogram threshold —
+    no global row_number over the pool."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    return T.dsir_importance(d, select_frac=0.25).orderBy("doc_id")
+
+
+_SQL_DSIR_SELECT = """
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS t,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    cnt AS (
+        SELECT w,
+               sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ct,
+               sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS cr
+        FROM tok GROUP BY w
+    ),
+    tot AS (
+        SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM cnt
+    ),
+    wt AS (
+        SELECT w, floor((ln((ct + 1) * 1.0 / (tt + v))
+                         - ln((cr + 1) * 1.0 / (tr + v))) * 1e6
+                        + 0.5)::BIGINT AS lr_e6
+        FROM cnt, tot
+    ),
+    per_doc AS (
+        SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+               sum(wt.lr_e6)::BIGINT AS importance_e6
+        FROM tok JOIN wt ON wt.w = tok.w
+        WHERE NOT tok.t
+        GROUP BY tok.doc_id
+    ),
+    k AS (SELECT floor(count(*) * 0.25)::BIGINT AS k FROM per_doc)
+    SELECT doc_id, n_tokens, importance_e6,
+           row_number() OVER (ORDER BY importance_e6 DESC, doc_id)
+               <= (SELECT k FROM k) AS selected
+    FROM per_doc ORDER BY doc_id
+"""
+
+
 _SQL_UNIGRAM_LP = """
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -6205,6 +6253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
         "geo_convex_hull": q_geo_convex_hull,
+        "dsir_select": q_dsir_select,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -6273,6 +6322,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _sql_fingerprint(),
         "dup_ngram_spans": _SQL_DUP_NGRAMS,
         "unigram_logprob": _SQL_UNIGRAM_LP,
+        "dsir_select": _SQL_DSIR_SELECT,
         "quota_sample": _SQL_QUOTA_SAMPLE,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _sql_ann_lsh(),

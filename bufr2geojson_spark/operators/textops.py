@@ -1704,3 +1704,117 @@ def doc_repetition(
         "doc_id", n.alias("n_grams"), d.alias("n_distinct"),
         ratio.alias("rep_ratio"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    select_frac: float = 0.25,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-pool
+    document by its unigram log importance ratio against a TARGET corpus
+    (rows where ``target_col`` is true), then select the top
+    ``select_frac`` of the pool — the standard recipe for skewing a
+    web-scale pretraining mix toward a high-quality domain.
+
+    Per-token weight: ln p_target(w) - ln p_raw(w) with add-1 (Laplace)
+    smoothing over the JOINT vocabulary, floor-rounded to integer
+    micro-nats BEFORE the per-doc sum (the repo-wide digest rule: integer
+    sums are bit-exact under any partial-aggregation order; a double sum
+    is not). Selection is deterministic: rank by (importance_e6 DESC,
+    doc_id ASC), keep the top floor(select_frac * pool).
+
+    Plan: one token explode feeding a map-side-combined vocab count
+    (target and raw counts in the same aggregate — one pass), scalar
+    totals via a broadcast one-row cross join, then each raw token joins
+    its weight back (vocab is ~10^6 rows at any corpus scale, so AQE
+    broadcasts it) and a groupBy(doc) sums. Selection does NOT use a
+    global row_number (a single-partition window over 10^12 per-doc rows
+    is the anti-pattern): the top-k cut is a two-pass threshold — a
+    cumulative count over the DISTINCT-SCORE histogram (thousands of
+    rows however large the corpus) picks the cutoff score, then only the
+    ties AT the cutoff are ranked, in a window partitioned by score.
+
+    Returns (doc_id, n_tokens, importance_e6, selected).
+    """
+    is_t = F.col(target_col).cast("boolean")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_t.alias("_t"),
+        F.explode(words_of(F.col(text_col))).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = cnt.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr_e6 = F.floor(
+        (
+            F.log((F.col("ct") + 1).cast("double")
+                  / (F.col("tt") + F.col("v")).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double")
+                    / (F.col("tr") + F.col("v")).cast("double"))
+        ) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    weights = cnt.crossJoin(F.broadcast(totals)).select(
+        "w", lr_e6.alias("lr_e6")
+    )
+    per_doc = (
+        tok.filter(~F.col("_t"))
+        .join(weights, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_e6").alias("importance_e6"),
+        )
+    )
+    # two-pass top-k: histogram over distinct scores -> cutoff + #above,
+    # then rank only the ties at the cutoff (window keyed on the score)
+    hist = per_doc.groupBy("importance_e6").agg(
+        F.count(F.lit(1)).alias("hcnt")
+    )
+    wcum = Window.orderBy(F.desc("importance_e6")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "importance_e6", "hcnt",
+        F.sum("hcnt").over(wcum).alias("cum"),
+    )
+    k_df = per_doc.agg(
+        F.floor(F.count(F.lit(1)) * F.lit(float(select_frac)))
+        .cast("long").alias("k")
+    )
+    # scalar #above = cum at the score just above the cutoff bucket
+    above = (
+        cum.crossJoin(F.broadcast(k_df))
+        .filter(F.col("cum") < F.col("k"))
+        .agg(F.coalesce(F.max("cum"), F.lit(0)).alias("n_above"))
+    )
+    cut_score = (
+        cum.crossJoin(F.broadcast(k_df))
+        .filter(F.col("cum") - F.col("hcnt") < F.col("k"))
+        .agg(F.min("importance_e6").alias("cut_score"))
+    )
+    scalars = F.broadcast(
+        k_df.crossJoin(above).crossJoin(cut_score)
+    )
+    wtie = Window.partitionBy("importance_e6").orderBy(F.asc("doc_id"))
+    return per_doc.crossJoin(scalars).select(
+        "doc_id", "n_tokens", "importance_e6",
+        F.coalesce(
+            (F.col("importance_e6") > F.col("cut_score"))
+            | (
+                (F.col("importance_e6") == F.col("cut_score"))
+                & (F.row_number().over(wtie)
+                   <= F.col("k") - F.col("n_above"))
+            ),
+            F.lit(False),
+        ).alias("selected"),
+    )

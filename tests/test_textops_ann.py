@@ -1252,3 +1252,57 @@ class TestBigramLogprob:
             for r in T.bigram_logprob(base.unionByName(extra)).collect()
         }
         assert scored[900001] > scored[900002]
+
+
+class TestDsirImportance:
+    def _docs(self, spark):
+        rows = []
+        # target: "alpha beta" vocabulary; pool docs vary in target overlap
+        for i in range(10):
+            rows.append((i, "alpha beta alpha beta gamma", True))
+        pool_texts = [
+            "alpha beta alpha beta",      # very target-like
+            "alpha beta gamma delta",
+            "gamma delta gamma delta",
+            "delta epsilon delta epsilon",
+            "zeta eta zeta eta",          # no target overlap
+            "alpha alpha alpha alpha",
+            "epsilon zeta eta theta",
+            "beta gamma delta epsilon",
+        ]
+        for j, t in enumerate(pool_texts):
+            rows.append((100 + j, t, False))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean"
+        )
+
+    def test_topk_selection_and_ordering(self, spark):
+        from bufr2geojson_spark.operators.textops import dsir_importance
+
+        out = dsir_importance(self._docs(spark), select_frac=0.25).collect()
+        rows = {r["doc_id"]: r for r in out}
+        # only pool docs are scored
+        assert set(rows) == {100 + j for j in range(8)}
+        k = int(len(rows) * 0.25)
+        sel = [r["doc_id"] for r in out if r["selected"]]
+        assert len(sel) == k
+        # selected == top-k by (importance desc, doc_id asc)
+        ordered = sorted(out, key=lambda r: (-r["importance_e6"],
+                                             r["doc_id"]))
+        assert sorted(sel) == sorted(r["doc_id"] for r in ordered[:k])
+        # target-like docs outrank no-overlap docs
+        assert rows[100]["importance_e6"] > rows[104]["importance_e6"]
+
+    def test_tie_break_by_doc_id(self, spark):
+        from bufr2geojson_spark.operators.textops import dsir_importance
+
+        rows = [(0, "alpha beta", True)]
+        # four identical pool docs -> identical scores; k = 2 -> lowest ids
+        for j in range(4):
+            rows.append((10 + j, "alpha gamma", False))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean"
+        )
+        out = dsir_importance(df, select_frac=0.5).collect()
+        sel = sorted(r["doc_id"] for r in out if r["selected"])
+        assert sel == [10, 11]
