@@ -4618,6 +4618,108 @@ def _sql_graph_kcore():
 """
 
 
+def _crossing_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arena-clustered track points for the crossing query: users are
+    grouped into 12 shared arenas (user_id % 12) ~11 degrees apart, with
+    a +-0.5 degree per-event walk, so same-arena tracks genuinely
+    crisscross (the standard _event_track_points jitter is +-0.03 degrees
+    around per-user bases whose boxes never overlap — zero crossings by
+    construction). Integer modulo + exact decimal fractions, reproduced
+    verbatim in the oracle SQL."""
+    ev = _t(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    lat = (
+        ((u % 12) * 11 - 60).cast("double")
+        + ((u * 7) % 5) / 10.0
+        + ((e * 13) % 101 - 50) / 100.0
+    ).cast("double")
+    lon = (
+        ((u % 12) * 23 - 138).cast("double")
+        + ((u * 11) % 5) / 10.0
+        + ((e * 29) % 101 - 50) / 100.0
+    ).cast("double")
+    return ev.select(
+        "user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon")
+    )
+
+
+_CROSSING_PTS_SQL = """
+    SELECT user_id, ts, event_id,
+           ((user_id % 12) * 11 - 60 + ((user_id * 7) % 5) / 10.0
+            + ((event_id * 13) % 101 - 50) / 100.0) AS lat,
+           ((user_id % 12) * 23 - 138 + ((user_id * 11) % 5) / 10.0
+            + ((event_id * 29) % 101 - 50) / 100.0) AS lon
+    FROM events
+"""
+
+
+def q_geo_track_crossings(spark, sf_dir):
+    """Trajectory crossing detection: per user pair, the number of
+    properly-intersecting track-segment pairs. Cell-blocked equi-join
+    (blocking is complete), exact-integer four-orientation predicate as
+    sign comparisons — never a cartesian, no floats."""
+    from bufr2geojson_spark.operators.trajectory import track_crossings
+
+    return track_crossings(
+        _crossing_track_points(spark, sf_dir), grid_deg=2.5
+    ).orderBy("user_a", "user_b")
+
+
+def _sql_geo_track_crossings():
+    return f"""
+    WITH pts AS (
+        SELECT user_id AS u, ts, event_id AS e,
+               round(lon * 100)::BIGINT AS x,
+               round(lat * 100)::BIGINT AS y
+        FROM ({_CROSSING_PTS_SQL})
+    ),
+    seg0 AS (
+        SELECT u,
+               row_number() OVER (PARTITION BY u ORDER BY ts, e) - 1 AS seg,
+               x AS x1, y AS y1,
+               lead(x) OVER (PARTITION BY u ORDER BY ts, e) AS x2,
+               lead(y) OVER (PARTITION BY u ORDER BY ts, e) AS y2
+        FROM pts
+    ),
+    segs AS (SELECT * FROM seg0 WHERE x2 IS NOT NULL),
+    cx AS (
+        SELECT s.*, unnest(generate_series(
+            floor(least(x1, x2) / 250.0)::BIGINT,
+            floor(greatest(x1, x2) / 250.0)::BIGINT)) AS cx
+        FROM segs s
+    ),
+    cells AS (
+        SELECT c.*, unnest(generate_series(
+            floor(least(y1, y2) / 250.0)::BIGINT,
+            floor(greatest(y1, y2) / 250.0)::BIGINT)) AS cy
+        FROM cx c
+    ),
+    hits AS (
+        SELECT DISTINCT a.u AS ua, b.u AS ub, a.seg AS sa, b.seg AS sb
+        FROM cells a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+                                 AND a.u < b.u
+        WHERE (((a.x2 - a.x1) * (b.y1 - a.y1)
+                - (a.y2 - a.y1) * (b.x1 - a.x1) > 0
+                AND (a.x2 - a.x1) * (b.y2 - a.y1)
+                    - (a.y2 - a.y1) * (b.x2 - a.x1) < 0)
+            OR ((a.x2 - a.x1) * (b.y1 - a.y1)
+                - (a.y2 - a.y1) * (b.x1 - a.x1) < 0
+                AND (a.x2 - a.x1) * (b.y2 - a.y1)
+                    - (a.y2 - a.y1) * (b.x2 - a.x1) > 0))
+          AND (((b.x2 - b.x1) * (a.y1 - b.y1)
+                - (b.y2 - b.y1) * (a.x1 - b.x1) > 0
+                AND (b.x2 - b.x1) * (a.y2 - b.y1)
+                    - (b.y2 - b.y1) * (a.x2 - b.x1) < 0)
+            OR ((b.x2 - b.x1) * (a.y1 - b.y1)
+                - (b.y2 - b.y1) * (a.x1 - b.x1) < 0
+                AND (b.x2 - b.x1) * (a.y2 - b.y1)
+                    - (b.y2 - b.y1) * (a.x2 - b.x1) > 0))
+    )
+    SELECT ua AS user_a, ub AS user_b, count(*)::BIGINT AS n_crossings
+    FROM hits GROUP BY 1, 2 ORDER BY user_a, user_b
+"""
+
+
 def q_geo_convex_hull(spark, sf_dir):
     """Per-entity convex hull (activity footprint): true-vertex count,
     exact-integer doubled shoelace area at 0.01-degree quantization, and
@@ -6254,6 +6356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_predict": q_graph_link_predict,
         "geo_convex_hull": q_geo_convex_hull,
         "dsir_select": q_dsir_select,
+        "geo_track_crossings": q_geo_track_crossings,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -6406,4 +6509,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),
         "geo_convex_hull": _sql_geo_convex_hull(),
+        "geo_track_crossings": _sql_geo_track_crossings(),
     }

@@ -1251,3 +1251,110 @@ def convex_hulls(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def track_crossings(
+    points: DataFrame,
+    grid_deg: float = 2.5,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    scale: int = 100,
+) -> DataFrame:
+    """Trajectory crossing detection: for every pair of entities, count
+    the pairs of track segments (consecutive pings, (ts, seq)-ordered)
+    that PROPERLY intersect — the path-conflict primitive (shipping-lane
+    crossings, airspace deconfliction, contact tracing on paths rather
+    than points).
+
+    Exactness: endpoints are quantized to ``round(coord * scale)`` int64
+    and the proper-intersection test is the classic four-orientation
+    predicate evaluated as SIGN COMPARISONS of exact integer cross
+    products (never a product of two cross products, which could
+    overflow int64) — no floats anywhere, so any SQL engine reproduces
+    the pair set bit-for-bit. Collinear/touching contacts are excluded
+    (proper crossings only), which makes the predicate tolerance-free.
+
+    100 TB shape: a segment-segment theta-join is never materialized as
+    a cartesian — each segment is replicated to the ``grid_deg`` cells
+    its bbox covers (segments are ping-to-ping, so a handful of cells),
+    candidates come from a hash equi-join on the cell key, are filtered
+    by the codegen predicate, then deduped on the segment-pair key
+    (a pair sharing k cells appears k times). Shuffle is O(candidate
+    pairs), the blocking is COMPLETE (an intersection point lies in a
+    cell both bboxes cover), and skewed dense cells salt the same way
+    tile aggregation does.
+
+    Returns (user_a, user_b, n_crossings), user_a < user_b.
+    """
+    s = int(scale)
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(seq_col).alias("_seq"),
+        F.round(F.col(lon_col) * s).cast("long").alias("x1"),
+        F.round(F.col(lat_col) * s).cast("long").alias("y1"),
+    )
+    w = Window.partitionBy("_id").orderBy("_ts", "_seq")
+    segs = (
+        base.select(
+            "_id",
+            (F.row_number().over(w) - F.lit(1)).alias("seg"),
+            "x1", "y1",
+            F.lead("x1").over(w).alias("x2"),
+            F.lead("y1").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+    )
+    g = int(round(float(grid_deg) * s))
+    lo = F.floor(F.least("x1", "x2") / g).cast("long")
+    hi = F.floor(F.greatest("x1", "x2") / g).cast("long")
+    lo_y = F.floor(F.least("y1", "y2") / g).cast("long")
+    hi_y = F.floor(F.greatest("y1", "y2") / g).cast("long")
+    cells = segs.select(
+        "*",
+        F.explode(F.sequence(lo, hi)).alias("cx"),
+    ).select(
+        "*",
+        F.explode(F.sequence(lo_y, hi_y)).alias("cy"),
+    )
+    a = cells.select(
+        F.col("_id").alias("ua"), F.col("seg").alias("sa"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+        "cx", "cy",
+    )
+    b = cells.select(
+        F.col("_id").alias("ub"), F.col("seg").alias("sb"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+        "cx", "cy",
+    )
+
+    def _orient(ox, oy, px, py, qx, qy):
+        return (
+            (F.col(px) - F.col(ox)) * (F.col(qy) - F.col(oy))
+            - (F.col(py) - F.col(oy)) * (F.col(qx) - F.col(ox))
+        )
+
+    o1 = _orient("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    o2 = _orient("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    o3 = _orient("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    o4 = _orient("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    proper = (
+        (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+        & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+    )
+    hits = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("ua") < F.col("ub"))
+        .filter(proper)
+        .select("ua", "ub", "sa", "sb")
+        .distinct()
+    )
+    return (
+        hits.groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_crossings"))
+    )

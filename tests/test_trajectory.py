@@ -851,3 +851,110 @@ class TestConvexHulls:
                         for _ in range(25)] for uid in range(4)}
         assert self._run(spark, groups, parts=1) == \
             self._run(spark, groups, parts=13)
+
+
+class TestTrackCrossings:
+    def test_matches_bruteforce(self, spark):
+        import datetime as dt
+        import random
+
+        from bufr2geojson_spark.operators.trajectory import track_crossings
+
+        rng = random.Random(31)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        for uid in range(6):
+            for _ in range(15):
+                rows.append((
+                    uid, base + dt.timedelta(minutes=eid), eid,
+                    rng.randrange(-300, 300) / 100.0,
+                    rng.randrange(-300, 300) / 100.0,
+                ))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, "
+            "lat double, lon double",
+        )
+        got = {
+            (r["user_a"], r["user_b"]): r["n_crossings"]
+            for r in track_crossings(df, grid_deg=1.0).collect()
+        }
+
+        # brute force in exact ints
+        segs = {}
+        for uid in range(6):
+            pts = [(round(lon * 100), round(lat * 100))
+                   for u2, _, _, lat, lon in rows if u2 == uid]
+            segs[uid] = list(zip(pts, pts[1:]))
+
+        def o(a, b, c):
+            return ((b[0] - a[0]) * (c[1] - a[1])
+                    - (b[1] - a[1]) * (c[0] - a[0]))
+
+        want = {}
+        for ua in range(6):
+            for ub in range(ua + 1, 6):
+                n = 0
+                for p1, p2 in segs[ua]:
+                    for q1, q2 in segs[ub]:
+                        o1, o2 = o(p1, p2, q1), o(p1, p2, q2)
+                        o3, o4 = o(q1, q2, p1), o(q1, q2, p2)
+                        if ((o1 > 0 > o2) or (o1 < 0 < o2)) and \
+                                ((o3 > 0 > o4) or (o3 < 0 < o4)):
+                            n += 1
+                if n:
+                    want[(ua, ub)] = n
+        assert got == want
+
+    def test_touching_and_collinear_excluded(self, spark):
+        import datetime as dt
+
+        from bufr2geojson_spark.operators.trajectory import track_crossings
+
+        t = dt.datetime(2024, 3, 1)
+        m = dt.timedelta(minutes=1)
+        rows = [
+            # user 0: horizontal segment (0,0)->(2,0) [lon,lat scaled]
+            (0, t, 0, 0.0, 0.0), (0, t + m, 1, 0.0, 0.02),
+            # user 1: touches at endpoint (1,0)->(1,2): T-touch, excluded
+            (1, t, 2, 0.0, 0.01), (1, t + m, 3, 0.02, 0.01),
+            # user 2: collinear overlap along lat=0, excluded
+            (2, t, 4, 0.0, 0.01), (2, t + m, 5, 0.0, 0.03),
+            # user 3: genuine crossing of user 0's segment
+            (3, t, 6, -0.01, 0.01), (3, t + m, 7, 0.01, 0.01),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, "
+            "lat double, lon double",
+        )
+        got = {
+            (r["user_a"], r["user_b"]): r["n_crossings"]
+            for r in track_crossings(df, grid_deg=1.0).collect()
+        }
+        assert got.get((0, 3)) == 1
+        assert (0, 1) not in got   # endpoint touch is not proper
+        assert (0, 2) not in got   # collinear overlap is not proper
+
+    def test_blocking_complete_across_cells(self, spark):
+        import datetime as dt
+
+        from bufr2geojson_spark.operators.trajectory import track_crossings
+
+        t = dt.datetime(2024, 3, 1)
+        m = dt.timedelta(minutes=1)
+        # long segments spanning several 1-degree cells, crossing far from
+        # either endpoint's cell
+        rows = [
+            (0, t, 0, 0.0, -5.0), (0, t + m, 1, 0.0, 5.0),
+            (1, t, 2, -5.0, 0.5), (1, t + m, 3, 5.0, 0.5),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, "
+            "lat double, lon double",
+        )
+        got = track_crossings(df, grid_deg=1.0).collect()
+        assert len(got) == 1 and got[0]["n_crossings"] == 1
