@@ -4618,6 +4618,89 @@ def _sql_graph_kcore():
 """
 
 
+def q_geo_track_dtw(spark, sf_dir):
+    """DTW alignment cost (squared-cost variant, exact int64 DP) between
+    candidate track pairs from the shared-cell inverted index. The
+    oracle replays the identical DP with a recursive CTE marching
+    anti-diagonals (each cell carried two rounds so the diagonal
+    predecessor is in scope)."""
+    from bufr2geojson_spark.operators.trajectory import track_dtw
+
+    return track_dtw(
+        _event_track_points(spark, sf_dir), grid_deg=5.0, min_shared=1,
+    ).orderBy("user_a", "user_b")
+
+
+def _sql_geo_track_dtw():
+    return f"""
+    WITH RECURSIVE pts AS (
+        SELECT user_id AS u, ts, event_id AS e, lat, lon,
+               round(lon * 100)::BIGINT AS x,
+               round(lat * 100)::BIGINT AS y
+        FROM ({_TRACK_PTS_SQL})
+    ),
+    cells AS (
+        SELECT DISTINCT u,
+               floor((lat + 90.0) / 5.0)::INT AS gi,
+               floor((lon + 180.0) / 5.0)::INT AS gj
+        FROM pts
+    ),
+    pairs AS (
+        SELECT a.u AS ua, b.u AS ub
+        FROM cells a JOIN cells b
+          ON a.gi = b.gi AND a.gj = b.gj AND a.u < b.u
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT u, row_number() OVER (PARTITION BY u ORDER BY ts, e) - 1
+                   AS i,
+               x, y
+        FROM pts
+    ),
+    sizes AS (SELECT u, count(*)::BIGINT AS n FROM seq GROUP BY u),
+    -- age 0 = the newest anti-diagonal, age 1 = the one before (kept one
+    -- extra round so the (i-1, j-1) predecessor is still in scope)
+    dp(age, ua, ub, i, j, c) AS (
+        SELECT 0, p.ua, p.ub, 0::BIGINT, 0::BIGINT,
+               (sa.x - sb.x) * (sa.x - sb.x)
+               + (sa.y - sb.y) * (sa.y - sb.y)
+        FROM pairs p
+        JOIN seq sa ON sa.u = p.ua AND sa.i = 0
+        JOIN seq sb ON sb.u = p.ub AND sb.i = 0
+        UNION ALL
+        SELECT z.age, z.ua, z.ub, z.i, z.j,
+               CASE WHEN z.gen
+                    THEN z.c + (sa.x - sb.x) * (sa.x - sb.x)
+                             + (sa.y - sb.y) * (sa.y - sb.y)
+                    ELSE z.c END
+        FROM (
+            SELECT CASE WHEN k = 0 THEN 1 ELSE 0 END AS age,
+                   k > 0 AS gen, ua, ub,
+                   CASE k WHEN 0 THEN i WHEN 1 THEN i + 1
+                          WHEN 2 THEN i ELSE i + 1 END AS i,
+                   CASE k WHEN 0 THEN j WHEN 2 THEN j + 1
+                          WHEN 1 THEN j ELSE j + 1 END AS j,
+                   min(c) AS c
+            FROM dp d
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+            WHERE (k = 0 AND d.age = 0)
+               OR (k IN (1, 2) AND d.age = 0)
+               OR (k = 3 AND d.age = 1)
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ) z
+        JOIN seq sa ON sa.u = z.ua AND sa.i = z.i
+        JOIN seq sb ON sb.u = z.ub AND sb.i = z.j
+    )
+    SELECT DISTINCT d.ua AS user_a, d.ub AS user_b,
+           na.n AS n_a, nb.n AS n_b, d.c AS dtw_cost
+    FROM dp d
+    JOIN sizes na ON na.u = d.ua
+    JOIN sizes nb ON nb.u = d.ub
+    WHERE d.i = na.n - 1 AND d.j = nb.n - 1
+    ORDER BY user_a, user_b
+"""
+
+
 def _crossing_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arena-clustered track points for the crossing query: users are
     grouped into 12 shared arenas (user_id % 12) ~11 degrees apart, with
@@ -6357,6 +6440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_convex_hull": q_geo_convex_hull,
         "dsir_select": q_dsir_select,
         "geo_track_crossings": q_geo_track_crossings,
+        "geo_track_dtw": q_geo_track_dtw,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "pack_sequences": q_pack_sequences,
@@ -6510,4 +6594,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_link_predict": _sql_graph_link_predict(),
         "geo_convex_hull": _sql_geo_convex_hull(),
         "geo_track_crossings": _sql_geo_track_crossings(),
+        "geo_track_dtw": _sql_geo_track_dtw(),
     }

@@ -1358,3 +1358,149 @@ def track_crossings(
         hits.groupBy(F.col("ua").alias("user_a"), F.col("ub").alias("user_b"))
         .agg(F.count(F.lit(1)).alias("n_crossings"))
     )
+
+
+def track_dtw(
+    points: DataFrame,
+    grid_deg: float = 5.0,
+    min_shared: int = 1,
+    band: int | None = None,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    scale: int = 100,
+) -> DataFrame:
+    """Dynamic-time-warping alignment cost between entity tracks — the
+    order-sensitive complement to ``track_hausdorff`` (which treats
+    tracks as point sets): two entities that visit the same places in a
+    DIFFERENT order are near under Hausdorff but far under DTW.
+
+    EXACT-INTEGER contract: step cost is the SQUARED planar distance on
+    ``round(coord * scale)`` int64 coordinates (the squared-cost DTW
+    variant), so the whole DP is int64 adds/mins — bit-exact across
+    engines; a DuckDB recursive CTE over anti-diagonals reproduces every
+    cell. dtw_cost is in (1/scale degree)^2 units.
+
+    ``band`` (Sakoe-Chiba) restricts |i - j| <= band — the published
+    O(n*band) mitigation for long tracks; None = full O(n*m) DP (exact).
+    Cells outside the band are unreachable (infinite), and the DP falls
+    back to monotone steps inside the band; band >= max(n, m) equals the
+    full DP.
+
+    Plan: candidate pairs come from the same cell-keyed inverted index
+    as ``track_hausdorff`` (never all-pairs); each entity's track is
+    pre-reduced to ONE row of ordered coordinate arrays (map-side-
+    combinable collect + sort at ~2 ints per ping), the pair join
+    carries only those arrays, and the DP runs vectorized per pair
+    inside ``mapInPandas`` — O(n*m) ints per candidate pair, no
+    shuffle after the pair join. Split multi-day tracks upstream if one
+    entity's history outgrows a row.
+
+    Returns (user_a, user_b, n_a, n_b, dtw_cost).
+    """
+    import numpy as np
+    import pandas as pd
+
+    s = int(scale)
+    g = float(grid_deg)
+    cells = (
+        points.select(
+            F.col(id_col).alias("u"),
+            F.floor((F.col(lat_col) + 90.0) / g).cast("int").alias("gi"),
+            F.floor((F.col(lon_col) + 180.0) / g).cast("int").alias("gj"),
+        )
+        .distinct()
+    )
+    a = cells.select("gi", "gj", F.col("u").alias("user_a"))
+    b = cells.select("gi", "gj", F.col("u").alias("user_b"))
+    pairs = (
+        a.join(b, ["gi", "gj"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= int(min_shared))
+        .select("user_a", "user_b")
+    )
+    seqs = (
+        points.select(
+            F.col(id_col).alias("u"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(seq_col).alias("r"),
+                F.round(F.col(lon_col) * s).cast("long").alias("x"),
+                F.round(F.col(lat_col) * s).cast("long").alias("y"),
+            ).alias("p"),
+        )
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select(
+            "u",
+            F.col("ps.x").alias("xs"),
+            F.col("ps.y").alias("ys"),
+        )
+    )
+    joined = (
+        pairs.join(
+            seqs.select(
+                F.col("u").alias("user_a"), F.col("xs").alias("xa"),
+                F.col("ys").alias("ya"),
+            ),
+            "user_a",
+        )
+        .join(
+            seqs.select(
+                F.col("u").alias("user_b"), F.col("xs").alias("xb"),
+                F.col("ys").alias("yb"),
+            ),
+            "user_b",
+        )
+    )
+    bnd = None if band is None else int(band)
+
+    def _dtw_batches(batches):
+        big = np.iinfo(np.int64).max // 4
+        for pdf in batches:
+            out = {"user_a": [], "user_b": [], "n_a": [], "n_b": [],
+                   "dtw_cost": []}
+            for _, row in pdf.iterrows():
+                xa = np.asarray(row["xa"], dtype=np.int64)
+                ya = np.asarray(row["ya"], dtype=np.int64)
+                xb = np.asarray(row["xb"], dtype=np.int64)
+                yb = np.asarray(row["yb"], dtype=np.int64)
+                n, m = len(xa), len(xb)
+                cost = (
+                    (xa[:, None] - xb[None, :]) ** 2
+                    + (ya[:, None] - yb[None, :]) ** 2
+                )
+                acc = np.full((n + 1, m + 1), big, dtype=np.int64)
+                acc[0, 0] = 0
+                for i in range(1, n + 1):
+                    j0, j1 = 1, m
+                    if bnd is not None:
+                        j0 = max(1, i - bnd)
+                        j1 = min(m, i + bnd)
+                    if j0 > j1:
+                        continue
+                    prev = np.minimum(
+                        acc[i - 1, j0 - 1:j1], acc[i - 1, j0:j1 + 1]
+                    )
+                    # acc[i, j-1] is sequential within the row
+                    run = big
+                    for j in range(j0, j1 + 1):
+                        run = min(prev[j - j0], run)
+                        run = cost[i - 1, j - 1] + run
+                        acc[i, j] = run
+                out["user_a"].append(row["user_a"])
+                out["user_b"].append(row["user_b"])
+                out["n_a"].append(n)
+                out["n_b"].append(m)
+                out["dtw_cost"].append(int(acc[n, m]))
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        _dtw_batches,
+        schema="user_a long, user_b long, n_a long, n_b long, "
+               "dtw_cost long",
+    )

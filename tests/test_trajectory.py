@@ -958,3 +958,94 @@ class TestTrackCrossings:
         )
         got = track_crossings(df, grid_deg=1.0).collect()
         assert len(got) == 1 and got[0]["n_crossings"] == 1
+
+
+class TestTrackDtw:
+    @staticmethod
+    def _brute(sa, sb, band=None):
+        big = 1 << 60
+        n, m = len(sa), len(sb)
+        acc = [[big] * (m + 1) for _ in range(n + 1)]
+        acc[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                if band is not None and abs(i - j) > band:
+                    continue
+                c = ((sa[i - 1][0] - sb[j - 1][0]) ** 2
+                     + (sa[i - 1][1] - sb[j - 1][1]) ** 2)
+                acc[i][j] = c + min(acc[i - 1][j], acc[i][j - 1],
+                                    acc[i - 1][j - 1])
+        return acc[n][m]
+
+    def _df(self, spark, tracks):
+        import datetime as dt
+
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        for uid, pts in tracks.items():
+            for (x, y) in pts:
+                rows.append((uid, base + dt.timedelta(minutes=eid), eid,
+                             y / 100.0, x / 100.0))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, "
+                  "lat double, lon double",
+        )
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from bufr2geojson_spark.operators.trajectory import track_dtw
+
+        rng = random.Random(41)
+        tracks = {
+            uid: [(rng.randrange(-200, 200), rng.randrange(-200, 200))
+                  for _ in range(rng.randrange(5, 20))]
+            for uid in range(5)
+        }
+        got = {
+            (r["user_a"], r["user_b"]): (r["n_a"], r["n_b"], r["dtw_cost"])
+            for r in track_dtw(self._df(spark, tracks),
+                               grid_deg=5.0).collect()
+        }
+        assert got  # candidate pairs exist (all tracks share cells)
+        for (ua, ub), (na, nb, c) in got.items():
+            assert na == len(tracks[ua]) and nb == len(tracks[ub])
+            assert c == self._brute(tracks[ua], tracks[ub]), (ua, ub)
+
+    def test_order_sensitivity_vs_point_sets(self, spark):
+        from bufr2geojson_spark.operators.trajectory import track_dtw
+
+        # same point SET, opposite visit order: DTW must be far from 0
+        pts = [(i * 10, i * 10) for i in range(10)]
+        tracks = {0: pts, 1: list(reversed(pts)), 2: list(pts)}
+        got = {(r["user_a"], r["user_b"]): r["dtw_cost"]
+               for r in track_dtw(self._df(spark, tracks),
+                                  grid_deg=5.0).collect()}
+        assert got[(0, 2)] == 0            # identical order aligns freely
+        assert got[(0, 1)] > 0             # reversed order pays alignment
+
+    def test_band_equals_full_when_wide_and_narrow_is_upper_bound(
+            self, spark):
+        import random
+
+        from bufr2geojson_spark.operators.trajectory import track_dtw
+
+        rng = random.Random(43)
+        tracks = {
+            uid: [(rng.randrange(-100, 100), rng.randrange(-100, 100))
+                  for _ in range(12)]
+            for uid in range(3)
+        }
+        df = self._df(spark, tracks)
+        full = {(r["user_a"], r["user_b"]): r["dtw_cost"]
+                for r in track_dtw(df, grid_deg=5.0).collect()}
+        wide = {(r["user_a"], r["user_b"]): r["dtw_cost"]
+                for r in track_dtw(df, grid_deg=5.0, band=50).collect()}
+        narrow = {(r["user_a"], r["user_b"]): r["dtw_cost"]
+                  for r in track_dtw(df, grid_deg=5.0, band=2).collect()}
+        assert wide == full
+        for k, v in narrow.items():
+            assert v >= full[k]           # band restricts the path set
+            assert v == self._brute(tracks[k[0]], tracks[k[1]], band=2)
