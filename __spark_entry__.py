@@ -1877,6 +1877,78 @@ def _sql_lsh_pairs():
     """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup: dedup the newest batch (source src19)
+    against the accumulated index (every other source) — an asymmetric
+    band-hash join, never a corpus self-join; exact Jaccard verify on
+    candidates, best index match per new doc."""
+    d = _t(spark, sf_dir, "documents")
+    return T.dedup_against_index(
+        d.filter("source = 'src19'"),
+        d.filter("source <> 'src19'"),
+        num_hashes=4, bands=2, shingle_k=3, threshold=0.05,
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_incremental():
+    mins = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _H32_SQL.format(x=f"concat('{j}:', s)")
+        + f")) AS mh_{j}"
+        for j in range(4)
+    )
+    return f"""
+    WITH sig AS (
+        SELECT doc_id, source, {mins}
+        FROM (SELECT doc_id, source, {_SHINGLES_SQL} AS sh FROM documents)
+    ),
+    banded AS (
+        SELECT doc_id, source, 0 AS band,
+               md5(concat(mh_0, '_', mh_1)) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, source, 1 AS band,
+               md5(concat(mh_2, '_', mh_3)) AS band_hash FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+        WHERE a.source = 'src19' AND b.source <> 'src19'
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+        FROM documents
+        WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               coalesce(i.inter, 0)::BIGINT AS inter,
+               sa.sz::BIGINT AS sz_a, sb.sz::BIGINT AS sz_b,
+               round(coalesce(i.inter, 0) * 1.0
+                     / (sa.sz + sb.sz - coalesce(i.inter, 0)), 6)
+                   AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a AS doc_id, id_b AS match_id, inter, sz_a, sz_b, jaccard
+    FROM (
+        SELECT s.*, row_number() OVER (
+            PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) AS rn
+        FROM scored s WHERE jaccard >= 0.05
+    ) z WHERE rn = 1 ORDER BY doc_id
+    """
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-stratum deterministic sampling (training-mix rebalancing):
     long documents kept at 50%, short at 10%, by hash threshold."""
@@ -2148,6 +2220,112 @@ _SQL_EVENT_MARKOV = """
                  / sum(n_transitions) OVER (PARTITION BY from_state)
            )::BIGINT AS prob_e6
     FROM pairs ORDER BY from_state, to_state
+"""
+
+
+def q_event_ngrams(spark, sf_dir):
+    """Frequent contiguous event-type trigrams across per-user sequences
+    (sequence-mining primitive): one entity-keyed shuffle, stacked leads
+    in one window, map-side-combined gram counts."""
+    from bufr2geojson_spark.operators.events import sequence_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_ngrams(ev, n=3, min_support=2).orderBy("gram")
+
+
+_SQL_EVENT_NGRAMS = """
+    WITH seq AS (
+        SELECT event_type AS a,
+               lead(event_type, 1) OVER w AS b,
+               lead(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS gram,
+           count(*)::BIGINT AS n_occurrences
+    FROM seq WHERE c IS NOT NULL
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY gram
+"""
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Windowed PMI collocations (±3 words, min count 5): co-occurrence
+    pairs from stacked leads in ONE doc-keyed window (linear — never the
+    positional band self-join), micro-nat fixed-point PMI."""
+    return T.pmi_pairs(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5
+    ).orderBy("tok_a", "tok_b")
+
+
+_SQL_PMI_PAIRS = """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    prs AS (
+        SELECT unnest(flatten(list_transform(
+                   generate_series(1, len(ws)),
+                   i -> list_transform(
+                       generate_series(i + 1, least(i + 3, len(ws))),
+                       j -> [ws[i], ws[j]])))) AS pr
+        FROM w
+    ),
+    canon AS (
+        SELECT least(pr[1], pr[2]) AS tok_a,
+               greatest(pr[1], pr[2]) AS tok_b
+        FROM prs
+    ),
+    pc AS (
+        SELECT tok_a, tok_b, count(*)::BIGINT AS n_pairs
+        FROM canon GROUP BY 1, 2
+    ),
+    ptot AS (SELECT sum(n_pairs) AS p_total FROM pc),
+    tok AS (SELECT unnest(ws) AS tk FROM w),
+    marg AS (SELECT tk, count(*)::BIGINT AS c FROM tok GROUP BY tk),
+    ttot AS (SELECT sum(c) AS t_total FROM marg)
+    SELECT p.tok_a, p.tok_b, p.n_pairs,
+           floor((ln(p.n_pairs * 1.0 / p_total)
+                  - ln(ma.c * 1.0 / t_total)
+                  - ln(mb.c * 1.0 / t_total)) * 1e6 + 0.5)::BIGINT
+               AS pmi_e6
+    FROM pc p
+    JOIN marg ma ON ma.tk = p.tok_a
+    JOIN marg mb ON mb.tk = p.tok_b
+    CROSS JOIN ptot CROSS JOIN ttot
+    WHERE p.n_pairs >= 5
+    ORDER BY tok_a, tok_b
+"""
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE-training iteration zero at corpus scale: adjacent character-
+    pair frequencies within words (JVM sequence+substring explode, no
+    Python), top-20 merge candidates with deterministic tiebreak."""
+    return T.bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), top_k=20
+    ).orderBy("rank")
+
+
+_SQL_BPE_MERGES = """
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(
+            generate_series(1, length(w) - 1),
+            i -> substr(w, i, 2))) AS pair
+        FROM words WHERE length(w) >= 2
+    ),
+    cnt AS (
+        SELECT pair, count(*)::BIGINT AS n_occurrences
+        FROM pairs GROUP BY 1
+    )
+    SELECT pair, n_occurrences, rank FROM (
+        SELECT pair, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, pair)
+                   ::BIGINT AS rank
+        FROM cnt
+    ) z WHERE rank <= 20 ORDER BY rank
 """
 
 
@@ -6434,6 +6612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "event_throttle": q_event_throttle,
         "event_markov": q_event_markov,
+        "event_ngrams": q_event_ngrams,
+        "bpe_merges": q_bpe_merges,
+        "pmi_pairs": q_pmi_pairs,
+        "dedup_incremental": q_dedup_incremental,
         "geo_tile_p90": q_geo_tile_p90,
         "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
@@ -6589,6 +6771,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "event_throttle": _SQL_EVENT_THROTTLE,
         "event_markov": _SQL_EVENT_MARKOV,
+        "event_ngrams": _SQL_EVENT_NGRAMS,
+        "bpe_merges": _SQL_BPE_MERGES,
+        "pmi_pairs": _SQL_PMI_PAIRS,
+        "dedup_incremental": _sql_dedup_incremental(),
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),

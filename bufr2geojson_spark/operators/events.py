@@ -342,3 +342,38 @@ def markov_transitions(
             / F.sum("n_transitions").over(wrow)
         ).cast("long").alias("prob_e6"),
     )
+
+
+def sequence_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Frequent contiguous event-type n-grams across per-entity
+    sequences — the sequence-mining primitive behind "common user
+    journeys" (the contiguous special case of PrefixSpan, which is the
+    part that scales as a pure DataFrame program).
+
+    Plan: ONE entity-keyed shuffle; n-1 stacked leads inside the same
+    sorted window (one WindowExec, not n-1), then a map-side-combinable
+    groupBy on the n-gram key. Support filtering happens in the
+    aggregate — the output is the (small) pattern vocabulary, never the
+    sequence stream. Returns (gram, n_occurrences), gram as
+    "a>b>c", ordered ties deterministic via (ts, tie).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    cols = [F.col(state_col)]
+    for i in range(1, int(n)):
+        cols.append(F.lead(state_col, i).over(w))
+    out = events.select(F.concat_ws(">", *cols).alias("gram"),
+                        cols[-1].isNotNull().alias("_full"))
+    return (
+        out.filter(F.col("_full"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= int(min_support))
+    )

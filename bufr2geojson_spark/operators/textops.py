@@ -109,6 +109,30 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 16,
     )
 
 
+def _band_hashes(sig: DataFrame, num_hashes: int, bands: int,
+                 id_col: str) -> DataFrame:
+    """(id, band, band_hash) from a minhash signature table. All band
+    hashes are built in ONE projection then exploded — a union of
+    per-band selects would rescan the corpus (and recompute every
+    minhash) once per band; this keeps the expensive signature
+    computation to a single pass."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[F.col(c) for c in cols]))
+                .alias("band_hash"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(F.col(id_col), F.col("_b.band").alias("band"),
+             F.col("_b.band_hash").alias("band_hash"))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -121,26 +145,10 @@ def lsh_candidate_pairs(
     a candidate pair. The band bucket-join is THE scale path for near-dup —
     the shuffle key is (band, band_hash), so work is proportional to
     candidates, not to all pairs."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(docs, num_hashes, shingle_k, text_col, id_col)
-    # build all band hashes in ONE projection then explode — a union of
-    # per-band selects would rescan the corpus (and recompute every minhash)
-    # once per band; this keeps the expensive signature computation to a
-    # single pass
-    band_structs = []
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[F.col(c) for c in cols]))
-                .alias("band_hash"),
-            )
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
-    ).select(F.col(id_col), F.col("_b.band").alias("band"),
-             F.col("_b.band_hash").alias("band_hash"))
+    banded = _band_hashes(
+        minhash_signature(docs, num_hashes, shingle_k, text_col, id_col),
+        num_hashes, bands, id_col,
+    )
     a = banded.alias("a")
     b_ = banded.alias("b")
     pairs = (
@@ -1817,4 +1825,185 @@ def dsir_importance(
             ),
             F.lit(False),
         ).alias("selected"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """The counting step of one BPE-training iteration at corpus scale:
+    frequencies of adjacent SYMBOL pairs within words (symbols = single
+    characters here, i.e. iteration zero), returning the ``top_k`` merge
+    candidates — the shuffle-heavy part of tokenizer training, which is
+    exactly what needs to be distributed at 100 TB (the greedy merge
+    loop itself operates on this tiny table driver-side).
+
+    Plan: words explode once; each word emits its length-1 adjacent
+    pairs via a JVM ``sequence``+``substring`` explode (no Python), then
+    a map-side-combined groupBy on the pair. The top-k is a window over
+    the (small) pair vocabulary with a deterministic (count DESC, pair
+    ASC) order. Returns (pair, n_occurrences, rank).
+    """
+    words = docs.select(
+        F.explode(words_of(F.col(text_col))).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(top_k))
+    )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence within a
+    ±``window`` word distance — the word2vec-era association statistic
+    (collocation mining, embedding-quality diagnostics).
+
+    Plan: the co-occurrence pairs come from ``window`` STACKED LEADS
+    inside one doc-keyed sorted window (a single WindowExec) followed by
+    one explode — linear in the token stream, never the positional
+    self-join (which is a band theta-join). Pair counts and the two
+    marginal counts are map-side-combinable groupBys; marginals join
+    back onto the (small, min_count-filtered) pair vocabulary. PMI is
+    fixed-pointed to micro-nats in one documented expression shape.
+
+    PMI = ln( (c_xy / P) / ((c_x / T) * (c_y / T)) ), with T = total
+    token instances, P = total co-occurrence pairs. Pairs are canonical
+    (a <= b), both orientations counted once.
+
+    Returns (tok_a, tok_b, n_pairs, pmi_e6) for pairs with
+    n_pairs >= min_count.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_of(F.col(text_col))).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [
+        F.lead("w", i).over(wdoc).alias(f"_l{i}")
+        for i in range(1, int(window) + 1)
+    ]
+    pairs = (
+        tok.select("w", *lead_cols)
+        .select(
+            "w",
+            F.explode(
+                F.array_compact(
+                    F.array(*[F.col(f"_l{i}")
+                              for i in range(1, int(window) + 1)])
+                )
+            ).alias("v"),
+        )
+        .select(
+            F.least("w", "v").alias("tok_a"),
+            F.greatest("w", "v").alias("tok_b"),
+        )
+    )
+    pc = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    totals = pc.agg(F.sum("n_pairs").alias("p_total"))
+    marg = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = pc.filter(F.col("n_pairs") >= int(min_count))
+    t_total = marg.agg(F.sum("c").alias("t_total"))
+    joined = (
+        big.join(marg.select(F.col("w").alias("tok_a"),
+                             F.col("c").alias("ca")), "tok_a")
+        .join(marg.select(F.col("w").alias("tok_b"),
+                          F.col("c").alias("cb")), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_total))
+    )
+    pmi_e6 = F.floor(
+        (
+            F.log(F.col("n_pairs").cast("double")
+                  / F.col("p_total").cast("double"))
+            - F.log(F.col("ca").cast("double")
+                    / F.col("t_total").cast("double"))
+            - F.log(F.col("cb").cast("double")
+                    / F.col("t_total").cast("double"))
+        ) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return joined.select("tok_a", "tok_b", "n_pairs",
+                         pmi_e6.alias("pmi_e6"))
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup: flag each NEW-batch document that
+    near-duplicates something already in the INDEXED corpus — the shape
+    a production ingestion pipeline actually runs (dedup each day's
+    crawl against the accumulated index; the self-join
+    ``lsh_candidate_pairs`` form is the backfill path).
+
+    Candidates come from a band-hash equi-join of the new batch's
+    signatures against the index's signatures — an asymmetric join whose
+    shuffle is O(new-batch bands + matching index buckets), NOT a
+    self-join over the whole corpus; at steady state the new batch is
+    tiny relative to the index, so AQE broadcasts the new side and the
+    index is never reshuffled. Verification is exact shingle Jaccard on
+    candidates only (``jaccard_verify_pairs``), and the best match per
+    new doc (jaccard DESC, index id ASC) is a window keyed on the new
+    doc id. Ids must be unique across both inputs.
+
+    Returns (doc_id, match_id, inter, sz_a, sz_b, jaccard) — one row per
+    new doc whose best verified match clears ``threshold``.
+    """
+    sig_new = _band_hashes(
+        minhash_signature(new_docs, num_hashes, shingle_k, text_col,
+                          id_col),
+        num_hashes, bands, id_col,
+    ).select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    sig_idx = _band_hashes(
+        minhash_signature(index_docs, num_hashes, shingle_k, text_col,
+                          id_col),
+        num_hashes, bands, id_col,
+    ).select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand = (
+        sig_new.join(sig_idx, ["band", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_verify_pairs(
+        cand, new_docs.unionByName(index_docs), shingle_k, text_col,
+        id_col,
+    ).filter(F.col("jaccard") >= float(threshold))
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("jaccard"), F.asc("id_b")
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("match_id"),
+            "inter", "sz_a", "sz_b", "jaccard",
+        )
     )

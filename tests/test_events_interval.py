@@ -202,3 +202,50 @@ class TestMarkovTransitions:
         got = {(r["from_state"], r["to_state"]): r["n_transitions"]
                for r in markov_transitions(df).collect()}
         assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+class TestSequenceNgrams:
+    def test_matches_bruteforce(self, spark):
+        from collections import Counter, defaultdict
+
+        from bufr2geojson_spark.operators.events import sequence_ngrams
+
+        base = _ts("2024-03-01 00:00:00")
+        types = ["v", "c", "b", "x"]
+        rows = [
+            (eid, base + dt.timedelta(minutes=(eid * 3) % 53), eid % 4,
+             types[(eid * 7) % 4])
+            for eid in range(80)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string"
+        )
+        got = {r["gram"]: r["n_occurrences"]
+               for r in sequence_ngrams(df, n=3, min_support=1).collect()}
+        seqs = defaultdict(list)
+        for eid, ts, uid, et in rows:
+            seqs[uid].append((ts, eid, et))
+        want = Counter()
+        for evs in seqs.values():
+            evs.sort()
+            ts_ = [e[2] for e in evs]
+            for i in range(len(ts_) - 2):
+                want[">".join(ts_[i:i + 3])] += 1
+        assert got == dict(want)
+
+    def test_support_filter_and_no_cross_user_grams(self, spark):
+        from bufr2geojson_spark.operators.events import sequence_ngrams
+
+        t0 = _ts("2024-03-01 00:00:00")
+        m = dt.timedelta(minutes=1)
+        rows = [
+            (0, t0, 1, "a"), (1, t0 + m, 1, "b"),
+            # user 2 continues with c,d: a>b>c must NOT appear (user split)
+            (2, t0 + 2 * m, 2, "c"), (3, t0 + 3 * m, 2, "d"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string"
+        )
+        assert sequence_ngrams(df, n=3, min_support=1).collect() == []

@@ -1306,3 +1306,128 @@ class TestDsirImportance:
         out = dsir_importance(df, select_frac=0.5).collect()
         sel = sorted(r["doc_id"] for r in out if r["selected"])
         assert sel == [10, 11]
+
+
+class TestBpePairCounts:
+    def test_matches_bruteforce(self, spark):
+        from collections import Counter
+
+        from bufr2geojson_spark.operators.textops import bpe_pair_counts
+
+        texts = ["hello world", "help held low", "aaa ab b", "world word"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = [(r["pair"], r["n_occurrences"], r["rank"])
+               for r in bpe_pair_counts(df, top_k=100)
+               .orderBy("rank").collect()]
+        want = Counter()
+        for t in texts:
+            for w in t.split(" "):
+                for i in range(len(w) - 1):
+                    want[w[i:i + 2]] += 1
+        expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got == [(p, c, i + 1) for i, (p, c) in enumerate(expect)]
+
+    def test_topk_cut(self, spark):
+        from bufr2geojson_spark.operators.textops import bpe_pair_counts
+
+        df = spark.createDataFrame(
+            [(0, "abc abd abe")], "doc_id long, text string"
+        )
+        out = bpe_pair_counts(df, top_k=1).collect()
+        assert len(out) == 1 and out[0]["pair"] == "ab" \
+            and out[0]["n_occurrences"] == 3
+
+
+class TestPmiPairs:
+    def test_matches_bruteforce(self, spark):
+        import math
+        from collections import Counter
+
+        from bufr2geojson_spark.operators.textops import pmi_pairs
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the rug",
+            "cat and dog and cat",
+            "on the mat on the rug",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = {(r["tok_a"], r["tok_b"]): (r["n_pairs"], r["pmi_e6"])
+               for r in pmi_pairs(df, window=2, min_count=1).collect()}
+        pairs = Counter()
+        marg = Counter()
+        for t in texts:
+            ws = t.split(" ")
+            marg.update(ws)
+            for i in range(len(ws)):
+                for j in range(i + 1, min(i + 2, len(ws) - 1) + 1):
+                    a, b = sorted((ws[i], ws[j]))
+                    pairs[(a, b)] += 1
+        p_total = sum(pairs.values())
+        t_total = sum(marg.values())
+        assert set(got) == set(pairs)
+        for (a, b), n in pairs.items():
+            want = math.floor(
+                (math.log(n / p_total) - math.log(marg[a] / t_total)
+                 - math.log(marg[b] / t_total)) * 1e6 + 0.5)
+            gn, gp = got[(a, b)]
+            assert gn == n
+            assert abs(gp - want) <= 1   # libm-vs-JVM last-ulp guard
+
+    def test_min_count_filters(self, spark):
+        from bufr2geojson_spark.operators.textops import pmi_pairs
+
+        df = spark.createDataFrame(
+            [(0, "a b a b a b c d")], "doc_id long, text string"
+        )
+        out = pmi_pairs(df, window=1, min_count=3).collect()
+        # only the a-b adjacency reaches count >= 3
+        assert {(r["tok_a"], r["tok_b"]) for r in out} == {("a", "b")}
+
+
+class TestDedupAgainstIndex:
+    def test_planted_dup_found_and_best_match(self, spark):
+        from bufr2geojson_spark.operators.textops import dedup_against_index
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base.replace("lazy", "sleepy")
+        index_rows = [
+            (1, base), (2, near),
+            (3, "completely different words about spark shuffles and joins"),
+        ]
+        new_rows = [
+            (100, base),                       # exact dup of 1
+            (101, "unrelated text with no overlap whatsoever here at all"),
+        ]
+        idx = spark.createDataFrame(index_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_against_index(
+            new, idx, num_hashes=8, bands=4, shingle_k=3, threshold=0.3
+        ).collect()}
+        assert 100 in out
+        # best match is the EXACT dup (jaccard 1.0), not the near one
+        assert out[100]["match_id"] == 1
+        assert out[100]["jaccard"] == 1.0
+        assert 101 not in out
+
+    def test_never_matches_within_new_batch(self, spark):
+        from bufr2geojson_spark.operators.textops import dedup_against_index
+
+        txt = "same text shared by both brand new documents exactly alike"
+        new = spark.createDataFrame(
+            [(100, txt), (101, txt)], "doc_id long, text string"
+        )
+        idx = spark.createDataFrame(
+            [(1, "an indexed document that matches nothing in the batch")],
+            "doc_id long, text string",
+        )
+        out = dedup_against_index(
+            new, idx, num_hashes=8, bands=4, shingle_k=3, threshold=0.1
+        ).collect()
+        assert out == []   # 100 vs 101 is not an index match
