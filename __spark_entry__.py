@@ -1886,7 +1886,7 @@ def q_dedup_incremental(spark, sf_dir):
     return T.dedup_against_index(
         d.filter("source = 'src19'"),
         d.filter("source <> 'src19'"),
-        num_hashes=4, bands=2, shingle_k=3, threshold=0.05,
+        num_hashes=4, bands=4, shingle_k=3, threshold=0.01,
     ).orderBy("doc_id")
 
 
@@ -1904,10 +1904,16 @@ def _sql_dedup_incremental():
     ),
     banded AS (
         SELECT doc_id, source, 0 AS band,
-               md5(concat(mh_0, '_', mh_1)) AS band_hash FROM sig
+               md5(mh_0::VARCHAR) AS band_hash FROM sig
         UNION ALL
         SELECT doc_id, source, 1 AS band,
-               md5(concat(mh_2, '_', mh_3)) AS band_hash FROM sig
+               md5(mh_1::VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, source, 2 AS band,
+               md5(mh_2::VARCHAR) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, source, 3 AS band,
+               md5(mh_3::VARCHAR) AS band_hash FROM sig
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1944,7 +1950,7 @@ def _sql_dedup_incremental():
     FROM (
         SELECT s.*, row_number() OVER (
             PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) AS rn
-        FROM scored s WHERE jaccard >= 0.05
+        FROM scored s WHERE jaccard >= 0.01
     ) z WHERE rn = 1 ORDER BY doc_id
     """
 
