@@ -4901,7 +4901,8 @@ def _crossing_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ((e * 13) % 101 - 50) / 100.0
     ).cast("double")
     lon = (
-        ((u % 12) * 23 - 138).cast("double")
+        (F.floor((u % 48) / 12).cast("long") * 67 - 138).cast("double")
+        + ((u % 12) * 23 % 11).cast("double")
         + ((u * 11) % 5) / 10.0
         + ((e * 29) % 101 - 50) / 100.0
     ).cast("double")
@@ -4914,7 +4915,8 @@ _CROSSING_PTS_SQL = """
     SELECT user_id, ts, event_id,
            ((user_id % 12) * 11 - 60 + ((user_id * 7) % 5) / 10.0
             + ((event_id * 13) % 101 - 50) / 100.0) AS lat,
-           ((user_id % 12) * 23 - 138 + ((user_id * 11) % 5) / 10.0
+           (((user_id % 48) // 12) * 67 - 138 + (user_id % 12) * 23 % 11
+            + ((user_id * 11) % 5) / 10.0
             + ((event_id * 29) % 101 - 50) / 100.0) AS lon
     FROM events
 """

@@ -234,6 +234,12 @@ def headline_queries() -> list[str]:
         "event_interval_join",
         "fuzzy_name_pairs",
         "doc_chunks",
+        "geo_convex_hull",
+        "geo_track_dtw",
+        "graph_link_predict",
+        "dsir_select",
+        "pmi_pairs",
+        "dedup_incremental",
     ]
 
 
