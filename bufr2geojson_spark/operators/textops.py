@@ -1918,11 +1918,15 @@ def pmi_pairs(
             F.greatest("w", "v").alias("tok_b"),
         )
     )
+    # pc and marg are each consumed twice (count + totals / two marginal
+    # joins); without a persist Spark recomputes the full token-stream
+    # explode per consumer. Both are vocabulary-sized — caching them is
+    # cheap and turns four corpus scans into one (LRU-evicted later).
     pc = pairs.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
-    )
+    ).persist()
     totals = pc.agg(F.sum("n_pairs").alias("p_total"))
-    marg = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    marg = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
     big = pc.filter(F.col("n_pairs") >= int(min_count))
     t_total = marg.agg(F.sum("c").alias("t_total"))
     joined = (
