@@ -3337,6 +3337,32 @@ def q_rp_project(spark, sf_dir):
     return A.random_projection(e, out_dim=8).orderBy("vec_id")
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (normalization / drift pass):
+    map-only posexplode + one map-side-combined groupBy on the dim
+    index; all sums integer at 1e-6 quantization."""
+    from bufr2geojson_spark.operators.ann import embedding_dim_stats
+
+    return embedding_dim_stats(
+        _t(spark, sf_dir, "embeddings")
+    ).orderBy("dim")
+
+
+_SQL_EMBEDDING_DIM_STATS = """
+    WITH ex AS (
+        SELECT d.dim,
+               floor(e[d.dim + 1] * 1000000.0 + 0.5)::BIGINT AS q
+        FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings) t
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+    )
+    SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+           sum(q)::BIGINT AS sum_e6, sum(q * q)::BIGINT AS sumsq,
+           min(q)::BIGINT AS min_e6, max(q)::BIGINT AS max_e6,
+           floor(sum(q) * 1.0 / count(*))::BIGINT AS mean_e6
+    FROM ex GROUP BY dim ORDER BY dim
+"""
+
+
 def _sql_rp_project():
     planes = A.hyperplanes(8, 64)
     cols = []
@@ -6624,6 +6650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "pmi_pairs": q_pmi_pairs,
         "dedup_incremental": q_dedup_incremental,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "geo_tile_p90": q_geo_tile_p90,
         "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
@@ -6783,6 +6810,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _SQL_BPE_MERGES,
         "pmi_pairs": _SQL_PMI_PAIRS,
         "dedup_incremental": _sql_dedup_incremental(),
+        "embedding_dim_stats": _SQL_EMBEDDING_DIM_STATS,
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),

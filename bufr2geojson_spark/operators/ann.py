@@ -1053,3 +1053,52 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2sq", "rank")
     )
+
+
+def embedding_dim_stats(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension corpus statistics over an embedding column — the
+    pass feature normalization (z-scoring, min-max), drift monitoring,
+    and PQ/IVF training diagnostics all start from.
+
+    EXACTNESS: components are quantized to ``floor(v * scale + 0.5)``
+    int64 BEFORE aggregation, so every sum is an integer sum — bit-exact
+    under any partitioning (the repo-wide digest rule; a double sum
+    wobbles its last ulp with partial-agg order). mean_e6 is the floor
+    of the integer ratio. sumsq is in scale² units; at 10^12 rows switch
+    the sumsq accumulator to DECIMAL(38,0) (int64 holds ~4·10^5 rows per
+    dimension at |v| <= 2 before overflow against 2^63 — fine for any
+    per-executor partial, and the final combine is 64 rows).
+
+    Plan: one map-only posexplode (no Python), then a single
+    map-side-combined groupBy on the dimension index — shuffle payload
+    is n_partitions × n_dims partial rows, independent of corpus size.
+
+    Returns (dim, n, sum_e6, sumsq, min_e6, max_e6, mean_e6).
+    """
+    ex = embs.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select(
+        "dim",
+        F.floor(F.col("v").cast("double") * int(scale) + F.lit(0.5))
+        .cast("long").alias("q"),
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_e6"),
+            F.sum(F.col("q") * F.col("q")).alias("sumsq"),
+            F.min("q").alias("min_e6"),
+            F.max("q").alias("max_e6"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n", "sum_e6", "sumsq", "min_e6", "max_e6",
+            F.floor(F.col("sum_e6") / F.col("n")).cast("long")
+            .alias("mean_e6"),
+        )
+    )

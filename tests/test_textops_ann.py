@@ -1431,3 +1431,28 @@ class TestDedupAgainstIndex:
             new, idx, num_hashes=8, bands=4, shingle_k=3, threshold=0.1
         ).collect()
         assert out == []   # 100 vs 101 is not an index match
+
+
+class TestEmbeddingDimStats:
+    def test_matches_numpy_and_partition_invariant(self, spark):
+        import numpy as np
+
+        from bufr2geojson_spark.operators.ann import embedding_dim_stats
+
+        rng = np.random.RandomState(9)
+        vecs = rng.uniform(-0.6, 0.6, size=(40, 8)).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        for parts in (1, 7):
+            got = {r["dim"]: r for r in embedding_dim_stats(
+                df.repartition(parts)).collect()}
+            q = np.floor(vecs.astype("float64") * 1e6 + 0.5).astype("int64")
+            for d in range(8):
+                col = q[:, d]
+                r = got[d]
+                assert r["n"] == 40
+                assert r["sum_e6"] == int(col.sum())
+                assert r["sumsq"] == int((col * col).sum())
+                assert r["min_e6"] == int(col.min())
+                assert r["max_e6"] == int(col.max())
+                assert r["mean_e6"] == int(np.floor(col.sum() / 40))
