@@ -5119,6 +5119,69 @@ def _sql_geo_convex_hull():
 """
 
 
+_SSSP_ROUNDS = 60
+
+
+def q_graph_sssp(spark, sf_dir):
+    """Multi-source WEIGHTED shortest paths (integer weights) on the
+    small-world lattice: delta-frontier Bellman-Ford relaxing only
+    improved nodes per round. The oracle replays fixed rounds of the
+    same relaxation as a recursive CTE over a self-loop-augmented edge
+    list (one recursive reference handles both retention and relax);
+    both sides reach the unique fixpoint."""
+    from bufr2geojson_spark.operators.graph import sssp_weighted
+
+    nodes = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    vexists = nodes.select(F.col("k").alias("v"))
+    parts = []
+    for step in (1, 2, 17):
+        parts.append(nodes.select(
+            F.col("k").alias("u"),
+            (F.col("k") + step).alias("v"),
+            ((F.col("k") * 7 + step * 13) % 9 + 1).alias("w"),
+        ))
+    e = parts[0].unionAll(parts[1]).unionAll(parts[2]).join(
+        vexists, "v", "left_semi"
+    )
+    srcs = nodes.filter(F.col("k") % 40 == 0)
+    return (
+        sssp_weighted(e, srcs, max_rounds=_SSSP_ROUNDS)
+        .select(F.col("node").cast("long").alias("node"),
+                F.col("dist").cast("long").alias("dist"))
+        .orderBy("node")
+    )
+
+
+def _sql_graph_sssp():
+    return f"""
+    WITH RECURSIVE nodes AS (SELECT c_custkey AS k FROM customer),
+    ed AS (
+        SELECT a.k AS u, a.k + s.s AS v,
+               ((a.k * 7 + s.s * 13) % 9 + 1)::BIGINT AS w
+        FROM nodes a
+        CROSS JOIN (SELECT unnest([1, 2, 17]) AS s) s
+        JOIN nodes b ON b.k = a.k + s.s
+    ),
+    sym AS (
+        SELECT u AS a, v AS b, w FROM ed
+        UNION ALL SELECT v, u, w FROM ed
+        UNION ALL SELECT k, k, 0 FROM nodes
+    ),
+    bf(it, node, dist) AS (
+        SELECT 0, k, 0::BIGINT FROM nodes WHERE k % 40 = 0
+        UNION ALL
+        SELECT b.it + 1, e.b, min(b.dist + e.w)
+        FROM bf b JOIN sym e ON e.a = b.node
+        WHERE b.it < {_SSSP_ROUNDS}
+        GROUP BY 1, 2
+    )
+    SELECT node::BIGINT AS node, dist AS dist
+    FROM bf WHERE it = {_SSSP_ROUNDS} ORDER BY node
+"""
+
+
 _LINKPRED_MIN_COMMON = 2
 _LINKPRED_DEG_CAP = 40
 
@@ -6654,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tile_p90": q_geo_tile_p90,
         "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
+        "graph_sssp": q_graph_sssp,
         "geo_convex_hull": q_geo_convex_hull,
         "dsir_select": q_dsir_select,
         "geo_track_crossings": q_geo_track_crossings,
@@ -6814,6 +6878,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),
+        "graph_sssp": _sql_graph_sssp(),
         "geo_convex_hull": _sql_geo_convex_hull(),
         "geo_track_crossings": _sql_geo_track_crossings(),
         "geo_track_dtw": _sql_geo_track_dtw(),

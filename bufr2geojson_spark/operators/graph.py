@@ -331,3 +331,66 @@ def bfs_hops(
         settled = settled.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return settled.withColumnRenamed("node", node_col)
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 30,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source weighted shortest paths (non-negative INTEGER
+    weights) on the undirected graph — the weighted generalization of
+    ``bfs_hops``: routing cost over a road/route network, weighted
+    blast-radius.
+
+    Distributed Bellman-Ford with a delta-frontier: each round relaxes
+    only edges out of nodes whose distance IMPROVED last round (never
+    the whole distance table), takes the map-side-combinable min per
+    target, and joins against current distances to keep genuine
+    improvements. With non-negative integer weights the fixpoint is
+    unique and every intermediate distance is exact — bit-equal to a
+    recursive-CTE oracle under any partitioning. Rounds are bounded by
+    the longest shortest-path hop count (<= V worst case; ``max_rounds``
+    caps the driver loop, raise for high-diameter graphs).
+    ``localCheckpoint`` truncates per-round lineage (swap for
+    ``checkpoint`` on a real cluster). Returns (node, dist).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     F.col(weight).alias("w"))
+        .unionAll(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b"),
+                               F.col(weight).alias("w")))
+    )
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(int(max_rounds)):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist.withColumnRenamed("node", node_col)

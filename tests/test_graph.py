@@ -246,3 +246,49 @@ class TestLinkPredict:
         }
         assert got1[(4, 5)] == 1
         assert (0, 1) not in got1  # adjacent pairs never predicted
+
+
+class TestSsspWeighted:
+    def test_matches_dijkstra(self, spark):
+        import heapq
+        import random
+
+        from bufr2geojson_spark.operators.graph import sssp_weighted
+
+        rng = random.Random(17)
+        nodes = list(range(25))
+        raw = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                      for _ in range(60)})
+        edges = [(u, v, rng.randrange(1, 10)) for u, v in raw]
+        df = spark.createDataFrame(edges, "u long, v long, w long")
+        srcs = spark.createDataFrame([(0,), (13,)], "k long")
+        got = {r["node"]: r["dist"]
+               for r in sssp_weighted(df, srcs, max_rounds=40).collect()}
+
+        adj = {n: [] for n in nodes}
+        for u, v, w in edges:
+            adj[u].append((v, w))
+            adj[v].append((u, w))
+        dist = {0: 0, 13: 0}
+        pq = [(0, 0), (0, 13)]
+        while pq:
+            d, n = heapq.heappop(pq)
+            if d > dist.get(n, 1 << 60):
+                continue
+            for m, w in adj[n]:
+                nd = d + w
+                if nd < dist.get(m, 1 << 60):
+                    dist[m] = nd
+                    heapq.heappush(pq, (nd, m))
+        assert got == dist
+
+    def test_zero_weight_and_unreachable(self, spark):
+        from bufr2geojson_spark.operators.graph import sssp_weighted
+
+        df = spark.createDataFrame(
+            [(0, 1, 0), (1, 2, 5), (10, 11, 1)], "u long, v long, w long"
+        )
+        srcs = spark.createDataFrame([(0,)], "k long")
+        got = {r["node"]: r["dist"]
+               for r in sssp_weighted(df, srcs, max_rounds=10).collect()}
+        assert got == {0: 0, 1: 0, 2: 5}   # 10/11 unreachable, absent
