@@ -3320,6 +3320,57 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+def q_er_clusters(spark, sf_dir):
+    """Entity resolution end-to-end: FastSS edit-distance-1 blocking +
+    exact verify produces the match graph, star-contraction connected
+    components turn matches into entity clusters (canonical id = min
+    member), plus the cluster size — the dedupe-the-customer-table
+    pipeline. Oracle replays the fuzzy join as a theta-join and the
+    components as a recursive reachability CTE."""
+    c = _t(spark, sf_dir, "customer")
+    pairs = T.edit_distance_join(c, "c_name", "c_custkey").select(
+        "id_a", "id_b"
+    )
+    comp = T.connected_components(pairs).select(
+        F.col("doc_id").alias("c_custkey"),
+        F.col("component_id").alias("entity_id"),
+    )
+    sizes = comp.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return comp.join(sizes, "entity_id").select(
+        "c_custkey", "entity_id", "n_members"
+    ).orderBy("c_custkey")
+
+
+_SQL_ER_CLUSTERS = """
+    WITH RECURSIVE fp AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM fp
+        UNION
+        SELECT id_b, id_a FROM fp
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (
+        SELECT id AS c_custkey, min(r) AS entity_id FROM reach GROUP BY id
+    )
+    SELECT c.c_custkey, c.entity_id, s.n_members
+    FROM comp c
+    JOIN (SELECT entity_id, count(*)::BIGINT AS n_members
+          FROM comp GROUP BY entity_id) s
+      ON s.entity_id = c.entity_id
+    ORDER BY c_custkey
+"""
+
+
 _SQL_FUZZY_NAME_PAIRS = """
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            levenshtein(a.c_name, b.c_name)::BIGINT AS dist
@@ -6714,6 +6765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "dedup_incremental": q_dedup_incremental,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "er_clusters": q_er_clusters,
         "geo_tile_p90": q_geo_tile_p90,
         "graph_bfs": q_graph_bfs,
         "graph_link_predict": q_graph_link_predict,
@@ -6875,6 +6927,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _SQL_PMI_PAIRS,
         "dedup_incremental": _sql_dedup_incremental(),
         "embedding_dim_stats": _SQL_EMBEDDING_DIM_STATS,
+        "er_clusters": _SQL_ER_CLUSTERS,
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),
