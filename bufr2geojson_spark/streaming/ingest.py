@@ -531,3 +531,52 @@ def run_stream_stream_join_once(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+TEXT_DOCUMENT_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_text_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of TEXT documents (the training-corpus table
+    shape, as opposed to the BUFR span documents of
+    ``read_document_stream``)."""
+    return spark.readStream.schema(TEXT_DOCUMENT_SCHEMA).parquet(path)
+
+
+def run_dedup_maintenance_once(
+    spark: SparkSession,
+    input_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    **dedup_kw,
+) -> int:
+    """Streaming incremental near-dup: drain newly-arrived documents
+    (AvailableNow) and flag, per micro-batch, the ones that near-duplicate
+    the static accumulated index — ``dedup_against_index`` lifted into the
+    ingestion stream, the shape a production crawler pipeline runs
+    continuously. Each batch's matches land in ``{out_path}/b=<batch_id>``
+    (overwrite → replay-idempotent, same contract as the tile/IDW/KDE
+    maintenance sinks). The index is read per batch so an external
+    compaction can swap it between batches. Returns batches committed."""
+    from bufr2geojson_spark.operators.textops import dedup_against_index
+
+    stream = read_text_document_stream(spark, input_path)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        index = spark.read.parquet(index_path)
+        matches = dedup_against_index(batch_df, index, **dedup_kw)
+        matches.write.mode("overwrite").parquet(f"{out_path}/b={batch_id}")
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

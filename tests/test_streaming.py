@@ -357,3 +357,70 @@ def test_stream_kde_maintenance_matches_batch(spark, tmp_path):
         for r in kde_heatmap(pts, keep_state=True).collect()
     }
     assert standing == want and len(want) > 10
+
+
+def test_stream_dedup_maintenance_matches_batch(spark, tmp_path):
+    """Two waves of new documents streamed through the incremental-dedup
+    sink must flag exactly the matches the one-shot batch
+    dedup_against_index finds over all new docs."""
+    from bufr2geojson_spark.operators.textops import dedup_against_index
+    from bufr2geojson_spark.streaming.ingest import (
+        run_dedup_maintenance_once,
+    )
+
+    base = str(tmp_path)
+    kw = dict(num_hashes=8, bands=4, shingle_k=3, threshold=0.3)
+    index_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again", "en",
+         "idx", 49),
+        (2, "spark structured streaming drains files exactly once", "en",
+         "idx", 52),
+        (3, "completely unrelated indexed text about parquet files", "en",
+         "idx", 53),
+    ]
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    spark.createDataFrame(index_rows, schema).write.parquet(f"{base}/index")
+
+    wave1 = [
+        (100, "the quick brown fox jumps over the lazy dog again", "en",
+         "new", 49),                                     # dup of 1
+        (101, "no overlap with anything in the standing index", "en",
+         "new", 46),
+    ]
+    wave2 = [
+        (102, "spark structured streaming drains files exactly once",
+         "en", "new", 52),                               # dup of 2
+        (103, "fresh novel content arriving in the second wave", "en",
+         "new", 47),
+    ]
+    spark.createDataFrame(wave1, schema).write.mode("overwrite").parquet(
+        f"{base}/in")
+    n1 = run_dedup_maintenance_once(
+        spark, f"{base}/in", f"{base}/index", f"{base}/out",
+        f"{base}/ckpt", **kw)
+    assert n1 == 1
+    spark.createDataFrame(wave2, schema).write.mode("append").parquet(
+        f"{base}/in")
+    n2 = run_dedup_maintenance_once(
+        spark, f"{base}/in", f"{base}/index", f"{base}/out",
+        f"{base}/ckpt", **kw)
+    assert n2 == 1
+
+    got = {
+        (r["doc_id"], r["match_id"])
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    all_new = spark.createDataFrame(wave1 + wave2, schema)
+    index = spark.read.parquet(f"{base}/index")
+    want = {
+        (r["doc_id"], r["match_id"])
+        for r in dedup_against_index(all_new, index, **kw).collect()
+    }
+    assert got == want
+    assert got == {(100, 1), (102, 2)}
+    # nothing new -> no batch fires
+    n3 = run_dedup_maintenance_once(
+        spark, f"{base}/in", f"{base}/index", f"{base}/out",
+        f"{base}/ckpt", **kw)
+    assert n3 == 0
