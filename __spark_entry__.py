@@ -2714,11 +2714,74 @@ _SQL_NGRAM_JACCARD = _sql_exact_jaccard_pairs(0.18)
 
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing (distributed FFD within deterministic
-    shards): greedy bin assembly is not SQL-expressible, so rows-only;
-    the invariants (caps, determinism, fill efficiency) are pytest-pinned."""
+    engine-portable shards). The oracle replays the EXACT greedy: a
+    recursive CTE carries each shard's bin states (id, remaining) plus
+    the accumulated assignments, placing one ranked item per shard per
+    iteration into the lowest-id fitting bin — a state machine in SQL,
+    upgraded from the previous rows-only check."""
     d = _t(spark, sf_dir, "documents")
     return (T.pack_sequences(d, max_tokens=200, n_shards=16)
             .orderBy("doc_id"))
+
+
+_SQL_PACK_SEQUENCES = """
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::INT AS n,
+               ((('0x' || substr(md5(concat('pack:', doc_id)), 1, 8))
+                 ::BIGINT) % 16)::INT AS shard
+        FROM documents
+    ),
+    items AS (
+        SELECT doc_id, n, shard,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n DESC, doc_id)::BIGINT AS rn
+        FROM base
+    ),
+    -- state rows per shard: kind -1 = anchor (always one), kind 0 = bin
+    -- (a=bin_id, b=remaining; -1 = closed oversize), kind 1 = assignment
+    -- (a=doc_id, b=bin_id, re-emitted every round until the shard dies)
+    ffd(it, shard, kind, a, b) AS (
+        SELECT DISTINCT 0::BIGINT, shard, -1, 0::BIGINT, 0::BIGINT
+        FROM items
+        UNION ALL
+        SELECT w.it + 1, w.shard,
+               CASE WHEN ks.k = 0 THEN w.kind
+                    WHEN ks.k = 1 THEN 1 ELSE 0 END,
+               CASE WHEN ks.k = 0 THEN w.a
+                    WHEN ks.k = 1 THEN w.cur_doc
+                    ELSE w.n_bins END,
+               CASE WHEN ks.k = 0 AND w.kind = 0 AND w.a = w.chosen
+                         THEN w.b - w.cur_n
+                    WHEN ks.k = 0 THEN w.b
+                    WHEN ks.k = 1 THEN coalesce(w.chosen, w.n_bins)
+                    WHEN w.cur_n > 200 THEN -1
+                    ELSE 200 - w.cur_n END
+        FROM (
+            SELECT f.*, i.doc_id AS cur_doc, i.n AS cur_n,
+                   min(CASE WHEN f.kind = 0 AND f.b >= i.n
+                            THEN f.a END)
+                       OVER (PARTITION BY f.shard) AS chosen,
+                   count(CASE WHEN f.kind = 0 THEN 1 END)
+                       OVER (PARTITION BY f.shard)::BIGINT AS n_bins
+            FROM ffd f
+            JOIN items i ON i.shard = f.shard AND i.rn = f.it + 1
+        ) w
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+        WHERE ks.k = 0
+           OR (ks.k = 1 AND w.kind = -1)
+           OR (ks.k = 2 AND w.kind = -1 AND w.chosen IS NULL)
+    ),
+    asg AS (
+        SELECT DISTINCT shard, a AS doc_id, b AS bin
+        FROM ffd WHERE kind = 1
+    )
+    SELECT b.doc_id, b.n AS n_tokens, b.shard,
+           b.shard || '-' || a.bin AS pack_id,
+           b.n > 200 AS overflow
+    FROM asg a JOIN base b ON b.doc_id = a.doc_id
+    ORDER BY b.doc_id
+"""
 
 
 def q_top_tokens(spark, sf_dir):
@@ -6774,9 +6837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "geo_track_crossings": q_geo_track_crossings,
         "geo_track_dtw": q_geo_track_dtw,
+        "pack_sequences": q_pack_sequences,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
-        "pack_sequences": q_pack_sequences,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
@@ -6928,6 +6991,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(),
         "embedding_dim_stats": _SQL_EMBEDDING_DIM_STATS,
         "er_clusters": _SQL_ER_CLUSTERS,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "geo_tile_p90": _SQL_GEO_TILE_P90,
         "graph_bfs": _SQL_GRAPH_BFS,
         "graph_link_predict": _sql_graph_link_predict(),

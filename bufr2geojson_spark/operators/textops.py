@@ -1022,7 +1022,9 @@ def pack_sequences(
     """Pack documents into training sequences of ≤ ``max_tokens``
     (whitespace tokens) — the batch-assembly step an LLM data pipeline runs
     last. Exact first-fit-decreasing is inherently sequential, so the
-    distributed form shards documents by ``xxhash64(doc_id) % n_shards``
+    distributed form shards documents by ``h32('pack:' || doc_id) %
+    n_shards`` (engine-portable, so a recursive-CTE oracle replays the
+    identical FFD)
     (deterministic: independent of input partitioning) and runs FFD per
     shard in ``applyInPandas``; pack ids are (shard, local index). FFD's
     11/9·OPT+1 bound holds per shard, and shards pack in parallel — the
@@ -1039,8 +1041,8 @@ def pack_sequences(
     toks = docs.select(
         F.col(id_col),
         F.size(words_of(F.col(text_col))).cast("int").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
-        .alias("shard"),
+        F.pmod(h32(F.concat(F.lit("pack:"), F.col(id_col))),
+               F.lit(n_shards)).cast("int").alias("shard"),
     )
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
