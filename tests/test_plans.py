@@ -93,3 +93,23 @@ def test_hot_cell_set_is_broadcast_in_salted_agg(spark):
     out = tile_aggregate(feats, hot_threshold=5, salt_buckets=4)
     p = plan_of(out)
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_new_corpus_operators_stay_jvm_side(spark):
+    """The wave-2/3 corpus/graph operators are pure-codegen programs: no
+    Python evaluation node of any kind may appear in their plans (the
+    hull/DTW/pack operators are deliberate Arrow grouped-map exceptions)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("event_markov", "event_ngrams", "bpe_merges", "pmi_pairs",
+                 "graph_link_predict", "embedding_dim_stats",
+                 "dedup_incremental", "dsir_select"):
+        p = physical_plan(e.queries()[name](spark, sf))
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "FlatMapGroupsInPandas" not in p, name
+        assert "MapInPandas" not in p, name
