@@ -6656,140 +6656,22 @@ _SQL_GEO_ZONAL = f"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDER MATTERS: the driver's correctness gate runs the
-    first 50 entries only (verified round 2: CORRECTNESS_r02's keys equal this
-    dict's first 50 in order). Slots 1-50 therefore carry every oracled query
-    that has never produced a driver row (the 13 engine digests — led by
-    engine_decode_digest, which pins the reference golden contract from
-    /root/reference/tests/test_bufr2geojson.py:83-226 — plus the ANN family,
-    dedup tail, event ops, sampling, text tail) followed by a representative
-    already-green subset. Rows-only queries (no oracle_sql entry) sit past
-    slot 50 so they never burn a gated slot on an `err: no_oracle` row.
-    Rows-only engine twins whose digest variant carries a real oracle
-    (engine_cells/knn/pip/tiles/tiles_hex/raster/media/decode) were dropped
-    from the contract per round-2 verdict #5 — the functions remain exported
-    for bench.py and tests."""
+    first 50 entries only (verified rounds 2-3: CORRECTNESS_r0N's keys equal
+    this dict's first 50 in order). Round-4 rotation (round-3 verdict #1,
+    third and final): slots 1-47 are the 47 oracled queries that have never
+    produced a driver row (trajectory analytics, density/retrieval, hotspot
+    stats, corpus statistics, graph, tile-percentile tails); slots 48-50 are
+    the three media digests, whose expected constants CHANGED this round when
+    the packaged pure-python PNG/WAV decoders became the default decode path
+    (round-3 verdict #4 — is_stub now false), so they need fresh driver rows.
+    After this round every oracled query in the contract has had a hard
+    driver CORRECTNESS row. Everything from slot 51 on is r1/r2/r3-green and
+    unchanged (local exact-oracle sweep stays green — scripts/check_oracle.py);
+    rows-only queries (no oracle_sql entry) sit last so they never burn a
+    gated slot on an `err: no_oracle` row."""
     return {
-        # --- never driver-checked, oracled (round-2 verdict #1) -----------
-        # engine digests: constant-result oracles over the deterministic
-        # synth corpus; engine_decode_digest certifies the R1-R27 chain
-        "engine_decode_digest": q_engine_decode_digest,
-        "engine_cells_digest": q_engine_cells_digest,
-        "engine_knn_digest": q_engine_knn_digest,
-        "engine_pip_digest": q_engine_pip_digest,
-        "engine_tiles_digest": q_engine_tiles_digest,
-        "engine_raster_digest": q_engine_raster_digest,
-        "engine_tiles_hex_digest": q_engine_tiles_hex_digest,
-        "engine_media_digest": q_engine_media_digest,
-        "engine_media_resize_digest": q_engine_media_resize_digest,
-        "engine_zorder_digest": q_engine_zorder_digest,
-        "engine_geohash_digest": q_engine_geohash_digest,
-        "engine_quarantine_digest": q_engine_quarantine_digest,
-        "engine_audio_digest": q_engine_audio_digest,
-        "engine_geojson": q_engine_geojson,
-        "engine_span_invariant": q_engine_span_invariant,
-        # similarity search
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        # train_val_split: the one never-checked sampling query that sat past
-        # the r2 cutoff; takes embedding_near_dup's slot (r1-green, unchanged
-        # since — moved to the tail)
-        "train_val_split": q_train_val_split,
-        # dedup pipeline tail
-        "dedup_components": q_dedup_components,
-        "dedup_survivors": q_dedup_survivors,
-        # event ops
-        "event_sessions": q_event_sessions,
-        "event_asof_click": q_event_asof_click,
-        "event_merge_upsert": q_event_merge_upsert,
-        "event_resample": q_event_resample,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        # sampling
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        # text tail
-        "top_tokens": q_top_tokens,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "fingerprint": q_fingerprint,
-        "dup_ngram_spans": q_dup_ngram_spans,
-        "unigram_logprob": q_unigram_logprob,
-        "quota_sample": q_quota_sample,
-        # new this round (round-2 verdict #8)
-        "geo_tile_percentiles_salted": q_geo_tile_percentiles_salted,
-        # round-3 additions, oracled but never driver-checked: take the
-        # window slots of the r1/r2-green representatives (moved to tail)
-        "geo_simplify": q_geo_simplify,
-        "geo_map_match": q_geo_map_match,
-        "media_near_dup": q_media_near_dup,
-        "event_locate_at": q_event_locate_at,
-        "doc_repetition": q_doc_repetition,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_kcore": q_graph_kcore,
-        "event_speed_anomalies": q_event_speed_anomalies,
-        "event_trips": q_event_trips,
-        "event_home_cells": q_event_home_cells,
-        "event_geofence_transitions": q_event_geofence_transitions,
-        "geo_lisa": q_geo_lisa,
-        # ---------------- 50-entry driver window ends here ----------------
-        # §2.3 relational surface (green r1+r2)
-        "top_revenue_orders": q_top_revenue_orders,
-        "region_revenue": q_region_revenue,
-        "latest_event_per_user": q_latest_event_per_user,
-        "signup_without_error": q_signup_without_error,
-        "customers_with_orders_by_nation": q_customers_with_orders_by_nation,
-        "parts_never_ordered": q_parts_never_ordered,
-        "orders_rollup": q_orders_rollup,
-        "orders_cube": q_orders_cube,
-        "event_type_pivot": q_event_type_pivot,
-        "events_profile": q_events_profile,
-        "geo_tile_outliers": q_geo_tile_outliers,
-        "customer_balance_deciles": q_customer_balance_deciles,
-        "distinct_customers_per_segment": q_distinct_customers_per_segment,
-        # geo family (green r2)
-        "geo_knn3": q_geo_knn3,
-        "geo_bearing": q_geo_bearing,
-        "geo_boundary_distance": q_geo_boundary_distance,
-        "geo_idw_grid": q_geo_idw_grid,
-        "geo_idw_merge": q_geo_idw_merge,
-        "geo_raster_gradient": q_geo_raster_gradient,
-        "geo_idw_smooth": q_geo_idw_smooth,
-        "geo_compact_cells": q_geo_compact_cells,
-        "geo_uncompact_cells": q_geo_uncompact_cells,
-        "embedding_near_dup": q_embedding_near_dup,
-        "weighted_sample": q_weighted_sample,
-        "event_tile_trend": q_event_tile_trend,
-        "event_trend_outliers": q_event_trend_outliers,
-        "decontaminate": q_decontaminate,
-        "redact_pii": q_redact_pii,
-        "event_value_histogram": q_event_value_histogram,
-        "geo_pip_distributed": q_geo_pip_distributed,
-        "geo_tile_percentiles": q_geo_tile_percentiles,
-        "geo_tile_merge": q_geo_tile_merge,
-        "region_measures": q_region_measures,
-        # dedup / text analysis first wave (green r2)
-        "event_hourly_windows": q_event_hourly_windows,
-        "geo_range_join": q_geo_range_join,
-        "geo_dbscan": q_geo_dbscan,
-        "geo_pip": q_geo_pip,
-        "geo_knn": q_geo_knn,
-        "geo_tile_agg_salted": q_geo_tile_agg_salted,
-        "pricing_summary": q_pricing_summary,
-        "scalar_function_gallery": q_scalar_function_gallery,
-        "dedup_exact": q_dedup_exact,
-        "lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "minhash_signature": q_minhash_signature,
-        "lsh_verified_jaccard": q_lsh_verified_jaccard,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "simhash": q_simhash,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_counts": q_token_counts,
-        # trajectory analytics / retrieval / density (new round 3; appended
-        # after the gate window so slots 1-50 stay the never-checked set)
+        # --- 50-slot driver gate window (round-3 verdict #1+#4) ----------
+        # 1-47: oracled, never driver-checked (r1∪r2∪r3 coverage holes)
         "event_track_stats": q_event_track_stats,
         "event_stops": q_event_stops,
         "bm25_scores": q_bm25_scores,
@@ -6809,7 +6691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_contacts": q_event_contacts,
         "geo_track_hausdorff": q_geo_track_hausdorff,
         "event_co_dwells": q_event_co_dwells,
-        # exact-similarity / corpus-statistics wave (round 3, oracled)
         "ssjoin_exact": q_ssjoin_exact,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "pareto_docs": q_pareto_docs,
@@ -6838,6 +6719,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_track_crossings": q_geo_track_crossings,
         "geo_track_dtw": q_geo_track_dtw,
         "pack_sequences": q_pack_sequences,
+        # 48-50: media digests — constants changed with the packaged real
+        # decoder default this round; re-certify with fresh driver rows
+        "engine_media_digest": q_engine_media_digest,
+        "engine_media_resize_digest": q_engine_media_resize_digest,
+        "engine_audio_digest": q_engine_audio_digest,
+        # ---------------- 50-entry driver window ends here ----------------
+        # everything below is r1/r2/r3-green and unchanged
+        "engine_decode_digest": q_engine_decode_digest,
+        "engine_cells_digest": q_engine_cells_digest,
+        "engine_knn_digest": q_engine_knn_digest,
+        "engine_pip_digest": q_engine_pip_digest,
+        "engine_tiles_digest": q_engine_tiles_digest,
+        "engine_raster_digest": q_engine_raster_digest,
+        "engine_tiles_hex_digest": q_engine_tiles_hex_digest,
+        "engine_zorder_digest": q_engine_zorder_digest,
+        "engine_geohash_digest": q_engine_geohash_digest,
+        "engine_quarantine_digest": q_engine_quarantine_digest,
+        "engine_geojson": q_engine_geojson,
+        "engine_span_invariant": q_engine_span_invariant,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "train_val_split": q_train_val_split,
+        "dedup_components": q_dedup_components,
+        "dedup_survivors": q_dedup_survivors,
+        "event_sessions": q_event_sessions,
+        "event_asof_click": q_event_asof_click,
+        "event_merge_upsert": q_event_merge_upsert,
+        "event_resample": q_event_resample,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "top_tokens": q_top_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "fingerprint": q_fingerprint,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "unigram_logprob": q_unigram_logprob,
+        "quota_sample": q_quota_sample,
+        "geo_tile_percentiles_salted": q_geo_tile_percentiles_salted,
+        "geo_simplify": q_geo_simplify,
+        "geo_map_match": q_geo_map_match,
+        "media_near_dup": q_media_near_dup,
+        "event_locate_at": q_event_locate_at,
+        "doc_repetition": q_doc_repetition,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_kcore": q_graph_kcore,
+        "event_speed_anomalies": q_event_speed_anomalies,
+        "event_trips": q_event_trips,
+        "event_home_cells": q_event_home_cells,
+        "event_geofence_transitions": q_event_geofence_transitions,
+        "geo_lisa": q_geo_lisa,
+        "top_revenue_orders": q_top_revenue_orders,
+        "region_revenue": q_region_revenue,
+        "latest_event_per_user": q_latest_event_per_user,
+        "signup_without_error": q_signup_without_error,
+        "customers_with_orders_by_nation": q_customers_with_orders_by_nation,
+        "parts_never_ordered": q_parts_never_ordered,
+        "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
+        "event_type_pivot": q_event_type_pivot,
+        "events_profile": q_events_profile,
+        "geo_tile_outliers": q_geo_tile_outliers,
+        "customer_balance_deciles": q_customer_balance_deciles,
+        "distinct_customers_per_segment": q_distinct_customers_per_segment,
+        "geo_knn3": q_geo_knn3,
+        "geo_bearing": q_geo_bearing,
+        "geo_boundary_distance": q_geo_boundary_distance,
+        "geo_idw_grid": q_geo_idw_grid,
+        "geo_idw_merge": q_geo_idw_merge,
+        "geo_raster_gradient": q_geo_raster_gradient,
+        "geo_idw_smooth": q_geo_idw_smooth,
+        "geo_compact_cells": q_geo_compact_cells,
+        "geo_uncompact_cells": q_geo_uncompact_cells,
+        "embedding_near_dup": q_embedding_near_dup,
+        "weighted_sample": q_weighted_sample,
+        "event_tile_trend": q_event_tile_trend,
+        "event_trend_outliers": q_event_trend_outliers,
+        "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
+        "event_value_histogram": q_event_value_histogram,
+        "geo_pip_distributed": q_geo_pip_distributed,
+        "geo_tile_percentiles": q_geo_tile_percentiles,
+        "geo_tile_merge": q_geo_tile_merge,
+        "region_measures": q_region_measures,
+        "event_hourly_windows": q_event_hourly_windows,
+        "geo_range_join": q_geo_range_join,
+        "geo_dbscan": q_geo_dbscan,
+        "geo_pip": q_geo_pip,
+        "geo_knn": q_geo_knn,
+        "geo_tile_agg_salted": q_geo_tile_agg_salted,
+        "pricing_summary": q_pricing_summary,
+        "scalar_function_gallery": q_scalar_function_gallery,
+        "dedup_exact": q_dedup_exact,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "minhash_signature": q_minhash_signature,
+        "lsh_verified_jaccard": q_lsh_verified_jaccard,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
         # rows-only check; each uniquely exercises a path no digest covers) --
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
