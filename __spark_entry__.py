@@ -3927,9 +3927,12 @@ def q_engine_media_digest(spark, sf_dir):
     )
 
 
+# real-decode constants (round-3 verdict #4: packaged pure-python PNG parse
+# is the default decode path); verified identical at local[6]/5 partitions
+# and local[20]/32
 _SQL_ENGINE_MEDIA_DIGEST = """
-    SELECT CAST(82 AS BIGINT) AS n_media, CAST(53200 AS BIGINT) AS w_sum,
-           CAST(45076 AS BIGINT) AS h_sum, CAST(246 AS BIGINT) AS c_sum,
+    SELECT CAST(82 AS BIGINT) AS n_media, CAST(962 AS BIGINT) AS w_sum,
+           CAST(992 AS BIGINT) AS h_sum, CAST(82 AS BIGINT) AS c_sum,
            CAST(82 AS BIGINT) AS d_sha
 """
 
@@ -3981,10 +3984,11 @@ def q_engine_media_resize_digest(spark, sf_dir):
     )
 
 
+# real-decode constants (4x4 nearest-neighbor grid over the parsed PNGs);
 # verified identical at local[6]/5 partitions and local[20]/32
 _SQL_ENGINE_MEDIA_RESIZE_DIGEST = """
     SELECT CAST(82 AS BIGINT) AS n_media,
-           CAST(659635282 AS BIGINT) AS px_sum_e6
+           CAST(660560794 AS BIGINT) AS px_sum_e6
 """
 
 
@@ -4569,13 +4573,27 @@ def _sql_media_near_dup():
                'synthetic://img/' || doc_id || '.png' AS media_ref
         FROM documents WHERE doc_id % 3 = 0
     ),
+    -- Real-decode pixel reproduction: the packaged decoder fetches a
+    -- deterministic PNG (dims 8+md5[0]%9 x 8+md5[1]%9, source pixel
+    -- (r,c) = md5(ref||':'||r)[c%16]), REALLY parses it, and
+    -- nearest-neighbor samples to the 8x8 grid. The encode->parse round
+    -- trip is lossless, so the oracle recomputes the sampled bytes from
+    -- md5 arithmetic directly and skips the codec.
+    dims AS (
+        SELECT doc_id, media_ref,
+               8 + ('0x' || substr(md5(media_ref), 1, 2))::BIGINT % 9 AS w0,
+               8 + ('0x' || substr(md5(media_ref), 3, 2))::BIGINT % 9 AS h0
+        FROM media
+    ),
     px AS (
-        SELECT m.doc_id, m.media_ref, t.i,
+        SELECT d.doc_id, d.media_ref, t.i,
                floor(round(
-                   ('0x' || substr(md5(m.media_ref),
-                                   (((t.i * 7 + 3) % 16) * 2 + 1)::INT, 2)
+                   ('0x' || substr(
+                       md5(d.media_ref || ':' ||
+                           (((t.i // 8) * d.h0) // 8)::VARCHAR),
+                       ((((t.i % 8) * d.w0) // 8) % 16 * 2 + 1)::INT, 2)
                    )::BIGINT / 255.0, 6) * 1e6 + 0.5)::BIGINT AS q
-        FROM media m CROSS JOIN range(64) t(i)
+        FROM dims d CROSS JOIN range(64) t(i)
     ),
     hb AS (
         SELECT doc_id, media_ref, i,

@@ -1,7 +1,9 @@
-"""Multimodal plumbing tests: explode → decode(stub) → frame-sample →
-resize → cross-modal join. The pixel decode is an environment-forced stub
-(no Pillow/ffmpeg here, flagged is_stub); everything Spark-side — schemas,
-Arrow batch shapes, determinism, join plumbing — is real and asserted."""
+"""Multimodal plumbing tests: explode → decode → frame-sample → resize →
+cross-modal join. The DEFAULT decode path is the packaged REAL pure-python
+decoder (PNG chunk walk + zlib inflate; stdlib wave) over blob bytes the
+default fetcher synthesizes deterministically from the ref — is_stub is
+False everywhere. Everything Spark-side — schemas, Arrow batch shapes,
+determinism, join plumbing — is asserted, plus the decoder/fetcher seams."""
 
 from pyspark.sql import functions as F
 
@@ -26,14 +28,45 @@ def test_media_table_explodes_media_spans_only(spark):
     assert all(r.media_ref.startswith("synthetic://") for r in m)
 
 
-def test_decode_media_stub_schema_and_determinism(spark):
+def test_decode_media_real_parse_schema_and_determinism(spark):
     m = _media(spark)
-    a = {(r.media_ref, r.width, r.height, r.sha)
-         for r in decode_media(m).collect()}
+    rows = decode_media(m).collect()
+    a = {(r.media_ref, r.width, r.height, r.sha) for r in rows}
     b = {(r.media_ref, r.width, r.height, r.sha)
          for r in decode_media(m.repartition(7)).collect()}
     assert a == b and len(a) == 20
-    assert all(r.is_stub for r in decode_media(m).collect())
+    # packaged REAL decoder is the default: no stub rows, parsed dims in
+    # the synth-blob envelope, grayscale
+    assert not any(r.is_stub for r in rows)
+    for r in rows:
+        assert 8 <= r.width <= 16 and 8 <= r.height <= 16
+        assert r.channels == 1 and r.n_bytes > 0
+        assert len(r.features) == 8
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+
+
+def test_decode_media_parses_what_the_fetcher_returns(spark):
+    """The default path REALLY parses the blob: register a blob fetcher
+    returning a known PNG and the decoded dims/pixel stats must be the
+    parsed values of THOSE bytes, proving no metadata arithmetic remains."""
+    from bufr2geojson_spark.operators import media as M
+
+    def fetch(ref, kind):
+        assert kind == "image"
+        return _png_bytes(5, 3, 200)  # 5x3 constant-shade PNG
+
+    m = _media(spark)
+    M.set_blob_fetcher(fetch)
+    try:
+        rows = decode_media(m).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert (r.width, r.height, r.channels) == (5, 3, 1)
+            # band means of a constant-shade image ARE the shade
+            assert all(abs(f - 200 / 255.0) < 1e-5 for f in r.features)
+            assert not r.is_stub
+    finally:
+        M.set_blob_fetcher(None)
 
 
 def test_resize_media_fixed_grid(spark):
@@ -44,7 +77,7 @@ def test_resize_media_fixed_grid(spark):
         assert r.out_w == 4 and r.out_h == 4
         assert len(r.pixels) == 16
         assert all(0.0 <= p <= 1.0 for p in r.pixels)
-        assert r.is_stub
+        assert not r.is_stub
     # deterministic across partitioning
     again = resize_media(m.repartition(5), out_w=4, out_h=4).collect()
     assert {(r.media_ref, tuple(r.pixels)) for r in rows} == {
@@ -90,7 +123,7 @@ class TestAudio:
             assert d["sample_rate"] in (8000, 16000, 22050, 44100)
             assert abs(d["duration_s"] - d["n_samples"] / d["sample_rate"]) \
                 < 1e-9
-            assert d["is_stub"] is True
+            assert d["is_stub"] is False  # real stdlib wave parse
 
     def test_segments_tile_the_clip(self, spark):
         from bufr2geojson_spark.operators.media import (
@@ -146,12 +179,12 @@ class TestAudio:
 
 
 # ---------------------------------------------------------------------------
-# decoder seam (round-2 verdict #7): a REAL pure-python PNG/WAV decoder is
-# registered into the seam; the non-stub path must produce the identical
-# schema, join downstream, and flip is_stub — with zero operator changes.
-# The decoders synthesize the blob bytes from the media_ref (standing in for
-# the blob fetch a production decoder does) and then GENUINELY parse them
-# (zlib/struct PNG chunk walk; stdlib `wave` for WAV).
+# decoder seam (round-2 verdict #7): a test-local PNG/WAV decoder is
+# registered into the seam and must fully REPLACE the packaged default —
+# identical schema, downstream joins unchanged, its own parse results
+# observable — with zero operator changes. The test decoders synthesize
+# their own blob bytes (different params than the packaged fetcher, so the
+# test proves the registered decoder actually ran) and genuinely parse them.
 #
 # The seam contract is that a registered decoder is cloudpickled BY VALUE
 # into the mapInPandas closure; these module-level test helpers live in a
@@ -251,15 +284,15 @@ def _real_pixel_decoder(refs):
     return pd.DataFrame(out)
 
 
-def test_pixel_decoder_seam_flips_is_stub_same_schema(spark):
+def test_pixel_decoder_seam_replaces_default_same_schema(spark):
     from bufr2geojson_spark.operators import media as M
 
     m = _media(spark)
-    stub = decode_media(m)
+    default = decode_media(m)
     M.set_pixel_decoder(_real_pixel_decoder)
     try:
         real = decode_media(m)
-        assert real.schema == stub.schema  # identical contract
+        assert real.schema == default.schema  # identical contract
         rows = real.collect()
         assert len(rows) == 20 and not any(r.is_stub for r in rows)
         by_ref = {r.media_ref: r for r in rows}
@@ -275,10 +308,15 @@ def test_pixel_decoder_seam_flips_is_stub_same_schema(spark):
         assert j.count() == 20 * 2
     finally:
         M.set_pixel_decoder(None)
-    # seam cleared: back to the stub with the same schema
+    # seam cleared: back to the packaged real decoder with the same schema
     again = decode_media(m)
-    assert again.schema == stub.schema
-    assert all(r.is_stub for r in again.collect())
+    assert again.schema == default.schema
+    arows = again.collect()
+    assert not any(r.is_stub for r in arows)
+    # and the packaged default's parse results differ from the registered
+    # decoder's (different blob synth params) — proof the seam ran
+    assert {(r.media_ref, r.width, r.height) for r in arows} != \
+        {(r.media_ref, r.width, r.height) for r in rows}
 
 
 def test_audio_decoder_seam_real_wav_parse(spark):
@@ -321,7 +359,7 @@ def test_audio_decoder_seam_real_wav_parse(spark):
         assert segs.count() > 0
     finally:
         M.set_audio_decoder(None)
-    assert all(r.is_stub for r in decode_audio(m).collect())
+    assert not any(r.is_stub for r in decode_audio(m).collect())
 
 
 def test_resize_decoder_seam(spark):
