@@ -3629,40 +3629,148 @@ _SQL_ANN_IVF = f"""
 """
 
 
-def q_ann_ivf_trained_topk(spark, sf_dir):
-    """IVF with a k-means-trained coarse quantizer (iterative Lloyd's —
-    data-dependent float means, so rows-only rather than oracle-hashed;
-    exactness when probing all lists is pytest-verified)."""
-    e = _t(spark, sf_dir, "embeddings")
+# --- trained-ANN digests (round-3 verdict #5) ------------------------------
+# The trained-quantizer queries were rows-only through round 3 (data-
+# dependent float training). Converted to the proven engine-digest pattern:
+# a deterministic sf-INDEPENDENT corpus built in-plan from integer
+# arithmetic, the full production path (train → encode → compressed-domain
+# scan → exact re-rank) run over it, and the result reduced to integer-only
+# aggregates — including the recall overlap vs the exact scan computed in
+# the SAME plan — checked against literal constants (verified identical at
+# local[6]/5 partitions and local[20]/32).
+
+_ANN_SYNTH_QUERY_IDS = [3, 97, 211, 390, 455]
+
+
+def _synth_ann_corpus(spark, n=512, dim=64, n_clusters=8):
+    """Deterministic embedding corpus for the trained-ANN digests: cluster
+    (vec_id % 8) sets an integer anchor per dimension plus an integer-hash
+    jitter — exact rational doubles from JVM-side integer arithmetic, so
+    the corpus is bit-identical at any partitioning, any sf, no data
+    files."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (((F.col("id") % n_clusters) * 37 + j * 11) % 17)
+                .cast("double") / 8.0 - 1.0
+                + ((F.col("id") * 1103515245 + j * 12345) % 1000)
+                .cast("double") / 2500.0
+            ),
+        ).alias("embedding"),
+    )
+
+
+def _exact_l2_topk(corpus, query_ids, k=5, dim=64):
+    """Brute-force exact squared-L2 top-k over the digest corpus — the
+    recall denominator for the PQ digests, computed in-plan (broadcast
+    queries x corpus, codegen dot, one window)."""
+    qdf = F.broadcast(
+        corpus.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ).withColumn("qq", A._dot_k(F.col("qv"), F.col("qv"), dim))
+    )
+    vdf = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+    ).withColumn("vv", A._dot_k(F.col("nv"), F.col("nv"), dim))
+    scored = qdf.crossJoin(vdf).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id",
+        (F.col("qq") + F.col("vv")
+         - 2.0 * A._dot_k(F.col("qv"), F.col("nv"), dim)).alias("l2sq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
+def _ann_digest(approx, exact):
+    """Integer-only one-row digest of an approximate top-k result: row
+    count, neighbor-id sum, an order-sensitive xor checksum over
+    (query, neighbor, rank), and the exact-overlap (recall numerator)
+    against the same-plan exact scan."""
+    base = approx.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("neighbor_id").alias("nid_sum"),
+        F.expr("bit_xor(query_id * 1000003 + neighbor_id * 97 + rank)")
+        .alias("x_chk"),
+    )
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    return base.crossJoin(F.broadcast(hits))
+
+
+def q_ann_ivf_trained_digest(spark, sf_dir):
+    """IVF with a k-means-trained coarse quantizer (distributed Lloyd's,
+    modulo-centroid init, localCheckpoint per round): top-5 of 5 queries
+    over the deterministic synth corpus, digested with recall vs the exact
+    cosine scan. Pins the whole train→assign→probe→scan chain."""
+    e = _synth_ann_corpus(spark)
     cents = A.ivf_train(e, n_centroids=_IVF_N_CENTROIDS, n_iter=2)
-    return A.ivf_topk(
-        e, _ANN_QUERY_IDS, k=5,
+    approx = A.ivf_topk(
+        e, _ANN_SYNTH_QUERY_IDS, k=5,
         n_centroids=_IVF_N_CENTROIDS, nprobe=_IVF_NPROBE, centroids=cents,
-    ).orderBy("query_id", "rank")
+    )
+    exact = A.cosine_topk(e, _ANN_SYNTH_QUERY_IDS, k=5)
+    return _ann_digest(approx, exact)
 
 
-def q_ann_pq_topk(spark, sf_dir):
-    """Product-quantization ANN: compressed-domain ADC scan (8-byte codes
-    instead of 512-byte vectors — the memory story at 100 TB) shortlists
-    k×5 candidates, exact L2 re-ranks only those. Deterministic codebook
-    (hash-ordered sample, driver-side Lloyd, no RNG) — rows-only like the
-    other trained-quantizer query; recall bounds are pytest-verified."""
-    e = _t(spark, sf_dir, "embeddings")
+def q_ann_pq_digest(spark, sf_dir):
+    """Product-quantization ANN: compressed-domain ADC scan (16 one-byte
+    codes instead of 512-byte vectors — the memory story at 100 TB)
+    shortlists k x 5 candidates, exact L2 re-ranks only those.
+    Deterministic codebook (hash-ordered sample, driver-side Lloyd, no
+    RNG); digested with recall vs the exact L2 scan."""
+    e = _synth_ann_corpus(spark)
     book = A.pq_train(e, m=16, nbits=6, n_iter=3)
-    return A.pq_topk(
-        e, _ANN_QUERY_IDS, k=5, m=16, nbits=6, codebook=book, rerank=5
-    ).orderBy("query_id", "rank")
+    approx = A.pq_topk(
+        e, _ANN_SYNTH_QUERY_IDS, k=5, m=16, nbits=6, codebook=book, rerank=5
+    )
+    return _ann_digest(approx, _exact_l2_topk(e, _ANN_SYNTH_QUERY_IDS))
 
 
-def q_ann_ivf_pq_topk(spark, sf_dir):
+def q_ann_ivf_pq_digest(spark, sf_dir):
     """IVF-PQ composed index: coarse quantizer prunes which lists are
     scanned, PQ codes compress how, exact re-rank repairs both — the
-    production ANN stack. Deterministic throughout; rows-only."""
-    e = _t(spark, sf_dir, "embeddings")
-    return A.ivf_pq_topk(
-        e, _ANN_QUERY_IDS, k=5, n_centroids=_IVF_N_CENTROIDS,
-        nprobe=_IVF_NPROBE, m=16, nbits=6, rerank=4,
-    ).orderBy("query_id", "rank")
+    production ANN stack, digested with recall vs the exact L2 scan.
+    nprobe=1 and a shallow re-rank, so the digest differs from the
+    full-scan PQ digest exactly where the coarse pruning bites (equal
+    params converged to identical top-5 on this corpus, pinning
+    nothing IVF-specific)."""
+    e = _synth_ann_corpus(spark)
+    approx = A.ivf_pq_topk(
+        e, _ANN_SYNTH_QUERY_IDS, k=5, n_centroids=_IVF_N_CENTROIDS,
+        nprobe=1, m=16, nbits=6, rerank=2,
+    )
+    return _ann_digest(approx, _exact_l2_topk(e, _ANN_SYNTH_QUERY_IDS))
+
+
+# constants verified identical at local[6]/5 partitions and local[20]/32;
+# recall columns are non-trivial (21/25 PQ, 19/25 IVF-PQ at nprobe=1), so a
+# silent quantizer regression moves the digest
+_SQL_ANN_IVF_TRAINED_DIGEST = """
+    SELECT CAST(25 AS BIGINT) AS n_rows, CAST(6396 AS BIGINT) AS nid_sum,
+           CAST(89530217 AS BIGINT) AS x_chk,
+           CAST(25 AS BIGINT) AS n_exact_hits
+"""
+_SQL_ANN_PQ_DIGEST = """
+    SELECT CAST(25 AS BIGINT) AS n_rows, CAST(4964 AS BIGINT) AS nid_sum,
+           CAST(89165185 AS BIGINT) AS x_chk,
+           CAST(21 AS BIGINT) AS n_exact_hits
+"""
+_SQL_ANN_IVF_PQ_DIGEST = """
+    SELECT CAST(25 AS BIGINT) AS n_rows, CAST(4612 AS BIGINT) AS nid_sum,
+           CAST(89230369 AS BIGINT) AS x_chk,
+           CAST(19 AS BIGINT) AS n_exact_hits
+"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -6743,6 +6851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_media_resize_digest": q_engine_media_resize_digest,
         "engine_audio_digest": q_engine_audio_digest,
         # ---------------- 50-entry driver window ends here ----------------
+        # trained-ANN digests (round-3 verdict #5): new this round, oracled
+        # via literal constants — first in line for a future window slot
+        "ann_ivf_trained_digest": q_ann_ivf_trained_digest,
+        "ann_pq_digest": q_ann_pq_digest,
+        "ann_ivf_pq_digest": q_ann_ivf_pq_digest,
         # everything below is r1/r2/r3-green and unchanged
         "engine_decode_digest": q_engine_decode_digest,
         "engine_cells_digest": q_engine_cells_digest,
@@ -6843,10 +6956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         # --- rows-only (no SQL-expressible oracle; driver records a weaker
-        # rows-only check; each uniquely exercises a path no digest covers) --
-        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        # rows-only check). The three trained-ANN rows-only queries were
+        # converted to the constant-digest oracles above (round-3 verdict
+        # #5); xmodal is the one remaining rows-only entry (depends on the
+        # sf-scaled embeddings table AND the synth media corpus at once) --
         "engine_media_xmodal": q_engine_media_xmodal,
     }
 
@@ -6927,6 +7040,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _SQL_HASH_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED,
         "train_val_split": _SQL_TRAIN_VAL,
+        # trained-ANN digests vs deterministic synth-corpus constants
+        "ann_ivf_trained_digest": _SQL_ANN_IVF_TRAINED_DIGEST,
+        "ann_pq_digest": _SQL_ANN_PQ_DIGEST,
+        "ann_ivf_pq_digest": _SQL_ANN_IVF_PQ_DIGEST,
         # engine digests vs deterministic-fixture constants
         "engine_decode_digest": _SQL_ENGINE_DECODE_DIGEST,
         "engine_cells_digest": _SQL_ENGINE_CELLS_DIGEST,
