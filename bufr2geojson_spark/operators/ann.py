@@ -485,6 +485,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = DEFAULT_DIM,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means for the IVF coarse quantizer — the
     trained replacement for the deterministic modulo centroids.
@@ -495,17 +496,23 @@ def ivf_train(
     (2) new centroid = elementwise mean of its members, computed by
     exploding (centroid, pos, val) triples into a map-side-combined
     groupBy(centroid, pos) average — the shuffle is C×dim rows per
-    partition, never the corpus. Centroids are localCheckpoint-ed per
-    iteration (tiny: C rows) so the plan depth stays O(1).
+    partition, never the corpus. Centroids are materialized per iteration
+    (tiny: C rows) so the plan depth stays O(1);
+    ``reliable_checkpoint=True`` routes that through HDFS-backed
+    ``checkpoint()`` on a real cluster (operators/_iterate.py).
 
     Returns (centroid_id, centv, centn) directly usable by ``ivf_assign``
-    and ``ivf_topk(centroids=...)``. Iterative and data-dependent, so it is
-    exercised by pytest (objective must be monotonically non-decreasing)
-    rather than a SQL oracle."""
+    and ``ivf_topk(centroids=...)``; the train→probe→scan chain is pinned
+    by the ann_ivf_trained_digest constant oracle, and the Lloyd objective
+    monotonicity by pytest."""
+    from bufr2geojson_spark.operators._iterate import materialize_round
+
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col), dim).alias("v")
     )
-    cents = _ivf_centroids(base, n_centroids, id_col, dim).localCheckpoint()
+    cents = materialize_round(
+        _ivf_centroids(base, n_centroids, id_col, dim), reliable_checkpoint
+    )
     for _ in range(n_iter):
         assigned = ivf_assign(base.select(F.col(id_col), F.col("v")
                                           .alias(vec_col)),
@@ -524,9 +531,13 @@ def ivf_train(
                 F.transform("_pm", lambda s: s["m"]).alias("centv"),
             )
         )
-        cents = means.select(
-            "centroid_id", "centv", _norm_k(F.col("centv"), dim).alias("centn")
-        ).localCheckpoint()
+        cents = materialize_round(
+            means.select(
+                "centroid_id", "centv",
+                _norm_k(F.col("centv"), dim).alias("centn"),
+            ),
+            reliable_checkpoint,
+        )
     return cents
 
 
@@ -1068,7 +1079,10 @@ def embedding_dim_stats(
     int64 BEFORE aggregation, so every sum is an integer sum — bit-exact
     under any partitioning (the repo-wide digest rule; a double sum
     wobbles its last ulp with partial-agg order). mean_e6 is the floor
-    of the integer ratio. sumsq is in scale² units; at 10^12 rows switch
+    of the integer ratio, computed IN integer arithmetic
+    ((sum - pmod(sum, n)) DIV n), so it stays exact past the 2^53
+    double-mantissa envelope a float division would impose.
+    sumsq is in scale² units; at 10^12 rows switch
     the sumsq accumulator to DECIMAL(38,0) (int64 holds ~4·10^5 rows per
     dimension at |v| <= 2 before overflow against 2^63 — fine for any
     per-executor partial, and the final combine is 64 rows).
@@ -1098,7 +1112,10 @@ def embedding_dim_stats(
         .select(
             F.col("dim").cast("long").alias("dim"),
             "n", "sum_e6", "sumsq", "min_e6", "max_e6",
-            F.floor(F.col("sum_e6") / F.col("n")).cast("long")
+            # floor division in pure int64: pmod makes the numerator
+            # exactly divisible, so DIV (truncating) equals floor for
+            # negative sums too — no double rounding above 2^53
+            F.expr("(sum_e6 - pmod(sum_e6, n)) DIV n").cast("long")
             .alias("mean_e6"),
         )
     )

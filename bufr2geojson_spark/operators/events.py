@@ -364,11 +364,21 @@ def sequence_ngrams(
     aggregate — the output is the (small) pattern vocabulary, never the
     sequence stream. Returns (gram, n_occurrences), gram as
     "a>b>c", ordered ties deterministic via (ts, tie).
+
+    Null and delimiter hygiene: rows with a NULL state are dropped from
+    the sequence BEFORE the window (concat_ws would otherwise silently
+    skip the null mid-gram and emit a misleading "a>c"), and any '>'
+    inside a state value is escaped to '\\>' so the gram string parses
+    back unambiguously. Both are identity transforms on well-behaved
+    state vocabularies, so SQL oracles over such data are unaffected.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
-    cols = [F.col(state_col)]
+    esc = F.replace(F.col(state_col), F.lit(">"), F.lit("\\>"))
+    events = events.filter(F.col(state_col).isNotNull()) \
+        .withColumn("_st", esc)
+    cols = [F.col("_st")]
     for i in range(1, int(n)):
-        cols.append(F.lead(state_col, i).over(w))
+        cols.append(F.lead("_st", i).over(w))
     out = events.select(F.concat_ws(">", *cols).alias("gram"),
                         cols[-1].isNotNull().alias("_full"))
     return (

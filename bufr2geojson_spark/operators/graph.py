@@ -26,8 +26,15 @@ single-station ETL).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from bufr2geojson_spark.operators._iterate import (
+    materialize_round,
+    require_checkpoint_dir,
+)
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -171,6 +178,7 @@ def kcore(
     max_rounds: int = 20,
     src: str = "u",
     dst: str = "v",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """The k-core: the maximal subgraph where every node has degree >= k
     — the standard dense-subgroup extraction on contact graphs. Returns
@@ -186,8 +194,11 @@ def kcore(
 
     Plan per round: one degree aggregation + one semi-join, both keyed
     on vertex ids, map-side combinable; the edge set only shrinks.
-    Same checkpoint-per-few-rounds note as CC/PageRank on real clusters.
+    ``reliable_checkpoint=True`` materializes rounds via HDFS-backed
+    ``checkpoint()`` on real clusters (operators/_iterate.py).
     """
+    if reliable_checkpoint:
+        require_checkpoint_dir(edges.sparkSession)
     e = _canonical_edges(edges, src, dst)
     cur = (
         e.select(F.col("u").alias("s"), F.col("v").alias("t"))
@@ -199,10 +210,10 @@ def kcore(
             break
         deg = cur.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
         good = deg.filter(F.col("d") >= int(k)).select("s")
-        cur = (
+        cur = materialize_round(
             cur.join(good, "s", "left_semi")
-            .join(good.withColumnRenamed("s", "t"), "t", "left_semi")
-            .localCheckpoint(eager=True)
+            .join(good.withColumnRenamed("s", "t"), "t", "left_semi"),
+            reliable_checkpoint,
         )
         n_now = cur.count()
         if n_now == n_prev:
@@ -287,6 +298,7 @@ def bfs_hops(
     src: str = "u",
     dst: str = "v",
     node_col: str = "node",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Multi-source BFS on the undirected graph: for every node reachable
     within ``max_hops`` of ANY source, the exact shortest hop count —
@@ -300,35 +312,43 @@ def bfs_hops(
     time it is seen, which in BFS order IS its shortest distance, so no
     relaxation or re-visits happen — per round the shuffle is
     O(frontier-degree sum), and the loop runs min(eccentricity,
-    max_hops) rounds. ``localCheckpoint`` truncates the per-round plan
-    (swap for ``checkpoint`` on a real cluster). Rounds are inherently
+    max_hops) rounds. Round materialization truncates the per-round plan
+    (``reliable_checkpoint=True`` for HDFS-backed ``checkpoint()`` on a
+    real cluster — operators/_iterate.py). Rounds are inherently
     sequential (each needs the previous frontier), the same shape as the
     published Pregel/GraphX BFS.
 
     Returns (node, hops), hops ∈ [0, max_hops]; unreachable-within-bound
     nodes are absent.
     """
+    if reliable_checkpoint:
+        require_checkpoint_dir(edges.sparkSession)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    settled = sources.select(
-        F.col(sources.columns[0]).alias("node"), F.lit(0).alias("hops")
-    ).distinct().localCheckpoint(eager=True)
+    settled = materialize_round(
+        sources.select(
+            F.col(sources.columns[0]).alias("node"), F.lit(0).alias("hops")
+        ).distinct(),
+        reliable_checkpoint,
+    )
     frontier = settled.select("node")
     for h in range(1, int(max_hops) + 1):
-        nxt = (
+        nxt = materialize_round(
             frontier.join(sym, frontier["node"] == sym["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(settled.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
+            .withColumn("hops", F.lit(h)),
+            reliable_checkpoint,
         )
         if nxt.isEmpty():
             break
-        settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        settled = materialize_round(
+            settled.unionAll(nxt), reliable_checkpoint
+        )
         frontier = nxt.select("node")
     return settled.withColumnRenamed("node", node_col)
 
@@ -341,6 +361,8 @@ def sssp_weighted(
     dst: str = "v",
     weight: str = "w",
     node_col: str = "node",
+    reliable_checkpoint: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """Multi-source weighted shortest paths (non-negative INTEGER
     weights) on the undirected graph — the weighted generalization of
@@ -355,10 +377,16 @@ def sssp_weighted(
     unique and every intermediate distance is exact — bit-equal to a
     recursive-CTE oracle under any partitioning. Rounds are bounded by
     the longest shortest-path hop count (<= V worst case; ``max_rounds``
-    caps the driver loop, raise for high-diameter graphs).
-    ``localCheckpoint`` truncates per-round lineage (swap for
-    ``checkpoint`` on a real cluster). Returns (node, dist).
+    caps the driver loop, raise for high-diameter graphs). If the bound
+    is hit while the frontier is still non-empty the returned distances
+    are OVERESTIMATES for the unsettled region — the loop warns (or
+    raises with ``strict=True``) instead of returning them silently.
+    Round materialization truncates per-round lineage
+    (``reliable_checkpoint=True`` for HDFS-backed ``checkpoint()`` on a
+    real cluster — operators/_iterate.py). Returns (node, dist).
     """
+    if reliable_checkpoint:
+        require_checkpoint_dir(edges.sparkSession)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
                      F.col(weight).alias("w"))
@@ -366,11 +394,15 @@ def sssp_weighted(
                                F.col(src).alias("b"),
                                F.col(weight).alias("w")))
     )
-    dist = sources.select(
-        F.col(sources.columns[0]).alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    ).distinct().localCheckpoint(eager=True)
+    dist = materialize_round(
+        sources.select(
+            F.col(sources.columns[0]).alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        ).distinct(),
+        reliable_checkpoint,
+    )
     frontier = dist
+    converged = False
     for _ in range(int(max_rounds)):
         cand = (
             frontier.join(sym, frontier["node"] == sym["a"])
@@ -379,18 +411,29 @@ def sssp_weighted(
             .groupBy("node")
             .agg(F.min("nd").alias("nd"))
         )
-        improved = (
+        improved = materialize_round(
             cand.join(dist, "node", "left")
             .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
-            .select("node", F.col("nd").alias("dist"))
-            .localCheckpoint(eager=True)
+            .select("node", F.col("nd").alias("dist")),
+            reliable_checkpoint,
         )
         if improved.isEmpty():
+            converged = True
             break
-        dist = (
+        dist = materialize_round(
             dist.join(improved.select("node"), "node", "left_anti")
-            .unionAll(improved)
-            .localCheckpoint(eager=True)
+            .unionAll(improved),
+            reliable_checkpoint,
         )
         frontier = improved
+    if not converged:
+        msg = (
+            f"sssp_weighted exhausted max_rounds={max_rounds} with a "
+            "non-empty frontier: returned distances are overestimates for "
+            "the unsettled region — raise max_rounds for this graph's "
+            "diameter"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return dist.withColumnRenamed("node", node_col)

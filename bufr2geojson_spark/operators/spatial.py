@@ -759,6 +759,7 @@ def dbscan(
     grid_deg: float = 5.0,
     dist_dp: int | None = 2,
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Distributed DBSCAN over geographic points — the station-cluster /
     observation-hotspot discovery step (the reference's corpus is dominated
@@ -784,9 +785,13 @@ def dbscan(
     Returns one row per input point: (id, cluster_id, role) with
     ``role in ('core','border','noise')`` and ``cluster_id`` = min core
     point id in the cluster (null for noise). The result is materialized
-    (``localCheckpoint``) before returning so the candidate-pair cache can
-    be released — callers get a settled table, not a live plan over it.
+    before returning so the candidate-pair cache can be released — callers
+    get a settled table, not a live plan over it
+    (``reliable_checkpoint=True`` routes this and the CC rounds through
+    HDFS-backed ``checkpoint()`` on a real cluster —
+    operators/_iterate.py).
     """
+    from bufr2geojson_spark.operators._iterate import materialize_round
     from bufr2geojson_spark.operators.textops import connected_components
 
     pts = points.select(
@@ -823,6 +828,7 @@ def dbscan(
     comp = connected_components(
         core_edges.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
         max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
     )
     core_lab = (
         core.join(comp, core["a"] == comp["doc_id"], "left")
@@ -853,8 +859,9 @@ def dbscan(
             lab["cluster_id"],
             F.coalesce(lab["role"], F.lit("noise")).alias("role"),
         )
-        .localCheckpoint()  # settle the result so the pair cache can go
     )
+    # settle the result so the pair cache can go
+    out = materialize_round(out, reliable_checkpoint)
     pairs.unpersist()
     return out
 

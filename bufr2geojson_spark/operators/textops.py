@@ -423,6 +423,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair list —
     the step that turns near-dup *pairs* (LSH/simhash/jaccard) into dedup
@@ -452,9 +453,10 @@ def connected_components(
     — the logarithmic round count keeps the chain short. (Batching TWO
     star rounds per checkpoint to halve the action count was tried and
     measured ~2x SLOWER end-to-end: the doubled plan depth per job costs
-    more than the saved scheduling latency.) On a real cluster swap
-    ``localCheckpoint`` for reliable ``checkpoint()`` (HDFS-backed) so
-    executor loss cannot kill a long-running job.
+    more than the saved scheduling latency.) Pass
+    ``reliable_checkpoint=True`` on a real cluster to materialize rounds
+    via HDFS-backed ``checkpoint()`` so executor loss cannot kill a
+    long-running job (see operators/_iterate.py).
 
     Not SQL-expressible as a single query in Spark, but DuckDB's recursive
     CTE computes the same fixpoint — used as the oracle."""
@@ -515,11 +517,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    from bufr2geojson_spark.operators._iterate import (
+        materialize_round, require_checkpoint_dir)
+
+    if reliable_checkpoint:  # fail fast, not rounds deep into the loop
+        require_checkpoint_dir(pairs.sparkSession)
     prev_sig = None
     converged = False
     prev_edges = None
     for _ in range(max_iter):
-        new_edges = star_round(edges).localCheckpoint()
+        new_edges = materialize_round(star_round(edges), reliable_checkpoint)
         sig = new_edges.agg(
             F.count(F.lit(1)).alias("n"),
             # xor digest: order-independent and overflow-free under ANSI
@@ -549,7 +556,7 @@ def connected_components(
             F.coalesce(stars["label"], verts["id"]).alias("component_id"),
         )
     )
-    out = out.localCheckpoint()
+    out = materialize_round(out, reliable_checkpoint)
     verts.unpersist()
     edges.unpersist()
     if prev_edges is not None:
@@ -1274,6 +1281,8 @@ def edit_distance_join(
     df: DataFrame,
     str_col: str,
     id_col: str,
+    hot_threshold: int = 256,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """All pairs within Levenshtein distance ≤ 1 — typo-tolerant entity
     matching (name/URL/SKU dedup) WITHOUT the quadratic compare a naive
@@ -1289,6 +1298,18 @@ def edit_distance_join(
     candidates only keeps correctness. Work and shuffle are
     O(rows × length) fixed-width hashes; candidate volume follows variant
     collisions, never |rows|². Verify cost is bounded by candidates.
+
+    Hot-variant salting (round-3 verdict #7): sequential-ID-style corpora
+    (TPC-H "Customer#000xxxxxx" names — measured) concentrate deletion
+    variants on a few near-degenerate hashes, so the self-join's work
+    piles onto single keys. Variants occurring >= ``hot_threshold`` times
+    take a salted two-phase route — the probe side carries one hash
+    bucket, the build side is replicated across all ``salt_buckets`` —
+    splitting each hot key's quadratic block into ``salt_buckets`` tasks
+    (same move as ``tile_aggregate``'s hot cells). Output is identical:
+    candidate completeness per hot pair is preserved because the smaller
+    id's single bucket always meets the larger id's replica. Detection is
+    in-plan (broadcast hot-key list), no driver action.
 
     Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
     """
@@ -1311,16 +1332,40 @@ def edit_distance_join(
             )
         ).alias("vh"),
     )
-    a, b = variants.alias("a"), variants.alias("b")
-    cand = (
+    hot = F.broadcast(
+        variants.groupBy("vh").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= int(hot_threshold))
+        .select("vh")
+    )
+    cold = variants.join(hot, "vh", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cand_cold = (
         a.join(b, (F.col("a.vh") == F.col("b.vh"))
                & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"),
         )
-        .distinct()
     )
+    nb = int(salt_buckets)
+    hotv = variants.join(hot, "vh", "left_semi")
+    ah = hotv.select(
+        "id", "s", "vh", F.pmod(F.xxhash64("id"), F.lit(nb)).alias("_b")
+    ).alias("a")
+    bh = hotv.select(
+        "id", "s", "vh",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("_b"),
+    ).alias("b")
+    cand_hot = (
+        ah.join(bh, (F.col("a.vh") == F.col("b.vh"))
+                & (F.col("a._b") == F.col("b._b"))
+                & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"),
+        )
+    )
+    cand = cand_cold.unionByName(cand_hot).distinct()
     return (
         cand.withColumn("dist", F.levenshtein("s_a", "s_b"))
         .filter(F.col("dist") <= 1)
@@ -1765,6 +1810,12 @@ def dsir_importance(
         F.sum("cr").alias("tr"),
         F.count(F.lit(1)).alias("v"),
     )
+    # KNOWN 1-ULP EXPOSURE (round-3 advice): JVM Math.log and DuckDB libm
+    # may differ in the last ulp; if x*1e6 + 0.5 lands exactly on an
+    # integer boundary the two engines can round the fix-point value apart
+    # by 1. Never observed on the test corpora (all driver/oracle runs
+    # green); a future single-unit mismatch on lr_e6/importance_e6 should
+    # be triaged as libm skew, not operator logic.
     lr_e6 = F.floor(
         (
             F.log((F.col("ct") + 1).cast("double")
@@ -1939,6 +1990,9 @@ def pmi_pairs(
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(t_total))
     )
+    # same 1-ulp libm exposure note as dsir_importance's lr_e6: a future
+    # single-unit pmi_e6 mismatch vs an oracle is libm skew, not logic
+    # (the unit test already tolerates +-1 for exactly this reason)
     pmi_e6 = F.floor(
         (
             F.log(F.col("n_pairs").cast("double")

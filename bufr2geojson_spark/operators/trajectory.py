@@ -1387,7 +1387,10 @@ def track_dtw(
     O(n*band) mitigation for long tracks; None = full O(n*m) DP (exact).
     Cells outside the band are unreachable (infinite), and the DP falls
     back to monotone steps inside the band; band >= max(n, m) equals the
-    full DP.
+    full DP. When the band makes the (n, m) corner UNREACHABLE
+    (|n - m| > band), ``dtw_cost`` is NULL — not the internal infinity
+    sentinel — so rankings over the column never see a garbage value
+    that looks like a measurement.
 
     Plan: candidate pairs come from the same cell-keyed inverted index
     as ``track_hausdorff`` (never all-pairs); each entity's track is
@@ -1496,8 +1499,18 @@ def track_dtw(
                 out["user_b"].append(row["user_b"])
                 out["n_a"].append(n)
                 out["n_b"].append(m)
-                out["dtw_cost"].append(int(acc[n, m]))
-            yield pd.DataFrame(out)
+                # corner unreachable under the band (acc still holds the
+                # infinity sentinel) -> NULL, never the sentinel value
+                out["dtw_cost"].append(
+                    None if acc[n, m] >= big else int(acc[n, m])
+                )
+            pdf_out = pd.DataFrame(
+                {k: v for k, v in out.items() if k != "dtw_cost"}
+            )
+            # nullable Int64, not float64: a float column would silently
+            # round costs above 2^53
+            pdf_out["dtw_cost"] = pd.array(out["dtw_cost"], dtype="Int64")
+            yield pdf_out
 
     return joined.mapInPandas(
         _dtw_batches,

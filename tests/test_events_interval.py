@@ -249,3 +249,26 @@ class TestSequenceNgrams:
                   "event_type string"
         )
         assert sequence_ngrams(df, n=3, min_support=1).collect() == []
+
+    def test_null_states_dropped_and_delimiter_escaped(self, spark):
+        """A NULL mid-sequence state must not produce a misleading
+        skip-gram ('a>c'), and a '>' inside a state value must not make
+        the gram string ambiguous."""
+        from bufr2geojson_spark.operators.events import sequence_ngrams
+
+        t0 = _ts("2024-03-01 00:00:00")
+        m = dt.timedelta(minutes=1)
+        rows = [
+            (0, t0, 1, "a"), (1, t0 + m, 1, None), (2, t0 + 2 * m, 1, "c"),
+            (3, t0 + 3 * m, 1, "d"),
+            # user 2: a state containing the delimiter
+            (4, t0, 2, "x>y"), (5, t0 + m, 2, "z"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string"
+        )
+        got = {r["gram"]: r["n_occurrences"]
+               for r in sequence_ngrams(df, n=2, min_support=1).collect()}
+        # null row dropped from the SEQUENCE: a's next surviving state is c
+        assert got == {"a>c": 1, "c>d": 1, "x\\>y>z": 1}

@@ -292,3 +292,60 @@ class TestSsspWeighted:
         got = {r["node"]: r["dist"]
                for r in sssp_weighted(df, srcs, max_rounds=10).collect()}
         assert got == {0: 0, 1: 0, 2: 5}   # 10/11 unreachable, absent
+
+
+class TestIterativeRobustness:
+    """reliable_checkpoint flag-gate (round-3 verdict #6) + the SSSP
+    non-convergence signal: the 'swap localCheckpoint for checkpoint on a
+    real cluster' note is a switch, and truncated Bellman-Ford runs can no
+    longer return silent overestimates."""
+
+    def test_cc_reliable_mode_equals_local_mode(self, spark, tmp_path):
+        import random
+
+        from bufr2geojson_spark.operators.textops import connected_components
+
+        rng = random.Random(7)
+        pairs = spark.createDataFrame(
+            sorted({tuple(sorted(rng.sample(range(40), 2)))
+                    for _ in range(50)}),
+            "id_a long, id_b long",
+        )
+        local = sorted(map(tuple, connected_components(pairs).collect()))
+
+        # without a checkpoint dir the reliable mode must fail FAST with
+        # the fix in the message, not rounds into the loop
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                connected_components(pairs, reliable_checkpoint=True)
+
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        reliable = sorted(map(tuple, connected_components(
+            pairs, reliable_checkpoint=True).collect()))
+        assert reliable == local
+        # the checkpoint dir actually received round materializations
+        import os
+
+        assert any(os.scandir(str(tmp_path / "ckpt")))
+
+    def test_sssp_warns_or_raises_on_truncation(self, spark):
+        from bufr2geojson_spark.operators.graph import sssp_weighted
+
+        # path graph 0-1-2-3: diameter 3 > max_rounds=1
+        df = spark.createDataFrame(
+            [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "u long, v long, w long"
+        )
+        srcs = spark.createDataFrame([(0,)], "k long")
+        with pytest.warns(RuntimeWarning, match="max_rounds"):
+            sssp_weighted(df, srcs, max_rounds=1).collect()
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            sssp_weighted(df, srcs, max_rounds=1, strict=True)
+        # converged run emits no warning
+        import warnings as W
+
+        with W.catch_warnings():
+            W.simplefilter("error")
+            got = {r["node"]: r["dist"]
+                   for r in sssp_weighted(df, srcs, max_rounds=10).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}

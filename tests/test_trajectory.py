@@ -1049,3 +1049,21 @@ class TestTrackDtw:
         for k, v in narrow.items():
             assert v >= full[k]           # band restricts the path set
             assert v == self._brute(tracks[k[0]], tracks[k[1]], band=2)
+
+    def test_band_unreachable_corner_yields_null_not_sentinel(self, spark):
+        """|n_a - n_b| > band makes the (n, m) corner unreachable: the
+        cost must surface as NULL, never as the internal int64 infinity
+        sentinel that looks like a (huge) real measurement."""
+        from bufr2geojson_spark.operators.trajectory import track_dtw
+
+        tracks = {
+            0: [(i * 5, i * 5) for i in range(14)],   # n=14
+            1: [(i * 5, i * 5) for i in range(4)],    # m=4, gap 10 > band 3
+            2: [(i * 5, i * 5) for i in range(13)],   # gap 1 <= band
+        }
+        got = {(r["user_a"], r["user_b"]): r["dtw_cost"]
+               for r in track_dtw(self._df(spark, tracks),
+                                  grid_deg=5.0, band=3).collect()}
+        assert got[(0, 1)] is None
+        assert got[(1, 2)] is None
+        assert got[(0, 2)] is not None and got[(0, 2)] >= 0
