@@ -435,16 +435,27 @@ def main() -> None:
         if _eff("8", "32") is not None:
             scaling["efficiency_8_to_32"] = _eff("8", "32")
         # controlled spark-submit evidence for the same criterion, measured
-        # on an idle box at production-regime corpus size (BENCH.md §5g,
-        # scripts/bench_scaling.sh, 2026-08-17): the authoritative pair when
-        # the in-session block lands in a degraded host window
-        scaling["controlled_pair_ref"] = {
-            "source": "scripts/bench_scaling.sh spark-submit pair, "
-                      "BENCH.md §5g (2026-08-17)",
-            "n_docs": 960_000,
-            "rows_per_sec": {"2": 17_240, "8": 57_365},
-            "efficiency_2_to_8": 0.832,
-        }
+        # on an idle box at production-regime corpus size (960k docs — the
+        # regime where fixed per-stage costs amortize, BENCH.md §5g/§5i):
+        # the authoritative pair when the in-session quick block lands in a
+        # degraded host window or at a corpus too small to amortize.
+        # scripts/bench_scaling.sh writes its latest pair to
+        # scaling_controlled.json; fall back to the §5g record.
+        ctl_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scaling_controlled.json",
+        )
+        try:
+            with open(ctl_path) as f:
+                scaling["controlled_pair_ref"] = json.load(f)
+        except (OSError, ValueError):
+            scaling["controlled_pair_ref"] = {
+                "source": "scripts/bench_scaling.sh spark-submit pair, "
+                          "BENCH.md §5g (2026-08-17)",
+                "n_docs": 960_000,
+                "rows_per_sec": {"2": 17_240, "8": 57_365},
+                "efficiency_2_to_8": 0.832,
+            }
     if os.environ.get("BENCH_ONLY") == "scaling":
         print(json.dumps({"scaling": scaling}))
         return

@@ -5,8 +5,10 @@
 #
 #   efficiency = (throughput_32 / throughput_8) / 4
 #
-# Results are reported in BENCH/BASELINE.md. Run on an otherwise-idle box —
-# concurrent load invalidates the comparison.
+# Results are reported in BENCH/BASELINE.md, and the pair is written to
+# scaling_controlled.json at the repo root so bench.py can attach the latest
+# controlled measurement to its per-round scaling block. Run on an
+# otherwise-idle box — concurrent load invalidates the comparison.
 #
 # Usage: scripts/bench_scaling.sh [n_docs] [checkpoints]
 set -euo pipefail
@@ -15,13 +17,15 @@ cd "$(dirname "$0")/.."
 N_DOCS="${1:-240000}"
 CKPT="${2:-J,A,W}"
 WORK="${SCALE_WORK:-/dev/shm/b2g_scale}"
+OUT="${SCALE_OUT:-scaling_controlled.json}"
 
 rm -f bufr2geojson_spark.zip
 zip -qr bufr2geojson_spark.zip bufr2geojson_spark
 
+LINES=""
 for C in ${SCALE_CORES:-2 8 32}; do
   rm -rf "$WORK/n$C"
-  spark-submit --master "local[$C]" --driver-memory 40g \
+  LINE=$(spark-submit --master "local[$C]" --driver-memory 40g \
     --conf spark.sql.shuffle.partitions=$((C * 2)) \
     --conf spark.default.parallelism=$C \
     --conf spark.sql.adaptive.enabled=true \
@@ -31,5 +35,37 @@ for C in ${SCALE_CORES:-2 8 32}; do
     --conf spark.local.dir="$WORK/spark-local-$C" \
     --py-files bufr2geojson_spark.zip jobs/pipeline.py \
     --synth "$N_DOCS" --work "$WORK/n$C" --run-id "scale$C" \
-    --partitions $((C * 4)) --checkpoints "$CKPT" 2>/dev/null | tail -1
+    --partitions $((C * 4)) --checkpoints "$CKPT" 2>/dev/null | tail -1)
+  echo "$LINE"
+  LINES="$LINES$C $LINE"$'\n'
 done
+
+# summarize the pair(s) into $OUT for bench.py's scaling block (legs travel
+# via env — `python3 -` reads its PROGRAM from stdin, so piping them there
+# would be swallowed by the heredoc)
+LINES="$LINES" N_DOCS="$N_DOCS" OUT="$OUT" python3 - <<'EOF'
+import json, os, datetime
+
+rows = {}
+for line in os.environ["LINES"].splitlines():
+    line = line.strip()
+    if not line:
+        continue
+    cores, payload = line.split(" ", 1)
+    rows[cores] = json.loads(payload)
+th = {c: r["rows_per_sec"] for c, r in rows.items()}
+rec = {
+    "source": "scripts/bench_scaling.sh spark-submit --py-files pair",
+    "measured_utc": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+    "n_docs": int(os.environ["N_DOCS"]),
+    "rows_per_sec": th,
+}
+if "2" in th and "8" in th and th["2"]:
+    rec["efficiency_2_to_8"] = round(th["8"] / th["2"] / 4.0, 3)
+if "8" in th and "32" in th and th["8"]:
+    rec["efficiency_8_to_32"] = round(th["32"] / th["8"] / 4.0, 3)
+with open(os.environ["OUT"], "w") as f:
+    json.dump(rec, f, indent=1)
+print(json.dumps(rec))
+EOF
