@@ -288,6 +288,10 @@ def _prior_best_times() -> dict[str, float]:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
+        # the driver wraps the bench's JSON line under "parsed" (raw line
+        # under "tail"); a locally-written record has "queries" top-level
+        if "queries" not in rec and isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
         for name, wall in (rec.get("queries") or {}).items():
             if isinstance(wall, (int, float)) and (
                 name not in best or wall < best[name]
