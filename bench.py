@@ -424,7 +424,12 @@ def main() -> None:
             done_rounds < max_rounds
             and (_eff("2", "8") or 1.0) < 0.8
         ):
-            for p in widths:
+            # extra (adaptive) rounds chase only the 2->8 criterion pair;
+            # re-measuring the 32-wide leg can't move it and costs minutes
+            round_widths = widths if done_rounds < rounds else [
+                p for p in widths if p in (2, 8)
+            ]
+            for p in round_widths:
                 t = _run_leg(
                     "scaling_width",
                     {"BENCH_WIDTH": str(p), "SPARK_GRAFT_CPUS": str(p),
