@@ -4101,16 +4101,45 @@ _SQL_ENGINE_MEDIA_RESIZE_DIGEST = """
 
 
 def q_engine_media_xmodal(spark, sf_dir):
-    """Cross-modal retrieval plumbing: top-3 embedding rows per media
-    feature vector (stub features; rows-only — depends on both the synth
-    corpus and the sf-scaled embeddings table)."""
+    """Cross-modal retrieval digest (round-4 verdict #3 — the last rows-only
+    query, converted to the constant-digest pattern proven by the 16 other
+    digests): top-3 embedding rows per media feature vector via
+    media_feature_join, run against the deterministic `_synth_ann_corpus`
+    (exact rational doubles, bit-identical at any partitioning and any sf —
+    the old sf-scaled `embeddings` table made the result sf-dependent and
+    hence un-pinnable; the real-table read path stays covered by the ANN
+    table queries e.g. ann_cosine_topk). Digest: row/media counts, neighbor
+    vec_id sum, an order-sensitive integer checksum over (media_ref,
+    vec_id, rank), and a 6-dp cosine-sum — any change to the media feature
+    vectors, the cosine kernel, or the top-k tiebreak moves it."""
     from bufr2geojson_spark.operators.media import (
         decode_media, media_feature_join, media_table)
 
     docs, _, _ = _synth_engine_inputs(spark)
-    e = _t(spark, sf_dir, "embeddings")
+    e = _synth_ann_corpus(spark)
     feats = decode_media(media_table(docs))
-    return media_feature_join(feats, e, k=3).orderBy("media_ref", "rank")
+    j = media_feature_join(feats, e, k=3)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("media_ref").alias("n_media"),
+        F.sum("vec_id").alias("vid_sum"),
+        F.expr("bit_xor(xxhash64(media_ref, vec_id, rank))")
+        .alias("x_chk"),
+        F.sum(F.floor(F.col("cos") * 1e6 + 0.5).cast("long"))
+        .alias("cos_e6_sum"),
+    )
+
+
+# cross-modal retrieval constants (82 media feature vectors × top-3 cosine
+# neighbors over the 1k-row exact-rational synth ANN corpus); verified
+# identical at local[6]/5 partitions and local[20]/32
+_SQL_ENGINE_MEDIA_XMODAL = """
+    SELECT CAST(246 AS BIGINT) AS n_rows,
+           CAST(82 AS BIGINT) AS n_media,
+           CAST(52655 AS BIGINT) AS vid_sum,
+           CAST(-1384745423075874493 AS BIGINT) AS x_chk,
+           CAST(146751816 AS BIGINT) AS cos_e6_sum
+"""
 
 
 def q_engine_zorder_digest(spark, sf_dir):
@@ -6782,22 +6811,26 @@ _SQL_GEO_ZONAL = f"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDER MATTERS: the driver's correctness gate runs the
-    first 50 entries only (verified rounds 2-3: CORRECTNESS_r0N's keys equal
-    this dict's first 50 in order). Round-4 rotation (round-3 verdict #1,
-    third and final): slots 1-47 are the 47 oracled queries that have never
-    produced a driver row (trajectory analytics, density/retrieval, hotspot
-    stats, corpus statistics, graph, tile-percentile tails); slots 48-50 are
-    the three media digests, whose expected constants CHANGED this round when
-    the packaged pure-python PNG/WAV decoders became the default decode path
-    (round-3 verdict #4 — is_stub now false), so they need fresh driver rows.
-    After this round every oracled query in the contract has had a hard
-    driver CORRECTNESS row. Everything from slot 51 on is r1/r2/r3-green and
-    unchanged (local exact-oracle sweep stays green — scripts/check_oracle.py);
-    rows-only queries (no oracle_sql entry) sit last so they never burn a
-    gated slot on an `err: no_oracle` row."""
+    first 50 entries only (verified rounds 2-4: CORRECTNESS_r0N's keys equal
+    this dict's first 50 in order). Round-5 rotation (round-4 verdict #2,
+    the final one): slots 1-4 are the only 4 contract queries that have
+    never produced a driver row — the three trained-ANN constant digests
+    (created in round 4 just outside the window, at old slots 51-53) and
+    engine_media_xmodal (converted from rows-only to a constant-digest
+    oracle this round, round-4 verdict #3). Slots 5-50 are the first 46 of
+    the round-4 window, all green in CORRECTNESS_r04 and unchanged —
+    representative greens spanning trajectory, retrieval/density, corpus
+    stats, graph, dedup, and the media digests. After this round EVERY
+    query in the 152-query contract has had a hard driver CORRECTNESS row,
+    and all 152 are exact-oracled (zero rows-only)."""
     return {
-        # --- 50-slot driver gate window (round-3 verdict #1+#4) ----------
-        # 1-47: oracled, never driver-checked (r1∪r2∪r3 coverage holes)
+        # --- 50-slot driver gate window (round-4 verdict #2) --------------
+        # 1-4: the last never-driver-checked queries in the contract
+        "ann_ivf_trained_digest": q_ann_ivf_trained_digest,
+        "ann_pq_digest": q_ann_pq_digest,
+        "ann_ivf_pq_digest": q_ann_ivf_pq_digest,
+        "engine_media_xmodal": q_engine_media_xmodal,
+        # 5-50: representative r4-greens (first 46 of the round-4 window)
         "event_track_stats": q_event_track_stats,
         "event_stops": q_event_stops,
         "bm25_scores": q_bm25_scores,
@@ -6844,19 +6877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "geo_track_crossings": q_geo_track_crossings,
         "geo_track_dtw": q_geo_track_dtw,
+        # ---------------- 50-entry driver window ends here ----------------
+        # everything below is green in a prior round's CORRECTNESS and
+        # unchanged (local exact-oracle sweep stays green —
+        # scripts/check_oracle.py)
         "pack_sequences": q_pack_sequences,
-        # 48-50: media digests — constants changed with the packaged real
-        # decoder default this round; re-certify with fresh driver rows
         "engine_media_digest": q_engine_media_digest,
         "engine_media_resize_digest": q_engine_media_resize_digest,
         "engine_audio_digest": q_engine_audio_digest,
-        # ---------------- 50-entry driver window ends here ----------------
-        # trained-ANN digests (round-3 verdict #5): new this round, oracled
-        # via literal constants — first in line for a future window slot
-        "ann_ivf_trained_digest": q_ann_ivf_trained_digest,
-        "ann_pq_digest": q_ann_pq_digest,
-        "ann_ivf_pq_digest": q_ann_ivf_pq_digest,
-        # everything below is r1/r2/r3-green and unchanged
         "engine_decode_digest": q_engine_decode_digest,
         "engine_cells_digest": q_engine_cells_digest,
         "engine_knn_digest": q_engine_knn_digest,
@@ -6955,12 +6983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
-        # --- rows-only (no SQL-expressible oracle; driver records a weaker
-        # rows-only check). The three trained-ANN rows-only queries were
-        # converted to the constant-digest oracles above (round-3 verdict
-        # #5); xmodal is the one remaining rows-only entry (depends on the
-        # sf-scaled embeddings table AND the synth media corpus at once) --
-        "engine_media_xmodal": q_engine_media_xmodal,
     }
 
 
@@ -7054,6 +7076,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_tiles_hex_digest": _SQL_ENGINE_TILES_HEX_DIGEST,
         "engine_media_digest": _SQL_ENGINE_MEDIA_DIGEST,
         "engine_media_resize_digest": _SQL_ENGINE_MEDIA_RESIZE_DIGEST,
+        "engine_media_xmodal": _SQL_ENGINE_MEDIA_XMODAL,
         "engine_zorder_digest": _SQL_ENGINE_ZORDER_DIGEST,
         "engine_geohash_digest": _SQL_ENGINE_GEOHASH_DIGEST,
         "engine_quarantine_digest": _SQL_ENGINE_QUARANTINE_DIGEST,

@@ -42,7 +42,12 @@ done
 
 # summarize the pair(s) into $OUT for bench.py's scaling block (legs travel
 # via env — `python3 -` reads its PROGRAM from stdin, so piping them there
-# would be swallowed by the heredoc)
+# would be swallowed by the heredoc). The summarizer ACCUMULATES: it merges
+# this run's legs with an existing $OUT at the SAME n_docs, keeping the
+# per-width try lists (tries_rows_per_sec) and best-of (round-4 advice —
+# the checked-in artifact must be reproducible by this documented command,
+# and a rerun must not silently drop the tries provenance). A different
+# n_docs starts a fresh record — ratios across corpus sizes don't merge.
 LINES="$LINES" N_DOCS="$N_DOCS" OUT="$OUT" python3 - <<'EOF'
 import json, os, datetime
 
@@ -53,19 +58,42 @@ for line in os.environ["LINES"].splitlines():
         continue
     cores, payload = line.split(" ", 1)
     rows[cores] = json.loads(payload)
-th = {c: r["rows_per_sec"] for c, r in rows.items()}
+n_docs = int(os.environ["N_DOCS"])
+out = os.environ["OUT"]
+
+tries: dict[str, list[float]] = {}
+try:
+    with open(out) as f:
+        prev = json.load(f)
+    if prev.get("n_docs") == n_docs:
+        tries = {str(c): list(v)
+                 for c, v in (prev.get("tries_rows_per_sec") or {}).items()}
+        # older records carried only the best-of pair; seed tries from it
+        for c, v in (prev.get("rows_per_sec") or {}).items():
+            tries.setdefault(str(c), [])
+            if v not in tries[str(c)]:
+                tries[str(c)].append(v)
+except (OSError, ValueError):
+    pass
+for c, r in rows.items():
+    tries.setdefault(c, []).append(r["rows_per_sec"])
+
+th = {c: max(v) for c, v in tries.items() if v}
 rec = {
-    "source": "scripts/bench_scaling.sh spark-submit --py-files pair",
+    "source": "scripts/bench_scaling.sh spark-submit --py-files pair, "
+              "full pipeline at synth docs, fresh JVM + tmpfs work/shuffle "
+              "dirs per leg; best-of per width across accumulated tries",
     "measured_utc": datetime.datetime.now(datetime.timezone.utc)
         .strftime("%Y-%m-%dT%H:%M:%SZ"),
-    "n_docs": int(os.environ["N_DOCS"]),
+    "n_docs": n_docs,
     "rows_per_sec": th,
+    "tries_rows_per_sec": tries,
 }
 if "2" in th and "8" in th and th["2"]:
     rec["efficiency_2_to_8"] = round(th["8"] / th["2"] / 4.0, 3)
 if "8" in th and "32" in th and th["8"]:
     rec["efficiency_8_to_32"] = round(th["32"] / th["8"] / 4.0, 3)
-with open(os.environ["OUT"], "w") as f:
+with open(out, "w") as f:
     json.dump(rec, f, indent=1)
 print(json.dumps(rec))
 EOF

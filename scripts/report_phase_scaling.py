@@ -82,6 +82,16 @@ def main() -> None:
     common = [s for s in lo if s in hi]
     if not common:
         raise SystemExit("the two runs share no lineage stages")
+    lo_only = sorted(s for s in lo if s not in hi)
+    hi_only = sorted(s for s in hi if s not in lo)
+    if lo_only or hi_only:
+        # a stage present in only one run (failed/skipped leg) would
+        # otherwise silently vanish from the table AND from the stage-sum
+        # efficiency, leaving an overall number computed on an asymmetric
+        # stage set with no indication (round-4 advice)
+        print(f"WARNING: stages present in only one run are EXCLUDED from "
+              f"the table and the stage-sum efficiency — "
+              f"lo-only: {lo_only or '[]'}, hi-only: {hi_only or '[]'}")
 
     print(f"Per-stage scaling: {args.lo_cores} -> {args.hi_cores} cores "
           f"(ideal speedup {ratio:g}x)\n")
@@ -131,6 +141,8 @@ def main() -> None:
         "lo_cores": args.lo_cores, "hi_cores": args.hi_cores,
         "stages": report,
         "overall_efficiency": round(overall, 3),
+        "stages_lo_only": lo_only,
+        "stages_hi_only": hi_only,
     }))
 
 
