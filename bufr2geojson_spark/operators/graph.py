@@ -121,6 +121,8 @@ def pagerank(
     iters: int = 10,
     src: str = "u",
     dst: str = "v",
+    checkpoint_every: int = 4,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected graph (each edge walks
     both ways) in exact integer fixed-point: (node, rank_scaled) with
@@ -139,11 +141,16 @@ def pagerank(
 
     Plan per iteration: ranks ⋈ out-edges (key u) → groupBy(v) with
     map-side partial sums — the classic two-shuffle PageRank round; the
-    static degree table rides broadcast when small. 10 iterations = a
-    linear chain of 10 such rounds (checkpoint every few rounds on a
-    real cluster to truncate lineage — same note as connected
-    components, textops.py).
+    static degree table rides broadcast when small. The rank table is
+    materialized every ``checkpoint_every`` rounds (0 disables) so the
+    plan stays O(checkpoint_every) deep instead of a linear chain of
+    ``iters`` join-agg rounds; materialization cannot move the result —
+    the update is exact integer arithmetic, a pure function of the
+    input. ``reliable_checkpoint=True`` routes that through HDFS-backed
+    ``checkpoint()`` for lossy-executor clusters (operators/_iterate.py).
     """
+    if reliable_checkpoint:
+        require_checkpoint_dir(edges.sparkSession)
     e = _canonical_edges(edges, src, dst)
     # both directions: undirected walk
     dir_edges = (
@@ -156,7 +163,7 @@ def pagerank(
         F.col("s").alias("node"), F.lit(int(PR_SCALE)).alias("r")
     )
     base = int(15 * PR_SCALE) // 100
-    for _ in range(int(iters)):
+    for i in range(int(iters)):
         contribs = (
             out_edges.join(
                 ranks.select(F.col("node").alias("s"), "r"), "s"
@@ -169,6 +176,9 @@ def pagerank(
         ranks = contribs.groupBy("node").agg(
             (F.lit(base) + F.expr("85 * sum(c) DIV 100")).alias("r")
         )
+        if checkpoint_every and (i + 1) % int(checkpoint_every) == 0 \
+                and i + 1 < int(iters):
+            ranks = materialize_round(ranks, reliable_checkpoint)
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 
 
