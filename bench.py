@@ -143,17 +143,21 @@ def bench_pipeline(spark, n_docs: int) -> dict:
     chain(warm)
     warm.unpersist()
 
-    # best-of-3: this sandbox intermittently stalls python-UDF stages
-    # (driver-side scheduling gaps, measured 52 s vs 104 s for IDENTICAL
-    # code+data in one 20-minute window — see BENCH.md §timing-variance);
-    # the slow windows last minutes, so a third try often lands one run in
-    # a clean window; steady-state throughput is the metric, so take the
-    # best run and report all walls for transparency
+    # run-to-convergence, min 3 / cap 5 walls: this sandbox intermittently
+    # stalls python-UDF stages (measured 52 s vs 104 s for IDENTICAL
+    # code+data in one 20-minute window — BENCH.md §timing-variance), and
+    # fixed best-of-3 can cut off while walls are still descending (the r5
+    # rehearsal recorded [171.8, 53.1, 37.7] — the first wall landed in a
+    # degraded window and three tries never reached steady state). Keep
+    # running while each wall improves on the best so far by >10 %;
+    # steady-state throughput is the metric, and every wall is reported
     walls = []
-    for _ in range(3):
+    for i in range(5):
         t0 = time.monotonic()
         n_features, n_tiles = chain(docs)
         walls.append(round(time.monotonic() - t0, 3))
+        if i >= 2 and walls[-1] > 0.9 * min(walls[:-1]):
+            break
     wall = min(walls)
     docs.unpersist()
     return {
@@ -381,7 +385,13 @@ def leg_main(leg: str) -> None:
             # 3× gate), so they re-run at the tighter 1.3× threshold
             factor = 1.3 if name.startswith("engine_") else 3.0
             limit = factor * prior[name] if name in prior else 15.0
-            if wall > limit:
+            # ... and ANY wall over 3 s gets one confirmation run: at that
+            # size the host's fast/slow windows (§5c) can inflate a single
+            # measurement 1.5-2x below every prior-based threshold (the r5
+            # rehearsal recorded embedding_near_dup_lsh at 17.0 s vs its
+            # 9.8 s steady state with no retry). Costs ~2 min of bench
+            # wall; both walls are recorded
+            if wall > min(limit, 3.0):
                 t0 = time.monotonic()
                 _force(fn(spark, SF_DIR))
                 wall2 = round(time.monotonic() - t0, 3)
