@@ -513,7 +513,6 @@ def main() -> None:
     pipe = _run_leg("pipeline")["pipeline"]
     qtimes["engine_pipeline"] = pipe["wall_sec"]
 
-    total = round(sum(qtimes.values()), 3)
     # FULL record first (own stdout line): every number this run produced —
     # pipeline detail, per-try scaling distributions, stall re-runs, the
     # criterion provenance/notes. The driver's tail capture keeps only the
@@ -527,12 +526,18 @@ def main() -> None:
     }
     print(json.dumps(full))
 
-    # COMPACT machine-readable record as the FINAL stdout line (round-4
-    # verdict #1: r4's final line outgrew the driver's 2000-char tail
-    # capture and BENCH_r04 recorded "parsed": null). Everything the driver
-    # grades — the query table, the headline metric, and the criterion
-    # scaling pair — in ≤1500 chars: compact separators, 2-dp walls, and
-    # only the criterion fields the north rule reads.
+    print(compact_record(qtimes, pipe, scaling, sf))
+
+
+def compact_record(qtimes: dict, pipe: dict, scaling: dict, sf: float) -> str:
+    """COMPACT machine-readable record for the FINAL stdout line (round-4
+    verdict #1: r4's final line outgrew the driver's 2000-char tail
+    capture and BENCH_r04 recorded "parsed": null). Everything the driver
+    grades — the query table, the headline metric, and the criterion
+    scaling pair — in ≤1900 chars: compact separators, 2-dp walls, and
+    only the criterion fields the north rule reads. Covered by
+    tests/test_bench_record.py against the full 43-query table."""
+    criterion = scaling.get("criterion", {})
     crit_compact: dict = {"available": criterion.get("available", False)}
     if criterion.get("available"):
         crit_compact = {
@@ -548,7 +553,7 @@ def main() -> None:
     }
     record = {
         "metric": "headline_total",
-        "value": total,
+        "value": round(sum(qtimes.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in qtimes.items()},
         "sf": sf,
@@ -560,7 +565,7 @@ def main() -> None:
     if len(line) > 1900:  # belt-and-braces under the driver's 2000-char cap
         record["queries"] = {k: round(v, 1) for k, v in qtimes.items()}
         line = json.dumps(record, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
