@@ -59,13 +59,16 @@ done
 LINES="$LINES" N_DOCS="$N_DOCS" OUT="$OUT" python3 - <<'EOF'
 import json, os, datetime
 
-rows = {}
+# list of (cores, leg) — a dict keyed by cores would keep only the LAST
+# leg per width when SCALE_CORES repeats a width (e.g. "2 8 2 8"),
+# silently dropping recorded tries
+rows = []
 for line in os.environ["LINES"].splitlines():
     line = line.strip()
     if not line:
         continue
     cores, payload = line.split(" ", 1)
-    rows[cores] = json.loads(payload)
+    rows.append((cores, json.loads(payload)))
 n_docs = int(os.environ["N_DOCS"])
 out = os.environ["OUT"]
 now = datetime.datetime.now(datetime.timezone.utc)
@@ -111,7 +114,7 @@ else:
     cur = {"measured_utc": now_s, "tries_rows_per_sec": {}}
     sessions.append(cur)
 cur["measured_utc"] = now_s  # last write wins; age gates on recency
-for c, r in rows.items():
+for c, r in rows:
     cur["tries_rows_per_sec"].setdefault(c, []).append(r["rows_per_sec"])
 
 
