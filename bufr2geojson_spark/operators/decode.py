@@ -221,6 +221,14 @@ class _DocState:
             lambda: json.dumps(self._cached("qual", self._get_qualifiers)),
         )
 
+    def qualifiers_json_open(self) -> str:
+        """``qualifiers_json()`` without its closing brace, memoized — the
+        per-feature ``[:-1]`` slice copied the whole (KB-sized) metadata
+        block once per feature."""
+        return self._cached(
+            "qual_json_open", lambda: self.qualifiers_json()[:-1]
+        )
+
     def zcoord_json(self, bufr_class) -> str:
         """json.dumps of the zCoordinate fragment, memoized per
         (state version, bufr_class)."""
@@ -344,6 +352,27 @@ class _DocState:
     def get_location(self, bufr_class=None):
         return self._cached(("loc", bufr_class),
                             lambda: self._get_location(bufr_class))
+
+    def location_out(self, bufr_class=None):
+        """Materialized ``(geometry_dict, lon, lat, z)`` output tuple,
+        memoized per state version — rebuilding the geometry dict + float()
+        coordinate list per feature for an unchanged location was pure
+        allocator churn. Rows only read the shared dict."""
+        return self._cached(("locout", bufr_class),
+                            lambda: self._location_out(bufr_class))
+
+    def _location_out(self, bufr_class=None):
+        g = self._cached(("loc", bufr_class),
+                         lambda: self._get_location(bufr_class))
+        if g is None:
+            return (None, None, None, None)
+        coords = [float(c) for c in g["coordinates"]]
+        return (
+            {"type": g["type"], "coordinates": coords},
+            coords[0],
+            coords[1],
+            coords[2] if len(coords) > 2 else None,
+        )
 
     def _get_location(self, bufr_class=None):
         q5, q6 = self.q["05"], self.q["06"]
@@ -510,12 +539,17 @@ def _flag_values(fxxyyy: str, bitstring: str, provider=None) -> list:
     return out
 
 
+# shared no-flag value: the common case (no associated field) allocated a
+# fresh 3-key dict per span; rows only read it, so one shared object is safe
+_QF_NONE = {"inScheme": None, "flag": None, "flagValue": None}
+
+
 def _quality_flag(af_sig, af_value) -> dict:
     if af_sig is None:
-        return {"inScheme": None, "flag": None, "flagValue": None}
+        return _QF_NONE
     field = ASSOCIATED_FIELDS.get(str(int(af_sig)))
     if field is None:
-        return {"inScheme": None, "flag": None, "flagValue": None}
+        return _QF_NONE
     if field.get("type") == "int":
         fv = field.get("values", {}).get(str(int(af_value)), "")
     else:
@@ -591,12 +625,29 @@ def _report_id(spans) -> str:
     """Deterministic report id when the ingest did not carry the original
     BUFR md5 (reference md5s the re-encoded subset bytes, :1234-1239; our
     canonical bytes are the span serialization)."""
-    h = hashlib.md5()
-    for s in spans:
-        h.update(
-            f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1f{s['offset']}\x1e".encode()
-        )
-    return h.hexdigest()
+    # one join + one encode + one update — byte-identical to the per-span
+    # update loop it replaces, ~2× faster on the md5 path
+    return hashlib.md5(
+        "".join(
+            f"{s['kind']}\x1f{s['text']}\x1f{s['media_ref']}\x1f{s['offset']}\x1e"
+            for s in spans
+        ).encode()
+    ).hexdigest()
+
+
+# json.dumps of the (small, repeating) BUFR element codes, cached — one
+# C-encoder call per distinct code instead of one per feature. Bounded so a
+# corrupt corpus with unbounded distinct codes can't grow executor memory.
+_FXX_JSON: dict = {}
+
+
+def _fxx_json(fxxyyy: str) -> str:
+    j = _FXX_JSON.get(fxxyyy)
+    if j is None:
+        j = json.dumps(fxxyyy)
+        if len(_FXX_JSON) < 4096:
+            _FXX_JSON[fxxyyy] = j
+    return j
 
 
 def _parse_value(tok: str):
@@ -808,8 +859,8 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
         # pinned by the golden metadata test and the geojson-length oracle)
         z = state.get_zcoordinate(bufr_class=xx)
         zcoord = z.get("z") if z else None
-        metadata_frag = (state.qualifiers_json()[:-1]
-                         + ', "BUFR_element": ' + json.dumps(fxxyyy))
+        metadata_frag = (state.qualifiers_json_open()
+                         + ', "BUFR_element": ' + _fxx_json(fxxyyy))
         if z is not None:
             metadata_frag += ', "zCoordinate": ' + state.zcoord_json(xx)
 
@@ -832,7 +883,7 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
             fos_desc = fos.get("description", "") if isinstance(fos, dict) else ""
             observed_property = f"{key} ({fos_desc.lower()})"
 
-        geometry = state.get_location(bufr_class=xx)
+        geometry, geo_lon, geo_lat, geo_z = state.location_out(bufr_class=xx)
         feature_id = f"{report_id}-{index}"
 
         this_src = src_id if src_id not in ("", None) else host_id
@@ -840,18 +891,15 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
                                msg_idx, pet_json)
 
         is_num = isinstance(value, (int, float))
-        coords = geometry["coordinates"] if geometry else None
         row = {
             "feature_id": feature_id,
             "report_id": report_id,
             "doc_id": doc_id,
             "index": index,
-            "geometry": ({"type": geometry["type"],
-                          "coordinates": [float(c) for c in coords]}
-                         if geometry else None),
-            "lon": float(coords[0]) if coords else None,
-            "lat": float(coords[1]) if coords else None,
-            "z": float(coords[2]) if coords and len(coords) > 2 else None,
+            "geometry": geometry,
+            "lon": geo_lon,
+            "lat": geo_lat,
+            "z": geo_z,
             "wsi": wsi,
             "tsi": ident["tsi"],
             "host": host_id,
@@ -925,7 +973,10 @@ def decode_documents(
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                spans = [dict(s) for s in spans]
+                # Arrow already materializes list<struct> as fresh Python
+                # dicts and nothing downstream mutates a span, so the rows
+                # share them; re-wrapping each in dict() was pure churn
+                spans = list(spans)
                 try:
                     feats, errs = _decode_doc(
                         doc_id, spans,
