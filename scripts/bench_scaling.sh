@@ -56,7 +56,8 @@ done
 # every try of every session is retained (round-4 advice: the checked-in
 # artifact must be reproducible by this documented command, and a rerun
 # must not silently drop provenance).
-LINES="$LINES" N_DOCS="$N_DOCS" OUT="$OUT" python3 - <<'EOF'
+ENGINE_COMMIT=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
+LINES="$LINES" N_DOCS="$N_DOCS" OUT="$OUT" ENGINE_COMMIT="$ENGINE_COMMIT" python3 - <<'EOF'
 import json, os, datetime
 
 # list of (cores, leg) — a dict keyed by cores would keep only the LAST
@@ -107,13 +108,20 @@ def _age_h(s) -> float:
         return 1e9
 
 
+engine_commit = os.environ.get("ENGINE_COMMIT", "unknown")
+# a session groups legs from ONE host window AND one engine version: legs
+# measured on a different commit must not pair with older legs inside a
+# single "session" record (the criterion is the best same-session pair,
+# so a cross-engine merge could fabricate a pair no single engine ran)
 if sessions and _age_h(sessions[-1]["measured_utc"]) < 3.0 \
-        and not sessions[-1].get("pre_v2_merged"):
+        and not sessions[-1].get("pre_v2_merged") \
+        and sessions[-1].get("engine_commit") == engine_commit:
     cur = sessions[-1]
 else:
     cur = {"measured_utc": now_s, "tries_rows_per_sec": {}}
     sessions.append(cur)
 cur["measured_utc"] = now_s  # last write wins; age gates on recency
+cur["engine_commit"] = engine_commit
 for c, r in rows:
     cur["tries_rows_per_sec"].setdefault(c, []).append(r["rows_per_sec"])
 
