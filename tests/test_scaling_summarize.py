@@ -1,0 +1,119 @@
+"""Unit tests for scripts/scaling_summarize.py — the session-grouped
+accumulator behind scaling_controlled.json (north-rule criterion = best
+same-session 2->8 pair; round-4 advice: artifact reproducible by the
+documented command, reruns never drop provenance)."""
+
+import datetime
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+from scaling_summarize import summarize  # noqa: E402
+
+UTC = datetime.timezone.utc
+
+
+def _leg(cores: str, rps: float) -> str:
+    return f'{cores} {{"run_id": "scale{cores}", "rows_per_sec": {rps}}}'
+
+
+def _lines(*legs) -> str:
+    return "\n".join(_leg(c, r) for c, r in legs) + "\n"
+
+
+def test_fresh_artifact_repeated_widths_keep_every_try():
+    # SCALE_CORES="2 8 2 8": both tries per width retained, best-of pairs
+    now = datetime.datetime(2026, 8, 19, 16, 20, 57, tzinfo=UTC)
+    rec = summarize(_lines(("2", 100.0), ("8", 300.0), ("2", 110.0), ("8", 352.0)),
+                    960000, None, now, "abc1234")
+    assert len(rec["sessions"]) == 1
+    s = rec["sessions"][0]
+    assert s["tries_rows_per_sec"] == {"2": [100.0, 110.0], "8": [300.0, 352.0]}
+    assert s["engine_commit"] == "abc1234"
+    assert s["efficiency_2_to_8"] == 0.8  # 352/110/4
+    assert rec["criterion"]["efficiency_2_to_8"] == 0.8
+    assert rec["efficiency_2_to_8"] == 0.8  # legacy mirror for bench.py
+    assert rec["merged_best_of"]["efficiency_2_to_8"] == 0.8
+
+
+def test_recent_same_engine_legs_join_the_session():
+    now0 = datetime.datetime(2026, 8, 19, 12, 0, 0, tzinfo=UTC)
+    prev = summarize(_lines(("2", 100.0)), 960000, None, now0, "abc1234")
+    now1 = now0 + datetime.timedelta(hours=1)
+    rec = summarize(_lines(("8", 360.0)), 960000, prev, now1, "abc1234")
+    assert len(rec["sessions"]) == 1
+    assert rec["sessions"][0]["tries_rows_per_sec"] == {"2": [100.0], "8": [360.0]}
+    assert rec["criterion"]["efficiency_2_to_8"] == 0.9
+
+
+def test_engine_change_opens_a_new_session():
+    # a cross-engine pair no single engine ran must not form
+    now0 = datetime.datetime(2026, 8, 19, 12, 0, 0, tzinfo=UTC)
+    prev = summarize(_lines(("2", 100.0)), 960000, None, now0, "abc1234")
+    now1 = now0 + datetime.timedelta(minutes=30)
+    rec = summarize(_lines(("8", 360.0)), 960000, prev, now1, "def5678")
+    assert len(rec["sessions"]) == 2
+    assert "criterion" not in rec  # neither session holds a complete pair
+    # but the merged transparency number still sees both widths
+    assert rec["merged_best_of"]["efficiency_2_to_8"] == 0.9
+
+
+def test_stale_window_opens_a_new_session():
+    now0 = datetime.datetime(2026, 8, 19, 12, 0, 0, tzinfo=UTC)
+    prev = summarize(_lines(("2", 100.0), ("8", 340.0)), 960000, None, now0, "abc1234")
+    now1 = now0 + datetime.timedelta(hours=4)
+    rec = summarize(_lines(("2", 90.0), ("8", 340.0)), 960000, prev, now1, "abc1234")
+    assert len(rec["sessions"]) == 2
+    # criterion = best SAME-session pair: second session's 340/90/4 = 0.944
+    assert rec["criterion"]["efficiency_2_to_8"] == 0.944
+    assert rec["criterion"]["session_utc"] == "2026-08-19T16:00:00Z"
+    # merged best-of pairs across windows (transparency only): 340/100/4
+    assert rec["merged_best_of"]["efficiency_2_to_8"] == 0.85
+
+
+def test_pre_v2_artifact_is_wrapped_flagged_and_never_absorbs_legs():
+    prev = {"measured_utc": "2026-08-18T23:25:00Z", "n_docs": 960000,
+            "tries_rows_per_sec": {"2": [100.0], "8": [320.0]},
+            "notes": "hand-added provenance"}
+    now = datetime.datetime(2026, 8, 18, 23, 40, 0, tzinfo=UTC)  # <3h later
+    rec = summarize(_lines(("8", 360.0)), 960000, prev, now, "abc1234")
+    assert len(rec["sessions"]) == 2  # pre_v2_merged never absorbs new legs
+    assert rec["sessions"][0]["pre_v2_merged"] is True
+    assert rec["sessions"][0]["efficiency_2_to_8"] == 0.8
+    assert rec["notes"] == "hand-added provenance"  # merge keeps notes
+    # criterion is still the pre-v2 session's pair (the only complete one)
+    assert rec["criterion"]["efficiency_2_to_8"] == 0.8
+
+
+def test_different_n_docs_starts_fresh():
+    now = datetime.datetime(2026, 8, 19, 12, 0, 0, tzinfo=UTC)
+    prev = summarize(_lines(("2", 100.0), ("8", 360.0)), 240000, None, now, "abc1234")
+    rec = summarize(_lines(("2", 50.0)), 960000, prev, now, "abc1234")
+    assert len(rec["sessions"]) == 1
+    assert rec["sessions"][0]["tries_rows_per_sec"] == {"2": [50.0]}
+    assert "notes" not in rec
+
+
+def test_replays_the_checked_in_artifact():
+    # Integration: replaying the 2026-08-19T16:20:57Z invocation (the four
+    # legs of /tmp/scale_r5c.log) on top of the artifact as of the prior
+    # commit must reproduce the checked-in sessions/criterion exactly
+    # (modulo the notes line appended by hand afterwards).
+    repo = Path(__file__).resolve().parents[1]
+    cur = json.loads((repo / "scaling_controlled.json").read_text())
+    try:
+        prev_text = subprocess.run(
+            ["git", "show", "bd6f71c:scaling_controlled.json"],
+            cwd=repo, capture_output=True, text=True, check=True).stdout
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        import pytest
+        pytest.skip("git history unavailable")
+    prev = json.loads(prev_text)
+    legs = _lines(("2", 16102.7), ("8", 45982.1), ("2", 16211.4), ("8", 53496.8))
+    now = datetime.datetime(2026, 8, 19, 16, 20, 57, tzinfo=UTC)
+    rec = summarize(legs, 960000, prev, now, "bd6f71c")
+    assert rec["sessions"] == cur["sessions"]
+    assert rec["criterion"] == cur["criterion"]
+    assert rec["merged_best_of"] == cur["merged_best_of"]
