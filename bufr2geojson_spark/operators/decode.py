@@ -177,6 +177,14 @@ class _DocState:
         self._memo[key] = (self.v, r)
         return r
 
+    # NOTE on the hand-inlined accessors below: profiling the fold
+    # (BENCH.md §5s) showed ~8 `_cached` calls per feature, and each
+    # call-site lambda is allocated even on a memo HIT — ~400k closure
+    # builds per 48k features that exist only to be discarded. The hot
+    # per-feature accessors therefore open-code the version-checked memo
+    # (identical semantics: same keys, same (version, value) entries, so
+    # `_cached` users and tests observe the same dict).
+
     def set_qualifier(self, fxxyyy, key, value, description, attributes,
                       append=False):
         self.v += 1
@@ -210,34 +218,49 @@ class _DocState:
     def get_qualifiers(self) -> dict:
         # memoized per state version; shallow-copied because the caller adds
         # outer keys (BUFR_element, zCoordinate)
-        return dict(self._cached("qual", self._get_qualifiers))
+        memo = self._memo
+        hit = memo.get("qual")
+        if hit is not None and hit[0] == self.v:
+            return dict(hit[1])
+        r = self._get_qualifiers()
+        memo["qual"] = (self.v, r)
+        return dict(r)
 
     def qualifiers_json(self) -> str:
         """json.dumps of get_qualifiers(), memoized per state version —
         profiling showed the per-feature dumps of the (unchanged-between-
         qualifier-updates) metadata block was ~15% of decode CPU."""
-        return self._cached(
-            "qual_json",
-            lambda: json.dumps(self._cached("qual", self._get_qualifiers)),
-        )
+        memo = self._memo
+        hit = memo.get("qual_json")
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = json.dumps(self._cached("qual", self._get_qualifiers))
+        memo["qual_json"] = (self.v, r)
+        return r
 
     def qualifiers_json_open(self) -> str:
         """``qualifiers_json()`` without its closing brace, memoized — the
         per-feature ``[:-1]`` slice copied the whole (KB-sized) metadata
         block once per feature."""
-        return self._cached(
-            "qual_json_open", lambda: self.qualifiers_json()[:-1]
-        )
+        memo = self._memo
+        hit = memo.get("qual_json_open")
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = self.qualifiers_json()[:-1]
+        memo["qual_json_open"] = (self.v, r)
+        return r
 
     def zcoord_json(self, bufr_class) -> str:
         """json.dumps of the zCoordinate fragment, memoized per
         (state version, bufr_class)."""
-        return self._cached(
-            ("zjson", bufr_class),
-            lambda: json.dumps(
-                self.get_zcoordinate(bufr_class=bufr_class).get("z")
-            ),
-        )
+        memo = self._memo
+        key = ("zjson", bufr_class)
+        hit = memo.get(key)
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = json.dumps(self.get_zcoordinate(bufr_class).get("z"))
+        memo[key] = (self.v, r)
+        return r
 
     def _get_qualifiers(self) -> dict:
         # reference :278-360 — grouping of in-force qualifiers by class
@@ -287,8 +310,14 @@ class _DocState:
     # ----- geometry / vertical (reference :362-523) -----
 
     def get_zcoordinate(self, bufr_class=None) -> dict:
-        return self._cached(("z", bufr_class),
-                            lambda: self._get_zcoordinate(bufr_class))
+        memo = self._memo
+        key = ("z", bufr_class)
+        hit = memo.get(key)
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = self._get_zcoordinate(bufr_class)
+        memo[key] = (self.v, r)
+        return r
 
     def _get_zcoordinate(self, bufr_class=None) -> dict:
         result = {}
@@ -350,20 +379,31 @@ class _DocState:
         return result
 
     def get_location(self, bufr_class=None):
-        return self._cached(("loc", bufr_class),
-                            lambda: self._get_location(bufr_class))
+        memo = self._memo
+        key = ("loc", bufr_class)
+        hit = memo.get(key)
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = self._get_location(bufr_class)
+        memo[key] = (self.v, r)
+        return r
 
     def location_out(self, bufr_class=None):
         """Materialized ``(geometry_dict, lon, lat, z)`` output tuple,
         memoized per state version — rebuilding the geometry dict + float()
         coordinate list per feature for an unchanged location was pure
         allocator churn. Rows only read the shared dict."""
-        return self._cached(("locout", bufr_class),
-                            lambda: self._location_out(bufr_class))
+        memo = self._memo
+        key = ("locout", bufr_class)
+        hit = memo.get(key)
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = self._location_out(bufr_class)
+        memo[key] = (self.v, r)
+        return r
 
     def _location_out(self, bufr_class=None):
-        g = self._cached(("loc", bufr_class),
-                         lambda: self._get_location(bufr_class))
+        g = self.get_location(bufr_class)
         if g is None:
             return (None, None, None, None)
         coords = [float(c) for c in g["coordinates"]]
@@ -404,7 +444,13 @@ class _DocState:
     # ----- time (reference :525-631) -----
 
     def get_time(self) -> str:
-        return self._cached("time", self._get_time)
+        memo = self._memo
+        hit = memo.get("time")
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = self._get_time()
+        memo["time"] = (self.v, r)
+        return r
 
     def _get_time(self) -> str:
         xx = "04"
@@ -457,8 +503,14 @@ class _DocState:
     # ----- identification (reference :633-780) -----
 
     def get_identification(self, guess_wsi=False) -> dict:
-        return self._cached(("ident", guess_wsi),
-                            lambda: self._get_identification(guess_wsi))
+        memo = self._memo
+        key = ("ident", guess_wsi)
+        hit = memo.get(key)
+        if hit is not None and hit[0] == self.v:
+            return hit[1]
+        r = self._get_identification(guess_wsi)
+        memo[key] = (self.v, r)
+        return r
 
     def _get_identification(self, guess_wsi=False) -> dict:
         q1 = self.q["01"]
@@ -776,7 +828,8 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
         if span["kind"] != "element":
             continue
         parts = span["text"].split("|")
-        parts += [""] * (10 - len(parts))
+        if len(parts) < 10:
+            parts += [""] * (10 - len(parts))
         (fxxyyy, rawkey, vtok, units, stok, rtok, wtok, desc,
          af_sig_tok, af_val_tok) = parts[:10]
         xx = int(fxxyyy[1:3])
@@ -872,7 +925,7 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
         # metadata_json assembled from memoized pre-serialized fragments
         # (byte-identical to dumps of the mutated get_qualifiers() dict —
         # pinned by the golden metadata test and the geojson-length oracle)
-        z = state.get_zcoordinate(bufr_class=xx)
+        z = state.get_zcoordinate(xx)
         zcoord = z.get("z") if z else None
         metadata_frag = (state.qualifiers_json_open()
                          + ', "BUFR_element": ' + _fxx_json(fxxyyy))
@@ -898,7 +951,7 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
             fos_desc = fos.get("description", "") if isinstance(fos, dict) else ""
             observed_property = f"{key} ({fos_desc.lower()})"
 
-        geometry, geo_lon, geo_lat, geo_z = state.location_out(bufr_class=xx)
+        geometry, geo_lon, geo_lat, geo_z = state.location_out(xx)
         feature_id = f"{report_id}-{index}"
 
         this_src = src_id if src_id not in ("", None) else host_id

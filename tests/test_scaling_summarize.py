@@ -97,10 +97,13 @@ def test_different_n_docs_starts_fresh():
 
 
 def test_replays_the_checked_in_artifact():
-    # Integration: replaying the 2026-08-19T16:20:57Z invocation (the four
-    # legs of /tmp/scale_r5c.log) on top of the artifact as of the prior
+    # Integration: replaying the last two recorded invocations — the
+    # 2026-08-19T16:20:57Z session (the four legs of /tmp/scale_r5c.log,
+    # engine bd6f71c) and the 2026-08-19T22:52:03Z session #6 (BENCH.md §5q,
+    # engine c259b9b) — on top of the artifact as of the pre-session-5
     # commit must reproduce the checked-in sessions/criterion exactly
-    # (modulo the notes line appended by hand afterwards).
+    # (modulo the notes line appended by hand afterwards). This test must be
+    # extended whenever a new controlled session lands in the artifact.
     repo = Path(__file__).resolve().parents[1]
     cur = json.loads((repo / "scaling_controlled.json").read_text())
     try:
@@ -111,9 +114,12 @@ def test_replays_the_checked_in_artifact():
         import pytest
         pytest.skip("git history unavailable")
     prev = json.loads(prev_text)
-    legs = _lines(("2", 16102.7), ("8", 45982.1), ("2", 16211.4), ("8", 53496.8))
-    now = datetime.datetime(2026, 8, 19, 16, 20, 57, tzinfo=UTC)
-    rec = summarize(legs, 960000, prev, now, "bd6f71c")
+    legs5 = _lines(("2", 16102.7), ("8", 45982.1), ("2", 16211.4), ("8", 53496.8))
+    now5 = datetime.datetime(2026, 8, 19, 16, 20, 57, tzinfo=UTC)
+    rec5 = summarize(legs5, 960000, prev, now5, "bd6f71c")
+    legs6 = _lines(("2", 17765.8), ("8", 53155.2), ("2", 17605.5), ("8", 47610.4))
+    now6 = datetime.datetime(2026, 8, 19, 22, 52, 3, tzinfo=UTC)
+    rec = summarize(legs6, 960000, rec5, now6, "c259b9b")
     assert rec["sessions"] == cur["sessions"]
     assert rec["criterion"] == cur["criterion"]
     assert rec["merged_best_of"] == cur["merged_best_of"]
