@@ -706,6 +706,9 @@ def _report_id(spans) -> str:
 # C-encoder call per distinct code instead of one per feature. Bounded so a
 # corrupt corpus with unbounded distinct codes can't grow executor memory.
 _FXX_JSON: dict = {}
+# fxxyyy -> (xx, yyy): the descriptor vocabulary is tiny (bounded like
+# _FXX_JSON) and every element span pays two slices + two int() without it
+_FXX_PARSE: dict = {}
 
 
 def _fxx_json(fxxyyy: str) -> str:
@@ -832,18 +835,23 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
             parts += [""] * (10 - len(parts))
         (fxxyyy, rawkey, vtok, units, stok, rtok, wtok, desc,
          af_sig_tok, af_val_tok) = parts[:10]
-        xx = int(fxxyyy[1:3])
-        yyy = int(fxxyyy[3:6])
-        value = _parse_value(vtok)
-        scale = _parse_value(stok)
-        reference = _parse_value(rtok)
-        width = _parse_value(wtok)
+        xxyyy = _FXX_PARSE.get(fxxyyy)
+        if xxyyy is None:
+            xxyyy = (int(fxxyyy[1:3]), int(fxxyyy[3:6]))
+            if len(_FXX_PARSE) < 4096:
+                _FXX_PARSE[fxxyyy] = xxyyy
+        xx, yyy = xxyyy
+        value = _parse_value(vtok) if vtok else None
         desc = desc if desc != "" else None
-        af_sig = _parse_value(af_sig_tok)
-        af_value = _parse_value(af_val_tok)
+        af_sig = _parse_value(af_sig_tok) if af_sig_tok else None
+        af_value = _parse_value(af_val_tok) if af_val_tok else None
 
-        attributes = {"code": fxxyyy, "units": units, "scale": scale,
-                      "reference": reference, "width": width}
+        # scale/reference/width and the attributes dict are only STORED by
+        # the qualifier routes (set_qualifier); the feature-emitting data
+        # path reads nothing but the (post-conversion) units, so their
+        # parse + dict build is deferred to the routing branches below —
+        # ~40% of spans skip all three parses (profiled: _parse_value was
+        # 853k calls / 7% of fold CPU at 6k docs)
 
         quality_flag = _quality_flag(af_sig, af_value)
 
@@ -863,6 +871,7 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
             }
         elif units == "FLAG TABLE" and value is not None:
             observation_type = OM_CATEGORY
+            width = _parse_value(wtok) if wtok else None
             bitstring = "{0:0{1}b}".format(int(value), int(width or 0))
             description = _flag_values(fxxyyy, bitstring, table_provider)
             f0 = int(fxxyyy[0])
@@ -878,12 +887,14 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
             value = None
             observation_type = OM_OBSERVATION
 
-        # preferred-unit conversion (:1037-1044)
+        # preferred-unit conversion (:1037-1044). `units` now carries the
+        # post-conversion name; the deferred attributes builds below and the
+        # feature row's result_units read it, matching the eager build that
+        # mutated attributes["units"] in place
         if units in PREFERRED_UNITS and value is not None:
             target, m, o = PREFERRED_UNITS[units]
             value = round(value * m + o, 6)
             units = target
-            attributes["units"] = units
 
         if _value is not None:
             value = dict(_value)
@@ -892,6 +903,10 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
 
         # routing (:1054-1088)
         if xx < 9 and fxxyyy != "004053":
+            attributes = {"code": fxxyyy, "units": units,
+                          "scale": _parse_value(stok) if stok else None,
+                          "reference": _parse_value(rtok) if rtok else None,
+                          "width": _parse_value(wtok) if wtok else None}
             append = (4 <= xx < 8) and key == last_key
             if fxxyyy == "004023" and sequence == "307075":
                 # DAYCLI patch (:1060-1064)
@@ -913,6 +928,10 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
             last_key = key
             continue
         elif xx in (25, 33, 35):
+            attributes = {"code": fxxyyy, "units": units,
+                          "scale": _parse_value(stok) if stok else None,
+                          "reference": _parse_value(rtok) if rtok else None,
+                          "width": _parse_value(wtok) if wtok else None}
             state.set_qualifier(fxxyyy, key, value, description, attributes,
                                 False)
             last_key = key
@@ -981,7 +1000,7 @@ def _decode_subset(doc_id, spans, full_spans, *, guess_wsi, result_time,
                             else None),
             "result_flags": (value if (not is_num) and "flagtable" in value
                              else None),
-            "result_units": attributes["units"],
+            "result_units": units,
             "quality_flag": quality_flag,
             "report_type": report_type,
             "bufr_element": fxxyyy,
