@@ -119,7 +119,17 @@ def test_replays_the_checked_in_artifact():
     rec5 = summarize(legs5, 960000, prev, now5, "bd6f71c")
     legs6 = _lines(("2", 17765.8), ("8", 53155.2), ("2", 17605.5), ("8", 47610.4))
     now6 = datetime.datetime(2026, 8, 19, 22, 52, 3, tzinfo=UTC)
-    rec = summarize(legs6, 960000, rec5, now6, "c259b9b")
+    rec6 = summarize(legs6, 960000, rec5, now6, "c259b9b")
+    # session #7 landed as two invocations (a sandbox restart split the
+    # symmetric protocol): the orphaned first 2-core leg folded by hand,
+    # then the remaining 8/2/8 legs — same engine, same <3 h window, so
+    # the summarizer groups all four legs into one session
+    legs7a = _lines(("2", 12928.8))
+    now7a = datetime.datetime(2026, 8, 20, 2, 7, 52, tzinfo=UTC)
+    rec7a = summarize(legs7a, 960000, rec6, now7a, "097e465")
+    legs7b = _lines(("8", 37480.3), ("2", 16368.3), ("8", 49673.9))
+    now7b = datetime.datetime(2026, 8, 20, 2, 24, 41, tzinfo=UTC)
+    rec = summarize(legs7b, 960000, rec7a, now7b, "097e465")
     assert rec["sessions"] == cur["sessions"]
     assert rec["criterion"] == cur["criterion"]
     assert rec["merged_best_of"] == cur["merged_best_of"]
