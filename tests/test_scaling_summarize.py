@@ -129,7 +129,22 @@ def test_replays_the_checked_in_artifact():
     rec7a = summarize(legs7a, 960000, rec6, now7a, "097e465")
     legs7b = _lines(("8", 37480.3), ("2", 16368.3), ("8", 49673.9))
     now7b = datetime.datetime(2026, 8, 20, 2, 24, 41, tzinfo=UTC)
-    rec = summarize(legs7b, 960000, rec7a, now7b, "097e465")
+    rec7 = summarize(legs7b, 960000, rec7a, now7b, "097e465")
+    # session #8 (2026-08-21, new host day, engine 9003a9f): two symmetric
+    # SCALE_CORES="2 8 2 8" blocks 30 min apart — same window, same engine,
+    # one session
+    legs8a = _lines(("2", 13289.0), ("8", 40513.5), ("2", 13396.1), ("8", 35930.7))
+    now8a = datetime.datetime(2026, 8, 21, 16, 22, 45, tzinfo=UTC)
+    rec8a = summarize(legs8a, 960000, rec7, now8a, "9003a9f")
+    legs8b = _lines(("2", 16480.0), ("8", 31755.6), ("2", 16056.8), ("8", 50015.8))
+    now8b = datetime.datetime(2026, 8, 21, 16, 52, 42, tzinfo=UTC)
+    rec8 = summarize(legs8b, 960000, rec8a, now8b, "9003a9f")
+    # session #9: block C ran after the evidence commit changed HEAD, so
+    # the engine-version boundary starts a new session (the diff was
+    # evidence/doc files only — engine byte-identical, noted in BENCH.md §5v)
+    legs9 = _lines(("2", 15509.3), ("8", 29026.7), ("2", 14534.5), ("8", 36438.5))
+    now9 = datetime.datetime(2026, 8, 21, 17, 24, 27, tzinfo=UTC)
+    rec = summarize(legs9, 960000, rec8, now9, "02d7bf9")
     assert rec["sessions"] == cur["sessions"]
     assert rec["criterion"] == cur["criterion"]
     assert rec["merged_best_of"] == cur["merged_best_of"]
