@@ -144,7 +144,12 @@ def test_replays_the_checked_in_artifact():
     # evidence/doc files only — engine byte-identical, noted in BENCH.md §5v)
     legs9 = _lines(("2", 15509.3), ("8", 29026.7), ("2", 14534.5), ("8", 36438.5))
     now9 = datetime.datetime(2026, 8, 21, 17, 24, 27, tzinfo=UTC)
-    rec = summarize(legs9, 960000, rec8, now9, "02d7bf9")
+    rec9 = summarize(legs9, 960000, rec8, now9, "02d7bf9")
+    # session #10 (block D, post-rehearsal): all four legs stable at their
+    # floors — the clean floor-to-floor ceiling reading (BENCH.md §5v-b)
+    legs10 = _lines(("2", 17214.3), ("8", 50658.2), ("2", 17031.8), ("8", 48643.2))
+    now10 = datetime.datetime(2026, 8, 21, 18, 12, 37, tzinfo=UTC)
+    rec = summarize(legs10, 960000, rec9, now10, "a8d4b12")
     assert rec["sessions"] == cur["sessions"]
     assert rec["criterion"] == cur["criterion"]
     assert rec["merged_best_of"] == cur["merged_best_of"]
