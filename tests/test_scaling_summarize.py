@@ -106,13 +106,24 @@ def test_replays_the_checked_in_artifact():
     # extended whenever a new controlled session lands in the artifact.
     repo = Path(__file__).resolve().parents[1]
     cur = json.loads((repo / "scaling_controlled.json").read_text())
-    try:
-        prev_text = subprocess.run(
-            ["git", "show", "bd6f71c:scaling_controlled.json"],
-            cwd=repo, capture_output=True, text=True, check=True).stdout
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    # `git show` has skipped transiently inside full-suite runs (while
+    # passing standalone and in every small combination tried) — retry
+    # once, and if it still fails surface the ACTUAL error in the skip
+    # reason so the flake is diagnosable instead of a bare "unavailable"
+    last_err = None
+    prev_text = None
+    for _ in range(2):
+        try:
+            prev_text = subprocess.run(
+                ["git", "show", "bd6f71c:scaling_controlled.json"],
+                cwd=repo, capture_output=True, text=True, check=True).stdout
+            break
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            last_err = e
+    if prev_text is None:
         import pytest
-        pytest.skip("git history unavailable")
+        detail = getattr(last_err, "stderr", "") or repr(last_err)
+        pytest.skip(f"git history unavailable: {detail!r}")
     prev = json.loads(prev_text)
     legs5 = _lines(("2", 16102.7), ("8", 45982.1), ("2", 16211.4), ("8", 53496.8))
     now5 = datetime.datetime(2026, 8, 19, 16, 20, 57, tzinfo=UTC)
