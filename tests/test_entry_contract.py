@@ -69,14 +69,13 @@ def test_query_matches_oracle(spark, duck, name):
         assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
 
 
-@pytest.mark.parametrize(
-    "name", [n for n in ALL_NAMES if n not in ORACLE_NAMES]
-)
-def test_rows_only_queries_run(spark, name):
-    q = entry_mod.queries()[name]
-    df = q(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries_remain():
+    # Round-5 invariant: every queries() entry has an exact oracle_sql()
+    # twin — the contract is 152/152 oracled, zero rows-only. (This
+    # replaces the old per-rows-only-query smoke test, whose parameter
+    # set went empty when the last rows-only entry was digest-oracled
+    # and which then showed up as a perpetual pytest "skipped".)
+    assert [n for n in ALL_NAMES if n not in ORACLE_NAMES] == []
 
 
 def test_entry_smoke(spark):
