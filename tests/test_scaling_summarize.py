@@ -160,7 +160,16 @@ def test_replays_the_checked_in_artifact():
     # floors — the clean floor-to-floor ceiling reading (BENCH.md §5v-b)
     legs10 = _lines(("2", 17214.3), ("8", 50658.2), ("2", 17031.8), ("8", 48643.2))
     now10 = datetime.datetime(2026, 8, 21, 18, 12, 37, tzinfo=UTC)
-    rec = summarize(legs10, 960000, rec9, now10, "a8d4b12")
+    rec10 = summarize(legs10, 960000, rec9, now10, "a8d4b12")
+    # session #11 (blocks E + F, final tree): the criterion session —
+    # block F's last leg is the all-time-best 55,637 rows/s, pair 0.850
+    legs11a = _lines(("2", 16363.3), ("8", 41272.2), ("2", 16176.1), ("8", 51393.4))
+    now11a = datetime.datetime(2026, 8, 21, 19, 46, 18, tzinfo=UTC)
+    rec11a = summarize(legs11a, 960000, rec10, now11a, "af1e35d")
+    legs11b = _lines(("2", 15544.5), ("8", 52329.0), ("2", 15579.3), ("8", 55637.1))
+    now11b = datetime.datetime(2026, 8, 21, 20, 14, 57, tzinfo=UTC)
+    rec = summarize(legs11b, 960000, rec11a, now11b, "af1e35d")
+    assert rec["criterion"]["efficiency_2_to_8"] == 0.85
     assert rec["sessions"] == cur["sessions"]
     assert rec["criterion"] == cur["criterion"]
     assert rec["merged_best_of"] == cur["merged_best_of"]
